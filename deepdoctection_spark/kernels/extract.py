@@ -1,0 +1,140 @@
+"""Per-turn extraction dispatch + span finalization (offsets, ids, order).
+
+The per-row core of the engine — the analogue of the reference's full
+analyzer chain (layout → segmentation → text → matching → ordering → page
+parsing, /root/reference/deepdoctection/analyzer/dd.py:256-401) collapsed into
+one pure function over a (text, tool) payload:
+
+    extract_turn(text, tool) -> [(category, block_text, cells)]
+    finalize_turn(conv_id, turn_idx, blocks) -> TurnExtraction
+
+Payload dispatch mirrors the reference's source-sensitive _entry
+(/root/reference/deepdoctection/pipe/doctectionpipe.py:142-163): the ``tool``
+column selects the decoder (browser → HTML DOM walk; pdf_reader → positioned
+layout parse; anything else → plain-text normalize), with a content sniff as
+fallback.
+
+Output contract (pinned once — SURVEY.md §7 hard-part #1):
+- block texts join with a single "\n" to form extracted_text
+  (reference: Page._make_text, view.py:665-671);
+- span offsets are [begin, end) char offsets into extracted_text;
+- reading_order enumerates blocks 0.. in emit order
+  (reference: TextOrderService, pipe/order.py:566-772);
+- span ids are content-addressed md5 (kernels/ids.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from deepdoctection_spark.kernels.html import extract_blocks, looks_like_html
+from deepdoctection_spark.kernels.ids import span_id
+from deepdoctection_spark.kernels.layout import extract_layout_blocks, looks_like_layout
+from deepdoctection_spark.kernels.table import TableCell, cells_to_html
+from deepdoctection_spark.kernels.textnorm import normalize_ws, word_spans
+
+
+@dataclass
+class Block:
+    category: str
+    text: str
+    cells: list[TableCell] = field(default_factory=list)
+
+
+@dataclass
+class SpanOut:
+    span_id: str
+    category: str
+    begin: int
+    end: int
+    reading_order: int
+    parent_id: str | None
+    score: float
+    attrs: dict[str, str]
+
+
+@dataclass
+class TurnExtraction:
+    extracted_text: str
+    blocks: list[SpanOut]
+    cells: list[SpanOut]
+    words: list[SpanOut]
+    table_htmls: list[str]
+
+
+def extract_turn(
+    text: str,
+    tool: str,
+    link_density_threshold: float = 0.5,
+    column_gap: float = 100.0,
+) -> list[Block]:
+    """Dispatch by payload kind and return ordered content blocks."""
+    if text is None:
+        return []
+    if tool == "browser" or (tool not in ("pdf_reader",) and looks_like_html(text)):
+        return [
+            Block(b.category, b.text, b.cells)
+            for b in extract_blocks(text, link_density_threshold)
+        ]
+    if tool == "pdf_reader" or looks_like_layout(text):
+        return [Block(b.category, b.text) for b in extract_layout_blocks(text, column_gap)]
+    norm = normalize_ws(text)
+    return [Block("text", norm)] if norm else []
+
+
+def finalize_turn(conv_id: str, turn_idx: int, blocks: list[Block]) -> TurnExtraction:
+    """Assemble extracted_text and all span levels with deterministic ids."""
+    texts = [b.text for b in blocks]
+    extracted = "\n".join(texts)
+    spans: list[SpanOut] = []
+    cell_spans: list[SpanOut] = []
+    table_htmls: list[str] = []
+    offset = 0
+    for order, b in enumerate(blocks):
+        begin, end = offset, offset + len(b.text)
+        sid = span_id(conv_id, turn_idx, b.category, begin, end)
+        spans.append(
+            SpanOut(sid, b.category, begin, end, order, None, 1.0, {})
+        )
+        if b.cells:
+            table_htmls.append(cells_to_html(b.cells))
+            # cell offsets: walk the block's own text, which was assembled as
+            # rows joined by \n and cells by single spaces (kernels/html.py) —
+            # recompute positions by scanning within [begin, end)
+            cursor = begin
+            rows: dict[int, list[TableCell]] = {}
+            for c in b.cells:
+                rows.setdefault(c.row_number, []).append(c)
+            for r in sorted(rows):
+                row_cells = sorted(rows[r], key=lambda x: x.column_number)
+                first_in_row = True
+                for c in row_cells:
+                    if not c.text:
+                        continue
+                    if not first_in_row:
+                        cursor += 1  # the joining space
+                    cb, ce = cursor, cursor + len(c.text)
+                    cid = span_id(conv_id, turn_idx, "cell", cb, ce)
+                    cell_spans.append(
+                        SpanOut(
+                            cid, "cell", cb, ce, order, sid, 1.0,
+                            {
+                                "row_number": str(c.row_number),
+                                "column_number": str(c.column_number),
+                                "row_span": str(c.row_span),
+                                "column_span": str(c.column_span),
+                            },
+                        )
+                    )
+                    cursor = ce
+                    first_in_row = False
+                cursor += 1  # the joining \n (or trailing — harmless)
+        offset = end + 1  # block-joining \n
+    words = [
+        SpanOut(
+            span_id(conv_id, turn_idx, "word", wb, we),
+            "word", wb, we, i, None, 1.0, {"characters": tok},
+        )
+        for i, tok, wb, we in word_spans(extracted)
+    ]
+    return TurnExtraction(extracted, spans, cell_spans, words, table_htmls)

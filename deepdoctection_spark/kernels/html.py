@@ -1,0 +1,192 @@
+"""HTML main-content extraction: DOM walk + tag/link-density boilerplate strip.
+
+This is the transcript-payload analogue of the reference's layout-detection +
+matching + NMS chain (/root/reference/deepdoctection/pipe/layout.py:37-121,
+pipe/common.py:76-168, 239-301): instead of a vision model proposing pixel
+blocks that are then filtered by score/NMS, a DOM walk proposes candidate
+blocks (headings, paragraphs, lists, tables, leaf containers) that are then
+filtered by a readability-style link-density heuristic — a block whose text is
+mostly anchor text is boilerplate (nav / footer / sidebar) and is dropped.
+
+Output categories follow the reference's LayoutType enum
+(/root/reference/deepdoctection/utils/settings.py:105-131):
+title | text | list | table (+ cell sub-structures from kernels/table.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
+from deepdoctection_spark.kernels.textnorm import normalize_ws
+
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>|<!--.*?-->",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
+
+# elements whose entire content is non-rendered metadata
+_SKIP_CONTENT = {"script", "style", "head", "noscript", "template"}
+# void elements never pushed on the stack
+_VOID = {
+    "br", "img", "hr", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+}
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_LISTS = {"ul", "ol"}
+# containers: recurse if they hold block children, else they are leaf
+# candidates themselves (a bare <div>text</div> is a paragraph)
+_CONTAINERS = {
+    "div", "section", "article", "main", "body", "html", "nav", "footer",
+    "header", "aside", "form", "figure", "blockquote", "center",
+}
+_BLOCKISH = (
+    _HEADINGS | _LISTS | _CONTAINERS | {"p", "table", "pre", "li", "tr", "td", "th",
+                                        "thead", "tbody", "tfoot", "caption", "dl", "dt", "dd"}
+)
+
+
+@dataclass
+class Node:
+    tag: str  # "" for text nodes
+    text: str = ""
+    attrs: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)
+
+
+def parse_html(html: str) -> Node:
+    """Tolerant tag-soup parser → element tree. Unclosed tags auto-close when
+    an ancestor closes; content of script/style/head is skipped entirely."""
+    root = Node("#root")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TAG_RE.search(html, pos)
+        if m is None:
+            txt = html[pos:]
+            if txt.strip():
+                stack[-1].children.append(Node("", text=txt))
+            break
+        if m.start() > pos:
+            txt = html[pos : m.start()]
+            if txt.strip():
+                stack[-1].children.append(Node("", text=txt))
+        pos = m.end()
+        if m.group(2) is None:  # comment
+            continue
+        closing, tag = m.group(1) == "/", m.group(2).lower()
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        attrs = {
+            k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(m.group(3) or "")
+        }
+        node = Node(tag, attrs=attrs)
+        if tag in _SKIP_CONTENT:
+            close = html.find(f"</{tag}", pos)
+            pos = n if close < 0 else html.find(">", close) + 1
+            continue
+        stack[-1].children.append(node)
+        if tag == "br":
+            stack[-1].children.append(Node("", text="\n"))
+        if tag not in _VOID and not m.group(0).endswith("/>"):
+            stack.append(node)
+    return root
+
+
+def _gather_text(node: Node) -> tuple[str, int, int]:
+    """(raw_text, total_chars, link_chars) for a subtree — link_chars counts
+    text under <a> descendants (the readability link-density numerator)."""
+    parts: list[str] = []
+    total = 0
+    linked = 0
+
+    def rec(nd: Node, in_link: bool) -> None:
+        nonlocal total, linked
+        if nd.tag == "":
+            t = nd.text
+            parts.append(t)
+            stripped = len(normalize_ws(t))
+            total += stripped
+            if in_link:
+                linked += stripped
+            return
+        for c in nd.children:
+            rec(c, in_link or nd.tag == "a")
+        if nd.tag in _BLOCKISH:
+            parts.append(" ")
+
+    rec(node, False)
+    return "".join(parts), total, linked
+
+
+def _has_block_child(node: Node) -> bool:
+    return any(c.tag in _BLOCKISH and c.tag != "" for c in node.children)
+
+
+@dataclass
+class HtmlBlock:
+    category: str  # title | text | list | table
+    text: str
+    cells: list[TableCell] = field(default_factory=list)  # only for table
+
+
+def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlBlock]:
+    """Document-order main-content blocks after boilerplate stripping."""
+    root = parse_html(html)
+    out: list[HtmlBlock] = []
+
+    def emit(node: Node, category: str, text: str, cells: list[TableCell] | None = None) -> None:
+        _, total, linked = _gather_text(node)
+        if total == 0:
+            return
+        if linked / total > link_density_threshold:
+            return  # boilerplate: mostly anchor text
+        if text:
+            out.append(HtmlBlock(category, text, cells or []))
+
+    def walk(node: Node) -> None:
+        for c in node.children:
+            if c.tag == "":
+                continue
+            tag = c.tag
+            if tag in _HEADINGS:
+                emit(c, "title", normalize_ws(_gather_text(c)[0]))
+            elif tag == "p" or tag == "pre":
+                emit(c, "text", normalize_ws(_gather_text(c)[0]))
+            elif tag in _LISTS:
+                items = [
+                    normalize_ws(_gather_text(li)[0])
+                    for li in c.children
+                    if li.tag == "li"
+                ]
+                emit(c, "list", "\n".join(i for i in items if i))
+            elif tag == "table":
+                cells = segment_table_grid(c)
+                rows: dict[int, list[TableCell]] = {}
+                for cell in cells:
+                    rows.setdefault(cell.row_number, []).append(cell)
+                text = "\n".join(
+                    " ".join(cl.text for cl in sorted(rows[r], key=lambda x: x.column_number) if cl.text)
+                    for r in sorted(rows)
+                )
+                emit(c, "table", text, cells)
+            elif tag in _CONTAINERS or tag in _BLOCKISH:
+                if _has_block_child(c):
+                    walk(c)  # container: recurse
+                else:
+                    emit(c, "text", normalize_ws(_gather_text(c)[0]))
+            # pure inline elements at top level are ignored (no anonymous box)
+
+    walk(root)
+    return out
+
+
+def looks_like_html(text: str) -> bool:
+    return "<" in text and _TAG_RE.search(text) is not None

@@ -1,0 +1,103 @@
+"""PDF-like layout parse: positioned lines → columns → reading order.
+
+The transcript analogue of the reference's reading-order engine
+(/root/reference/deepdoctection/pipe/order.py):
+- group positioned text lines into columns by x-coordinate clustering
+  (reference: column building + consolidation, order.py:173-309),
+- order columns left→right, lines within a column top→down
+  (reference: final (column, y, x) sort, order.py:280-290),
+- classify the unique topmost line as the title block (reference: layout
+  category assignment via ImageLayoutService, pipe/layout.py:37-121).
+
+Payload wire format (synthetic "pdf_reader" turns): one line per positioned
+text run, ``@x,y:content``. This stands in for a PDF text-run stream — the
+geometry kernels are the real thing; only the byte decode is synthetic (the
+container has no pdfium/poppler; see sources/multimodal.py for the stub
+boundary).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from deepdoctection_spark.kernels.textnorm import normalize_ws
+
+_LINE_RE = re.compile(r"^@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?):(.*)$")
+
+
+@dataclass
+class PositionedLine:
+    x: float
+    y: float
+    content: str
+
+
+@dataclass
+class LayoutBlock:
+    category: str  # title | text
+    text: str
+    lines: list[PositionedLine] = field(default_factory=list)
+
+
+def parse_positioned_lines(payload: str) -> list[PositionedLine]:
+    out = []
+    for raw in payload.split("\n"):
+        m = _LINE_RE.match(raw)
+        if m:
+            out.append(
+                PositionedLine(float(m.group(1)), float(m.group(2)), m.group(3))
+            )
+    return out
+
+
+def looks_like_layout(payload: str) -> bool:
+    return payload.startswith("@") and _LINE_RE.match(payload.split("\n", 1)[0]) is not None
+
+
+def cluster_columns(lines: list[PositionedLine], column_gap: float) -> list[list[PositionedLine]]:
+    """Bucket lines into columns: sorted distinct x starts a new column when
+    the gap from the previous x exceeds ``column_gap`` (order.py:173-290
+    column-building semantics on 1-D x instead of box intervals)."""
+    if not lines:
+        return []
+    xs = sorted({ln.x for ln in lines})
+    col_of_x: dict[float, int] = {}
+    col = 0
+    prev = xs[0]
+    for x in xs:
+        if x - prev > column_gap:
+            col += 1
+        col_of_x[x] = col
+        prev = x
+    ncols = col + 1
+    buckets: list[list[PositionedLine]] = [[] for _ in range(ncols)]
+    for ln in lines:
+        buckets[col_of_x[ln.x]].append(ln)
+    for b in buckets:
+        b.sort(key=lambda ln: (ln.y, ln.x))
+    return buckets
+
+
+def extract_layout_blocks(payload: str, column_gap: float = 100.0) -> list[LayoutBlock]:
+    """title block (unique topmost line) + one text block per column, in
+    reading order (title, then columns left→right, lines top→down)."""
+    lines = parse_positioned_lines(payload)
+    if not lines:
+        return []
+    blocks: list[LayoutBlock] = []
+    min_y = min(ln.y for ln in lines)
+    top = [ln for ln in lines if ln.y == min_y]
+    rest = lines
+    if len(top) == 1 and normalize_ws(top[0].content):
+        blocks.append(
+            LayoutBlock("title", normalize_ws(top[0].content), lines=top)
+        )
+        rest = [ln for ln in lines if ln is not top[0]]
+    for bucket in cluster_columns(rest, column_gap):
+        text = "\n".join(
+            normalize_ws(ln.content) for ln in bucket if normalize_ws(ln.content)
+        )
+        if text:
+            blocks.append(LayoutBlock("text", text, lines=bucket))
+    return blocks

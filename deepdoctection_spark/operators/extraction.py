@@ -1,0 +1,240 @@
+"""The extraction stage: transcripts → extracted text + typed spans.
+
+Spark-first design notes
+------------------------
+- ONE ``mapInPandas`` stage runs the whole per-turn chain (decode → block
+  segmentation → boilerplate strip → table segmentation → ordering → span
+  finalization). The reference runs the same chain as N sequential per-row
+  components (/root/reference/deepdoctection/pipe/base.py:282-292); fusing
+  them into one Arrow stage means the Python↔JVM boundary is crossed once per
+  batch, not once per row per component — the engine's replacement for
+  pickle-over-ZeroMQ worker transport
+  (/root/reference/deepdoctection/dataflow/parallel_map.py:337-444).
+- The stage is NARROW: no shuffle. Spans never cross a turn, so every turn is
+  independent; Catalyst keeps the parquet scan → mapInPandas pipeline in one
+  stage, and input partitioning is preserved.
+- Row-level error quarantine: a failing turn yields an ``error`` string and
+  empty outputs instead of failing the task — the reference's
+  MappingContextManager contract (log-and-drop, never throw:
+  /root/reference/deepdoctection/mapper/maputils.py:41-110). At 10^12 turns a
+  poison row must not kill the job.
+- Column pruning: pass-through columns are limited to the keys + role/tool;
+  the payload column is dropped after extraction so downstream stages never
+  carry it (the reference does this manually via clear_image /
+  remove_image_from_lower_hierachy,
+  /root/reference/deepdoctection/datapoint/image.py:194-205, 536-545 —
+  Catalyst's ColumnPruning does it for us as long as payload and outputs are
+  separate columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deepdoctection_spark.config import DEFAULT_CONFIG, PipelineConfig
+from deepdoctection_spark.kernels.extract import extract_turn, finalize_turn
+
+_SPAN_STRUCT = T.StructType(
+    [
+        T.StructField("span_id", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("span_begin", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
+        T.StructField("reading_order", T.IntegerType()),
+        T.StructField("parent_id", T.StringType()),
+        T.StructField("score", T.FloatType()),
+    ]
+)
+
+_CELL_STRUCT = T.StructType(
+    [
+        T.StructField("span_id", T.StringType()),
+        T.StructField("span_begin", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
+        T.StructField("row_number", T.IntegerType()),
+        T.StructField("column_number", T.IntegerType()),
+        T.StructField("row_span", T.IntegerType()),
+        T.StructField("column_span", T.IntegerType()),
+        T.StructField("parent_id", T.StringType()),
+        T.StructField("cell_text", T.StringType()),
+    ]
+)
+
+_WORD_STRUCT = T.StructType(
+    [
+        T.StructField("span_id", T.StringType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("span_begin", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
+        T.StructField("word_idx", T.IntegerType()),
+    ]
+)
+
+EXTRACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("extracted_text", T.StringType()),
+        T.StructField("n_blocks", T.IntegerType()),
+        T.StructField("blocks", T.ArrayType(_SPAN_STRUCT)),
+        T.StructField("cells", T.ArrayType(_CELL_STRUCT)),
+        T.StructField("words", T.ArrayType(_WORD_STRUCT)),
+        T.StructField("table_html", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _extract_batches(
+    cfg: PipelineConfig, with_words: bool
+) -> "callable":
+    ld, gap = cfg.link_density_threshold, cfg.column_gap
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            conv = pdf["conv_id"].tolist()
+            tix = pdf["turn_idx"].tolist()
+            texts = pdf["text"].tolist()
+            tools = pdf["tool"].tolist()
+            out_text: list[str] = [""] * n
+            out_nb: list[int] = [0] * n
+            out_blocks: list[list] = [[] for _ in range(n)]
+            out_cells: list[list] = [[] for _ in range(n)]
+            out_words: list[list] = [[] for _ in range(n)]
+            out_html: list = [None] * n
+            out_err: list = [None] * n
+            for i in range(n):
+                try:
+                    blocks = extract_turn(texts[i], tools[i], ld, gap)
+                    fin = finalize_turn(conv[i], int(tix[i]), blocks)
+                    out_text[i] = fin.extracted_text
+                    out_nb[i] = len(fin.blocks)
+                    out_blocks[i] = [
+                        {
+                            "span_id": s.span_id,
+                            "category": s.category,
+                            "span_begin": s.begin,
+                            "span_end": s.end,
+                            "reading_order": s.reading_order,
+                            "parent_id": s.parent_id,
+                            "score": s.score,
+                        }
+                        for s in fin.blocks
+                    ]
+                    out_cells[i] = [
+                        {
+                            "span_id": s.span_id,
+                            "span_begin": s.begin,
+                            "span_end": s.end,
+                            "row_number": int(s.attrs["row_number"]),
+                            "column_number": int(s.attrs["column_number"]),
+                            "row_span": int(s.attrs["row_span"]),
+                            "column_span": int(s.attrs["column_span"]),
+                            "parent_id": s.parent_id,
+                            "cell_text": out_text[i][s.begin : s.end],
+                        }
+                        for s in fin.cells
+                    ]
+                    if with_words:
+                        out_words[i] = [
+                            {
+                                "span_id": s.span_id,
+                                "token": s.attrs["characters"],
+                                "span_begin": s.begin,
+                                "span_end": s.end,
+                                "word_idx": s.reading_order,
+                            }
+                            for s in fin.words
+                        ]
+                    out_html[i] = fin.table_htmls[0] if fin.table_htmls else None
+                except Exception as exc:  # quarantine, never throw
+                    out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv,
+                    "turn_idx": pd.array(tix, dtype="int32"),
+                    "role": pdf["role"].tolist(),
+                    "tool": tools,
+                    "extracted_text": out_text,
+                    "n_blocks": pd.array(out_nb, dtype="int32"),
+                    "blocks": out_blocks,
+                    "cells": out_cells,
+                    "words": out_words,
+                    "table_html": out_html,
+                    "error": out_err,
+                }
+            )
+
+    return fn
+
+
+def extract_transcripts(
+    transcripts: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_words: bool = True,
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction rows.
+
+    Narrow (shuffle-free); schema is the engine's get_meta_annotation analogue
+    (/root/reference/deepdoctection/pipe/base.py:118-128): a declared output
+    contract per operator.
+    """
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    return transcripts.select(*cols).mapInPandas(
+        _extract_batches(cfg, with_words), schema=EXTRACTION_SCHEMA
+    )
+
+
+def block_spans(extracted: DataFrame) -> DataFrame:
+    """Flat per-block span table (the reference's Page.chunks export,
+    /root/reference/deepdoctection/datapoint/view.py:733-764)."""
+    return extracted.select(
+        "conv_id", "turn_idx", F.explode("blocks").alias("b")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("b.span_id").alias("span_id"),
+        F.col("b.category").alias("category"),
+        F.col("b.span_begin").alias("span_begin"),
+        F.col("b.span_end").alias("span_end"),
+        F.col("b.reading_order").alias("reading_order"),
+    )
+
+
+def cell_spans(extracted: DataFrame) -> DataFrame:
+    return extracted.select(
+        "conv_id", "turn_idx", F.explode("cells").alias("c")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("c.span_id").alias("span_id"),
+        F.col("c.span_begin").alias("span_begin"),
+        F.col("c.span_end").alias("span_end"),
+        F.col("c.row_number").alias("row_number"),
+        F.col("c.column_number").alias("column_number"),
+        F.col("c.row_span").alias("row_span"),
+        F.col("c.column_span").alias("column_span"),
+        F.col("c.parent_id").alias("parent_id"),
+        F.col("c.cell_text").alias("cell_text"),
+    )
+
+
+def word_tokens(extracted: DataFrame) -> DataFrame:
+    return extracted.select(
+        "conv_id", "turn_idx", F.explode("words").alias("w")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("w.word_idx").alias("word_idx"),
+        F.col("w.token").alias("token"),
+        F.col("w.span_begin").alias("span_begin"),
+        F.col("w.span_end").alias("span_end"),
+    )

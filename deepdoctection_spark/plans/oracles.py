@@ -1,0 +1,174 @@
+"""DuckDB oracle SQL for the extraction query family.
+
+The oracle never parses payloads: it reconstructs the EXPECTED extraction
+output directly from the template ground truth (sources/transcripts.py piece
+lists) with pure SQL string/length arithmetic. The Spark side must arrive at
+the same result by actually parsing the synthesized payload with the real
+kernels — so agreement is a genuine end-to-end correctness check of the
+parsers, offsets, ids, and ordering (the analogue of the reference's golden
+analyzer tests, /root/reference/tests/analyzer/test_dd.py:95-196).
+"""
+
+from __future__ import annotations
+
+from deepdoctection_spark.sources.transcripts import (
+    EXPECTED_BLOCKS,
+    EXPECTED_CELLS,
+    TRANSCRIPT_BASE_SQL,
+    Lit,
+    sql_concat,
+    sql_len,
+)
+
+_MOD_OF_TOOL = {"": 0, "browser": 1, "pdf_reader": 2}
+
+
+def _extracted_text_sql(tool: str) -> str:
+    """Expected extracted_text for a tool: block strings joined by \n."""
+    pieces: list[Lit] = []
+    for i, (_cat, bp) in enumerate(EXPECTED_BLOCKS[tool]):
+        if i:
+            pieces.append(("lit", "\n"))
+        pieces.extend(bp)
+    return sql_concat(pieces)
+
+
+def _extracted_text_case() -> str:
+    return (
+        "CASE (doc_id % 3) "
+        f"WHEN 0 THEN {_extracted_text_sql('')} "
+        f"WHEN 1 THEN {_extracted_text_sql('browser')} "
+        f"ELSE {_extracted_text_sql('pdf_reader')} END"
+    )
+
+
+def _span_id_sql(cat_sql: str, begin_sql: str, end_sql: str) -> str:
+    return (
+        "md5(conv_id || '|' || turn_idx || '|' || "
+        f"{cat_sql} || '|' || ({begin_sql}) || '|' || ({end_sql}))"
+    )
+
+
+def oracle_extract_text() -> str:
+    n_blocks = {t: len(b) for t, b in EXPECTED_BLOCKS.items()}
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL})
+SELECT conv_id, turn_idx, role, tool,
+       {_extracted_text_case()} AS extracted_text,
+       (CASE (doc_id % 3) WHEN 0 THEN {n_blocks['']} WHEN 1 THEN {n_blocks['browser']}
+        ELSE {n_blocks['pdf_reader']} END)::INT AS n_blocks
+FROM base
+"""
+
+
+def oracle_extract_spans() -> str:
+    selects = []
+    for tool, blocks in EXPECTED_BLOCKS.items():
+        mod = _MOD_OF_TOOL[tool]
+        prefix: list[Lit] = []  # pieces of all preceding blocks + separators
+        for k, (cat, bp) in enumerate(blocks):
+            begin = sql_len(prefix) + (f" + {k}" if k else "")
+            end = f"({begin}) + ({sql_len(bp)})"
+            selects.append(
+                f"SELECT conv_id, turn_idx, "
+                f"{_span_id_sql(repr(cat), begin, end)} AS span_id, "
+                f"'{cat}' AS category, ({begin})::INT AS span_begin, "
+                f"({end})::INT AS span_end, {k}::INT AS reading_order "
+                f"FROM base WHERE (doc_id % 3) = {mod}"
+            )
+            prefix = prefix + bp
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS ({TRANSCRIPT_BASE_SQL})\n{union}"
+
+
+def oracle_table_cells() -> str:
+    """Cells exist only on browser turns; the table is the last block."""
+    blocks = EXPECTED_BLOCKS["browser"]
+    table_k = next(i for i, (c, _) in enumerate(blocks) if c == "table")
+    tprefix: list[Lit] = []
+    for _cat, bp in blocks[:table_k]:
+        tprefix = tprefix + bp
+    tbl_begin = f"({sql_len(tprefix)} + {table_k})"
+    tbl_pieces = blocks[table_k][1]
+    tbl_end = f"({tbl_begin} + ({sql_len(tbl_pieces)}))"
+    parent_id = _span_id_sql("'table'", tbl_begin, tbl_end)
+
+    # within-block cell offsets: rows joined by \n, cells by ' '
+    selects = []
+    rows: dict[int, list[tuple[int, list[Lit]]]] = {}
+    for r, c, pieces in EXPECTED_CELLS:
+        rows.setdefault(r, []).append((c, pieces))
+    inner: list[Lit] = []  # pieces preceding current cell inside the block
+    for r in sorted(rows):
+        for j, (c, pieces) in enumerate(sorted(rows[r], key=lambda x: x[0])):
+            cb = f"({tbl_begin} + {sql_len(inner) if inner else '0'})"
+            ce = f"({cb} + ({sql_len(pieces)}))"
+            cell_sid = _span_id_sql("'cell'", cb, ce)
+            selects.append(
+                f"SELECT conv_id, turn_idx, "
+                f"{cell_sid} AS span_id, "
+                f"({cb})::INT AS span_begin, ({ce})::INT AS span_end, "
+                f"{r}::INT AS row_number, {c}::INT AS column_number, "
+                f"1::INT AS row_span, 1::INT AS column_span, "
+                f"{parent_id} AS parent_id, {sql_concat(pieces)} AS cell_text "
+                f"FROM base WHERE (doc_id % 3) = 1"
+            )
+            inner = inner + pieces + [("lit", " ")]
+        inner = inner[:-1] + [("lit", "\n")]  # row join is \n not space
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS ({TRANSCRIPT_BASE_SQL})\n{union}"
+
+
+def oracle_word_tokens() -> str:
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+et AS (SELECT conv_id, turn_idx, {_extracted_text_case()} AS t FROM base),
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split_regex(t, '[ \n]')) AS token,
+         unnest(range(len(string_split_regex(t, '[ \n]')))) AS i
+  FROM et
+),
+pos AS (
+  SELECT conv_id, turn_idx, token, i,
+         sum(length(token) + 1) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM toks
+)
+SELECT conv_id, turn_idx, i::INT AS word_idx, token,
+       (cum - length(token) - 1)::INT AS span_begin,
+       (cum - 1)::INT AS span_end
+FROM pos WHERE length(token) > 0
+"""
+
+
+def oracle_conversation_text() -> str:
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+et AS (SELECT conv_id, turn_idx, {_extracted_text_case()} AS t FROM base)
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       string_agg(t, chr(10) || chr(10) ORDER BY turn_idx) AS conv_text
+FROM et GROUP BY conv_id
+"""
+
+
+def oracle_table_html() -> str:
+    cells_html: list[Lit] = [("lit", "<table>")]
+    rows: dict[int, list[tuple[int, list[Lit]]]] = {}
+    for r, c, pieces in EXPECTED_CELLS:
+        rows.setdefault(r, []).append((c, pieces))
+    for r in sorted(rows):
+        cells_html.append(("lit", "<tr>"))
+        for c, pieces in sorted(rows[r], key=lambda x: x[0]):
+            cells_html.append(("lit", "<td>"))
+            cells_html.extend(pieces)
+            cells_html.append(("lit", "</td>"))
+        cells_html.append(("lit", "</tr>"))
+    cells_html.append(("lit", "</table>"))
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL})
+SELECT conv_id, turn_idx, {sql_concat(cells_html)} AS table_html
+FROM base WHERE (doc_id % 3) = 1
+"""

@@ -1,0 +1,83 @@
+"""Query registry: every operator exposed as (spark, sf_dir) -> DataFrame,
+with a matching DuckDB oracle where SQL can express the semantics.
+
+The registry is the engine's public query surface — the analogue of the
+reference's analyzer entry points (/root/reference/deepdoctection/analyzer/dd.py:404-465
++ datasets/dataflow_builder.py) re-expressed as named DataFrame builders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.extraction import (
+    block_spans,
+    cell_spans,
+    extract_transcripts,
+    word_tokens,
+)
+from deepdoctection_spark.operators.reassembly import reassemble_conversations
+from deepdoctection_spark.plans import oracles
+from deepdoctection_spark.sources.transcripts import build_transcripts
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _extracted(spark: SparkSession, sf_dir: str, with_words: bool = False) -> DataFrame:
+    return extract_transcripts(build_transcripts(spark, sf_dir), with_words=with_words)
+
+
+# ---------------------------------------------------------------------------
+# Extraction family (north rule): real parsing vs template-ground-truth oracle
+# ---------------------------------------------------------------------------
+
+
+@register("extract_text", oracles.oracle_extract_text())
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _extracted(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "extracted_text", "n_blocks"
+    )
+
+
+@register("extract_spans", oracles.oracle_extract_spans())
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_spans(_extracted(spark, sf_dir))
+
+
+@register("table_cells", oracles.oracle_table_cells())
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cell_spans(_extracted(spark, sf_dir))
+
+
+@register("word_tokens", oracles.oracle_word_tokens())
+def q_word_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return word_tokens(_extracted(spark, sf_dir, with_words=True))
+
+
+@register("conversation_text", oracles.oracle_conversation_text())
+def q_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reassemble_conversations(_extracted(spark, sf_dir))
+
+
+@register("table_html", oracles.oracle_table_html())
+def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _extracted(spark, sf_dir)
+    return ex.filter(F.col("table_html").isNotNull()).select(
+        "conv_id", "turn_idx", "table_html"
+    )

@@ -1,0 +1,177 @@
+"""Deterministic transcript-table construction (the engine's input surface).
+
+BASELINE.json input_hint mandates the input shape
+(conv_id string, turn_idx int, role string, text string, tool string, ts timestamp).
+No transcript data ships with the sandbox, so transcripts are synthesized
+deterministically from the driver's ``documents`` parquet table with pure
+column expressions — no UDF, no RNG — such that a SQL engine (the DuckDB
+correctness oracle) can reconstruct BOTH the payloads and the expected
+extraction outputs from the same ground truth. This makes the correctness gate
+non-tautological: Spark runs the real parsers over the payload strings; the
+oracle never parses — it recomputes the expected result from the template
+pieces directly.
+
+Payload families (FIXTURES.md §1):
+- tool=''            plain text (documents.text verbatim)
+- tool='browser'     templated HTML page: nav boilerplate + h1 + paragraphs +
+                     list + table + footer boilerplate
+- tool='pdf_reader'  positioned layout text (@x,y:content lines, 2 columns)
+
+The template is expressed ONCE below as literal/column piece lists; helpers
+render them as (a) Spark Column expressions, (b) DuckDB SQL fragments, and
+(c) expected extraction outputs for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Template spec: pieces are ('lit', str) or ('col', name) where name ∈
+# {d: doc_id as decimal string, t: text, l: lang, s: source}
+# ---------------------------------------------------------------------------
+
+TURNS_PER_CONV = 8
+EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z
+
+Lit = tuple[str, str]
+
+HTML_PAYLOAD: list[Lit] = [
+    ("lit", '<html><head><title>Doc '), ("col", "d"),
+    ("lit",
+     '</title></head><body><nav><a href="/">Home</a> <a href="/about">About</a> '
+     '<a href="/contact">Contact</a></nav><div id="main"><h1>Document '),
+    ("col", "d"),
+    ("lit", "</h1><p>"), ("col", "t"),
+    ("lit", "</p><p>Source "), ("col", "s"),
+    ("lit", " sharing lang "), ("col", "l"),
+    ("lit", ".</p><ul><li>alpha "), ("col", "d"),
+    ("lit", "</li><li>beta "), ("col", "l"),
+    ("lit", "</li></ul><table><tr><td>r0c0-"), ("col", "d"),
+    ("lit", "</td><td>r0c1-"), ("col", "l"),
+    ("lit", "</td></tr><tr><td>r1c0-"), ("col", "s"),
+    ("lit",
+     '</td><td>r1c1</td></tr></table></div><footer><a href="/p">Privacy</a> '
+     '<a href="/t">Terms</a> <a href="/i">Imprint</a></footer></body></html>'),
+]
+
+PDFISH_PAYLOAD: list[Lit] = [
+    ("lit", "@72,40:Document "), ("col", "d"),
+    ("lit", "\n@72,100:"), ("col", "t"),
+    ("lit", "\n@72,160:left column lang "), ("col", "l"),
+    ("lit", "\n@306,100:right column source "), ("col", "s"),
+    ("lit", "\n@306,160:end "), ("col", "d"),
+]
+
+# Expected main-content blocks per payload family, in reading order.
+# Each block: (category, pieces). These drive ONLY the DuckDB oracle — the
+# Spark side must recover them by actually parsing the payload.
+EXPECTED_BLOCKS: dict[str, list[tuple[str, list[Lit]]]] = {
+    "": [("text", [("col", "t")])],
+    "browser": [
+        ("title", [("lit", "Document "), ("col", "d")]),
+        ("text", [("col", "t")]),
+        ("text", [("lit", "Source "), ("col", "s"), ("lit", " sharing lang "),
+                  ("col", "l"), ("lit", ".")]),
+        ("list", [("lit", "alpha "), ("col", "d"), ("lit", "\nbeta "), ("col", "l")]),
+        ("table", [("lit", "r0c0-"), ("col", "d"), ("lit", " r0c1-"), ("col", "l"),
+                   ("lit", "\nr1c0-"), ("col", "s"), ("lit", " r1c1")]),
+    ],
+    "pdf_reader": [
+        ("title", [("lit", "Document "), ("col", "d")]),
+        ("text", [("col", "t"), ("lit", "\nleft column lang "), ("col", "l")]),
+        ("text", [("lit", "right column source "), ("col", "s"),
+                  ("lit", "\nend "), ("col", "d")]),
+    ],
+}
+
+# Expected table cells for the browser payload: (row, col, pieces)
+EXPECTED_CELLS: list[tuple[int, int, list[Lit]]] = [
+    (1, 1, [("lit", "r0c0-"), ("col", "d")]),
+    (1, 2, [("lit", "r0c1-"), ("col", "l")]),
+    (2, 1, [("lit", "r1c0-"), ("col", "s")]),
+    (2, 2, [("lit", "r1c1")]),
+]
+
+TOOL_OF_MOD = {0: "", 1: "browser", 2: "pdf_reader"}
+ROLE_OF_MOD = {0: "user", 1: "assistant", 2: "tool"}
+
+
+# ---------------------------------------------------------------------------
+# Spark rendering
+# ---------------------------------------------------------------------------
+
+def _spark_concat(pieces: list[Lit], cols: dict[str, Column]) -> Column:
+    parts = [F.lit(v) if kind == "lit" else cols[v] for kind, v in pieces]
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → transcripts(conv_id, turn_idx, role, text, tool, ts).
+
+    Pure column expressions (JVM-side, whole-stage-codegen'd): the payload
+    synthesis itself never leaves the executor JVM, so the scan stage is a
+    single narrow codegen span over the parquet read.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    cols = {"d": d, "t": F.col("text"), "l": F.col("lang"), "s": F.col("source")}
+    mod = (F.col("doc_id") % 3).cast("int")
+    payload = (
+        F.when(mod == 1, _spark_concat(HTML_PAYLOAD, cols))
+        .when(mod == 2, _spark_concat(PDFISH_PAYLOAD, cols))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        F.format_string("conv-%05d", F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("int")).alias("conv_id"),
+        (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
+        F.when(mod == 0, "user").when(mod == 1, "assistant").otherwise("tool").alias("role"),
+        payload.alias("text"),
+        F.when(mod == 1, "browser").when(mod == 2, "pdf_reader").otherwise("").alias("tool"),
+        F.timestamp_seconds(F.lit(EPOCH_2024) + F.col("doc_id") * 30).alias("ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL rendering (for __spark_entry__.oracle_sql)
+# ---------------------------------------------------------------------------
+
+_SQL_COL = {"d": "(doc_id::VARCHAR)", "t": "text", "l": "lang", "s": "source"}
+
+
+def sql_concat(pieces: list[Lit]) -> str:
+    """Render pieces as a DuckDB concatenation expression."""
+    frags = []
+    for kind, v in pieces:
+        if kind == "lit":
+            # escape single quotes and encode newlines via chr(10)
+            segs = v.split("\n")
+            lit = " || chr(10) || ".join("'" + s.replace("'", "''") + "'" for s in segs)
+            frags.append(lit if len(segs) == 1 else "(" + lit + ")")
+        else:
+            frags.append(_SQL_COL[v])
+    return " || ".join(frags)
+
+
+def sql_len(pieces: list[Lit]) -> str:
+    """Length of the rendered pieces, as constant-folded SQL arithmetic."""
+    total_lit = 0
+    cols = []
+    for kind, v in pieces:
+        if kind == "lit":
+            total_lit += len(v)
+        else:
+            cols.append(f"length({_SQL_COL[v]})")
+    terms = ([str(total_lit)] if total_lit or not cols else []) + cols
+    return " + ".join(terms)
+
+
+TRANSCRIPT_BASE_SQL = f"""
+  SELECT doc_id, text, lang, source,
+         printf('conv-%05d', (doc_id // {TURNS_PER_CONV})::INT) AS conv_id,
+         (doc_id % {TURNS_PER_CONV})::INT AS turn_idx,
+         CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE (doc_id % 3) WHEN 0 THEN '' WHEN 1 THEN 'browser' ELSE 'pdf_reader' END AS tool
+  FROM documents
+"""
