@@ -21,8 +21,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from deepdoctection_spark.plans import oracles
-from deepdoctection_spark.plans.pipeline import QUERIES, ORACLES
+import deepdoctection_spark.plans.pipeline  # noqa: F401 — registers extraction queries
+import deepdoctection_spark.plans.relational  # noqa: F401 — registers relational ops
+import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers dedup/similarity/textstats
+from deepdoctection_spark.plans.registry import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -56,9 +56,17 @@ class Node:
     children: list = field(default_factory=list)
 
 
+# Depth cap: browsers flatten pathological nesting too; this bounds every
+# later tree walk (a 10^6-deep <div> chain in crawled HTML must not blow the
+# recursion limit of a 10^12-turn job — row quarantine is the backstop, this
+# avoids even that).
+MAX_DEPTH = 256
+
+
 def parse_html(html: str) -> Node:
     """Tolerant tag-soup parser → element tree. Unclosed tags auto-close when
-    an ancestor closes; content of script/style/head is skipped entirely."""
+    an ancestor closes; content of script/style/head is skipped entirely;
+    nesting beyond MAX_DEPTH flattens into the deepest allowed element."""
     root = Node("#root")
     stack = [root]
     pos = 0
@@ -95,7 +103,7 @@ def parse_html(html: str) -> Node:
         stack[-1].children.append(node)
         if tag == "br":
             stack[-1].children.append(Node("", text="\n"))
-        if tag not in _VOID and not m.group(0).endswith("/>"):
+        if tag not in _VOID and not m.group(0).endswith("/>") and len(stack) < MAX_DEPTH:
             stack.append(node)
     return root
 
@@ -152,9 +160,23 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
             out.append(HtmlBlock(category, text, cells or []))
 
     def walk(node: Node) -> None:
+        # inline runs (text nodes + inline elements) between block children
+        # form anonymous text blocks — CSS anonymous-box semantics; needed so
+        # depth-cap flattening (parse_html MAX_DEPTH) never loses content
+        pending: list[Node] = []
+
+        def flush() -> None:
+            if not pending:
+                return
+            wrapper = Node("#anon", children=list(pending))
+            pending.clear()
+            emit(wrapper, "text", normalize_ws(_gather_text(wrapper)[0]))
+
         for c in node.children:
-            if c.tag == "":
+            if c.tag == "" or c.tag not in _BLOCKISH:
+                pending.append(c)
                 continue
+            flush()
             tag = c.tag
             if tag in _HEADINGS:
                 emit(c, "title", normalize_ws(_gather_text(c)[0]))
@@ -182,7 +204,7 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
                     walk(c)  # container: recurse
                 else:
                     emit(c, "text", normalize_ws(_gather_text(c)[0]))
-            # pure inline elements at top level are ignored (no anonymous box)
+        flush()
 
     walk(root)
     return out

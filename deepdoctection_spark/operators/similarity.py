@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers, as a 100 TB training-data pipeline needs them:
+- brute-force cosine top-k: the exactness baseline. Queries are broadcast
+  (small side), the corpus side streams — one narrow pass + a per-query
+  top-k window. All arithmetic is JVM-side (`zip_with`/`aggregate` over
+  double arrays inside whole-stage codegen) — no Python.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures; candidate
+  pairs share a bucket, verified by exact cosine. The hyperplanes are seeded
+  numpy constants embedded as literals so any SQL engine reproduces the
+  bucketing bit-for-bit.
+
+At 10^9 vectors the brute-force path shards the corpus by partition and the
+broadcast query block stays < a few MB; the ANN path replaces the cross
+product with a bucket equi-join (the same shape as MinHash-LSH in dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ANN_PLANES_SEED = 7
+ANN_NUM_PLANES = 8
+EMBED_DIM = 64
+
+
+def hyperplanes(num_planes: int = ANN_NUM_PLANES, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic hyperplane matrix (num_planes × dim), values in [-1, 1)
+    rounded to 6 decimals so SQL literal embedding is exact."""
+    rng = np.random.RandomState(ANN_PLANES_SEED)
+    return np.round(rng.uniform(-1.0, 1.0, size=(num_planes, dim)), 6)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v))
+
+
+def as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    round_to: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first n_queries vectors.
+
+    Broadcast the (tiny) query block against the full corpus; rank per query
+    with a window. Ties broken by vec_id for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qemb"), F.col("emb")), round_to).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _plane_literal(plane: np.ndarray) -> Column:
+    return F.array(*[F.lit(float(v)).cast("double") for v in plane])
+
+
+def ann_buckets(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, bucket): sign-of-dot-product signature over the deterministic
+    hyperplanes, packed little-endian into an int."""
+    planes = hyperplanes()
+    emb = as_double(F.col("embedding"))
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = F.when(_dot(emb, _plane_literal(plane)) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+def ann_lsh_pairs(embeddings: DataFrame, min_cosine: float = 0.9, round_to: int = 5) -> DataFrame:
+    """Near-neighbor pairs: same LSH bucket, verified cosine ≥ min_cosine."""
+    buckets = ann_buckets(embeddings)
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    withb = base.join(buckets, "vec_id")
+    a = withb.alias("a")
+    b = withb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.emb"), F.col("b.emb")), round_to).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= min_cosine)
+    )

@@ -1,0 +1,99 @@
+"""Text analysis: language-ID, quality scoring, token counting, fingerprints.
+
+The reference's analogues: LanguageDetectionService (fasttext model,
+/root/reference/deepdoctection/pipe/language.py:35-122) and the page summary
+annotations (/root/reference/deepdoctection/datapoint/annotation.py:471-488).
+Here the heuristics are model-free column expressions — fully JVM-side so the
+per-doc cost is whole-stage-codegen arithmetic, no UDF at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.dedup import normalized_text
+
+# Small per-language stopword profiles (public common function words).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(normalized_text(F.col(text_col)), " ")
+
+
+def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:
+    """n-gram/stopword heuristic language ID: argmax stopword-hit ratio across
+    language profiles; 'und' when no profile clears min_ratio. Deterministic
+    tie-break by language code order."""
+    ws = _tokens()
+    ratios = [
+        (
+            lang,
+            F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+            / F.greatest(F.size(ws), F.lit(1)),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    best_ratio = F.greatest(*[r for _, r in ratios])
+    pred = F.lit("und")
+    # reversed so that earlier codes win exact ties (last when() wins in fold)
+    for lang, r in reversed(ratios):
+        pred = F.when((r == best_ratio) & (r >= min_ratio), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        F.round(best_ratio, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Rule-based quality features + composite score ∈ [0,1]:
+    coverage (enough tokens), lexical diversity (type-token ratio), word-shape
+    sanity (mean token length in a human-ish band)."""
+    ws = _tokens()
+    n_tok = F.size(ws)
+    n_chars = F.length(normalized_text(F.col("text")))
+    distinct_ratio = F.size(F.array_distinct(ws)) / F.greatest(n_tok, F.lit(1))
+    avg_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))  # chars minus separators
+    coverage = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    shape = F.when((avg_len >= 3) & (avg_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = F.round(0.4 * coverage + 0.3 * distinct_ratio + 0.3 * shape, 4)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars_norm"),
+        F.round(distinct_ratio, 4).alias("type_token_ratio"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count (letters/digits/other runs)."""
+    ws_count = F.size(_tokens())
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws_count.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 of normalized text plus a 60-bit numeric
+    fingerprint (hex-truncated md5) usable as a join/bucket key."""
+    norm = normalized_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("md5_fp"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp60"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )

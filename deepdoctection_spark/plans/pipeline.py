@@ -8,8 +8,6 @@ reference's analyzer entry points (/root/reference/deepdoctection/analyzer/dd.py
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,20 +21,7 @@ from deepdoctection_spark.operators.reassembly import reassemble_conversations
 from deepdoctection_spark.plans import oracles
 from deepdoctection_spark.sources.transcripts import build_transcripts
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+from deepdoctection_spark.plans.registry import QUERIES, ORACLES, register  # noqa: F401
 
 
 def _extracted(spark: SparkSession, sf_dir: str, with_words: bool = False) -> DataFrame:

@@ -1,0 +1,304 @@
+"""Relational operator coverage: SURVEY.md §2.1/2.2/2.6/2.7 dataflow operators
+expressed Spark-first over the TPC-H-ish tables, each with a DuckDB oracle.
+
+Mapping to the reference's operator inventory:
+- scan + limit       ← SerializerJsonlines.load(max_datapoints)
+                       (/root/reference/deepdoctection/dataflow/custom_serialize.py:56-107)
+- map + fused filter ← MapData None-drop (/root/reference/deepdoctection/dataflow/common.py:85-112)
+- column transform   ← MapDataComponent (common.py:115-151)
+- explode            ← FlattenData (common.py:64-82)
+- union              ← ConcatData (common.py:187-215)
+- keyed equi-join    ← JoinData positional zip generalized to keyed join
+                       (common.py:218-269) + the COCO hash-join
+                       (custom_serialize.py:459-511)
+- mean/std agg       ← MeanFromDataFlow / StdFromDataFlow
+                       (/root/reference/deepdoctection/dataflow/stats.py:31-271)
+- label histogram    ← LabelSummarizer (/root/reference/deepdoctection/mapper/maputils.py:182-239)
+- window + top-k     ← reading-order enumeration semantics
+                       (/root/reference/deepdoctection/pipe/order.py:70-115) on event streams
+- rollup             ← (no reference analogue — free via Catalyst; included
+                       for engine completeness)
+
+Float policy: monetary sums go through DECIMAL(20,4) so Spark's parallel
+aggregation and DuckDB's serial one are bit-identical; unavoidable
+double aggregates (stddev/avg) are rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepdoctection_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- scan + orderBy + limit (top-k) ----------------------------------------
+
+
+@register(
+    "rel_topk_orders",
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+def q_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+# --- map + fused filter + computed projection --------------------------------
+
+
+@register(
+    "rel_filter_project",
+    """
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice::DECIMAL(20,4)) * (1 - l_discount::DECIMAL(20,4)), 2)::DOUBLE AS revenue
+FROM lineitem
+WHERE l_discount > 0.05 AND l_quantity < 25
+""",
+)
+def q_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice").cast("decimal(20,4)")
+            * (1 - F.col("l_discount").cast("decimal(20,4)")),
+            2,
+        ).cast("double").alias("revenue"),
+    )
+
+
+# --- grouped aggregation (pricing summary, TPC-H Q1 shape) -------------------
+
+
+@register(
+    "rel_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(20,4))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(20,4))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(20,4)) * (1 - l_discount::DECIMAL(20,4)))::DOUBLE AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(20,4)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,4)")
+                * (1 - F.col("l_discount").cast("decimal(20,4)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- multi-join + grouped agg (Q3 shape, broadcast-able dims) ----------------
+
+
+@register(
+    "rel_join_revenue",
+    """
+SELECT c_mktsegment,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum((l_extendedprice::DECIMAL(20,4)) * (1 - l_discount::DECIMAL(20,4)))::DOUBLE AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY c_mktsegment
+""",
+)
+def q_join_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    l = _t(spark, sf_dir, "lineitem")
+    # customer is the small dim: broadcast it so the big fact join is
+    # shuffle-free on that side; orders⋈lineitem shuffles on orderkey once.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(20,4)")
+                * (1 - F.col("l_discount").cast("decimal(20,4)"))
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- union + distinct ---------------------------------------------------------
+
+
+@register(
+    "rel_union_distinct",
+    """
+SELECT DISTINCT event_type FROM (
+  SELECT event_type FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT event_type FROM events WHERE value > 100
+)
+""",
+)
+def q_union_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("user_id") % 2 == 0)
+        .select("event_type")
+        .unionByName(e.where(F.col("value") > 100).select("event_type"))
+        .distinct()
+    )
+
+
+# --- explode (FlattenData) ----------------------------------------------------
+
+
+@register(
+    "rel_explode_words",
+    """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE length(word) > 0
+GROUP BY word
+""",
+)
+def q_explode_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- streaming-stats aggregation (MeanFromDataFlow / StdFromDataFlow) ---------
+
+
+@register(
+    "rel_mean_std",
+    """
+SELECT l_returnflag,
+       round(avg(l_quantity), 4) AS mean_qty,
+       round(stddev_samp(l_quantity), 4) AS std_qty,
+       round(avg(l_extendedprice), 4) AS mean_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_mean_std(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --- label histogram -----------------------------------------------------------
+
+
+@register(
+    "rel_label_histogram",
+    """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def q_label_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+# --- window + per-key top-k ------------------------------------------------------
+
+
+@register(
+    "rel_window_topk",
+    """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_window_topk(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# --- rollup (grouping sets) -------------------------------------------------------
+
+
+@register(
+    "rel_rollup",
+    """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       sum(l_quantity::DECIMAL(20,4))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,4)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# --- anti/semi join (resume-manifest shape) ----------------------------------------
+
+
+@register(
+    "rel_anti_join",
+    """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+)
+def q_anti_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )

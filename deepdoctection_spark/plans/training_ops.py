@@ -1,0 +1,330 @@
+"""Training-data pipeline operators registered with DuckDB oracles:
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force cosine top-k / hyperplane-LSH ANN), text analysis (lang-id /
+quality / token counts / fingerprints).
+
+Oracle philosophy: these operators ARE SQL-expressible, so the oracle is an
+independent serial re-implementation of the same algorithm in DuckDB —
+agreement checks the distributed plan (joins, shuffles, window ranks,
+hash-derivations) against a single-node ground truth.
+"""
+
+from __future__ import annotations
+
+from deepdoctection_spark.operators import dedup, similarity, textstats
+from deepdoctection_spark.operators.similarity import ANN_NUM_PLANES, hyperplanes
+from deepdoctection_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
+from deepdoctection_spark.plans.registry import register
+
+_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT md5({_NORM}) AS fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS intersect_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersect_size,
+       round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) >= 0.8
+""",
+)
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, threshold=0.8
+    )
+
+
+def _minhash_oracle(num_perm: int = 8, bands: int = 4) -> str:
+    r = num_perm // bands
+    sig_cols = ", ".join(
+        f"min(('0x' || substr(md5('{j}#' || shingle), 1, 15))::BIGINT) AS sig_{j}"
+        for j in range(num_perm)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ',' || ".join(f"(sig_{b * r + i}::VARCHAR)" for i in range(r))
+        + ") AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT doc_a, doc_b, count(*)::BIGINT AS intersect_size
+  FROM cand JOIN sh a ON a.doc_id = doc_a
+  JOIN sh b ON b.doc_id = doc_b AND a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) >= 0.8
+"""
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        num_perm=8,
+        bands=4,
+        k=3,
+        threshold=0.8,
+    )
+
+
+def _simhash_oracle(k_bits: int = dedup.SIMHASH_BITS) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}"
+        for b in range(k_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(k_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, token, count(*)::BIGINT AS cnt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
+),
+sums AS (SELECT doc_id, {sums} FROM counted GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+counted AS (
+  SELECT doc_id, token, count(*)::BIGINT AS cnt,
+         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+  FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
+),
+sums AS (SELECT doc_id, {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}" for b in range(dedup.SIMHASH_BITS))} FROM counted GROUP BY doc_id),
+fp AS (SELECT doc_id, ({" + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)" for b in range(dedup.SIMHASH_BITS))})::BIGINT AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_EMB_BASE = """
+base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings)
+"""
+
+_COS = (
+    "list_dot_product(qemb, emb) / "
+    "(sqrt(list_dot_product(qemb, qemb)) * sqrt(list_dot_product(emb, emb)))"
+)
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+WITH {_EMB_BASE},
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 5) AS cosine_sim
+  FROM q, base WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_knn(spark, sf_dir):
+    return similarity.knn_bruteforce(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_queries=20, k=5
+    )
+
+
+def _planes_sql() -> list[str]:
+    return [
+        "[" + ", ".join(f"{v}::DOUBLE" for v in plane) + "]"
+        for plane in hyperplanes()
+    ]
+
+
+def _ann_bucket_expr() -> str:
+    planes = _planes_sql()
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {planes[p]}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(ANN_NUM_PLANES)
+    )
+
+
+@register(
+    "ann_buckets",
+    f"""
+WITH {_EMB_BASE}
+SELECT vec_id, ({_ann_bucket_expr()})::INT AS bucket FROM base
+""",
+)
+def q_ann_buckets(spark, sf_dir):
+    return similarity.ann_buckets(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+@register(
+    "ann_lsh_pairs",
+    f"""
+WITH {_EMB_BASE},
+wb AS (SELECT vec_id, emb, ({_ann_bucket_expr()})::INT AS bucket FROM base)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) >= 0.9
+""",
+)
+def q_ann_pairs(spark, sf_dir):
+    return similarity.ann_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_cosine=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _lang_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    ratio_defs = ", ".join(
+        "len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"], w))) / greatest(len(ws), 1) AS r_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN r_{lang} = best AND r_{lang} >= 0.02 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+ratios AS (SELECT doc_id, {ratio_defs} FROM toks),
+scored AS (SELECT *, {best} AS best FROM ratios)
+SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
+       round(best, 4) AS stopword_ratio
+FROM scored
+"""
+
+
+@register("lang_id", _lang_oracle())
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws, length({_NORM}) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(ws) AS n_tok, n_chars,
+         len(list_distinct(ws)) / greatest(len(ws), 1) AS dr,
+         (n_chars - (len(ws) - 1)) / greatest(len(ws), 1) AS avg_len
+  FROM t
+)
+SELECT doc_id, n_tok::INT AS n_tokens, n_chars::INT AS n_chars_norm,
+       round(dr, 4) AS type_token_ratio,
+       round(avg_len, 4) AS avg_token_len,
+       round(0.4 * least(n_tok / 50.0, 1.0) + 0.3 * dr +
+             0.3 * (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1.0 ELSE 0.5 END), 4) AS quality
+FROM feat
+""",
+)
+def q_quality(spark, sf_dir):
+    return textstats.quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       len(string_split({_NORM}, ' '))::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
+FROM documents
+""",
+)
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+SELECT doc_id, md5({_NORM}) AS md5_fp,
+       ('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS fp60,
+       length({_NORM})::INT AS n_chars_norm
+FROM documents
+""",
+)
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))

@@ -28,8 +28,12 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v) -> str:
+    import decimal
+
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))

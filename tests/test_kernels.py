@@ -1,0 +1,257 @@
+"""Kernel unit tests on hand-built micro-fixtures — mirrors the reference's
+fixture-driven component tests (/root/reference/tests/pipe/test_order.py,
+test_common.py, test_segment.py, test_refine.py) re-targeted to char spans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepdoctection_spark.kernels.extract import extract_turn, finalize_turn
+from deepdoctection_spark.kernels.html import extract_blocks, parse_html
+from deepdoctection_spark.kernels.ids import span_id
+from deepdoctection_spark.kernels.layout import extract_layout_blocks
+from deepdoctection_spark.kernels.match import (
+    interval_ioa,
+    match_children,
+    nms_spans,
+)
+from deepdoctection_spark.kernels.table import cells_to_html, segment_table_grid
+from deepdoctection_spark.kernels.textnorm import (
+    bpe_ish_token_count,
+    normalize_ws,
+    whitespace_token_count,
+    word_spans,
+)
+
+# ---------------------------------------------------------------------------
+# text contract
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_ws():
+    assert normalize_ws("  a\t b\n\nc  ") == "a b c"
+    assert normalize_ws("") == ""
+    assert normalize_ws(" \n\t ") == ""
+
+
+def test_word_spans_offsets():
+    text = "ab c\nde"
+    spans = word_spans(text)
+    assert spans == [(0, "ab", 0, 2), (1, "c", 3, 4), (2, "de", 5, 7)]
+    for _, tok, b, e in spans:
+        assert text[b:e] == tok
+
+
+def test_token_counts():
+    assert whitespace_token_count("one two  three") == 3
+    assert bpe_ish_token_count("don't stop2x") == 6  # don ' t stop 2 x
+
+
+def test_span_id_deterministic():
+    a = span_id("c", 1, "text", 0, 5)
+    assert a == span_id("c", 1, "text", 0, 5)
+    assert a != span_id("c", 2, "text", 0, 5)
+    assert len(a) == 32
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip (FIXTURES.md §3 "boilerplate")
+# ---------------------------------------------------------------------------
+
+NAV = '<nav><a href="/">Home</a> <a href="/x">About</a></nav>'
+FOOTER = '<footer><a href="/p">P</a> <a href="/t">T</a></footer>'
+
+
+def test_boilerplate_dropped_content_kept():
+    html = f"<html><body>{NAV}<h1>Head</h1><p>Body text here</p>{FOOTER}</body></html>"
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [
+        ("title", "Head"),
+        ("text", "Body text here"),
+    ]
+
+
+def test_boilerplate_only_page_empty():
+    blocks = extract_blocks(f"<html><body>{NAV}{FOOTER}</body></html>")
+    assert blocks == []
+
+
+def test_link_density_threshold_boundary():
+    # half link text / half plain at exactly 0.5 → kept (strict > drop rule)
+    html = "<body><p><a href='/'>aaaa</a> bbbb</p></body>"
+    blocks = extract_blocks(html, link_density_threshold=0.5)
+    assert len(blocks) == 1
+    blocks = extract_blocks(html, link_density_threshold=0.49)
+    assert blocks == []
+
+
+def test_head_script_style_ignored():
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head>"
+        "<body><script>var x='<p>no</p>';</script><p>yes</p></body></html>"
+    )
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [("text", "yes")]
+
+
+def test_deep_nesting_flattens_not_crashes():
+    html = "<div>" * 5000 + "<p>deep</p>" + "</div>" * 5000
+    blocks = extract_blocks(html)
+    assert any(b.text == "deep" for b in blocks)
+
+
+def test_list_and_bare_div():
+    html = "<body><ul><li>a 1</li><li>b 2</li></ul><div>bare text</div></body>"
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [
+        ("list", "a 1\nb 2"),
+        ("text", "bare text"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# table segmentation (FIXTURES.md §3 "table": 3×2 with a rowspan=2 cell)
+# ---------------------------------------------------------------------------
+
+
+def test_table_rowspan_grid_and_html():
+    html = (
+        "<table>"
+        "<tr><td rowspan=2>span</td><td>b</td></tr>"
+        "<tr><td>d</td></tr>"
+        "<tr><td>e</td><td>f</td></tr>"
+        "</table>"
+    )
+    cells = segment_table_grid(parse_html(html).children[0])
+    grid = {(c.row_number, c.column_number): (c.text, c.row_span, c.column_span) for c in cells}
+    assert grid == {
+        (1, 1): ("span", 2, 1),
+        (1, 2): ("b", 1, 1),
+        (2, 2): ("d", 1, 1),  # col 1 occupied by the rowspan cell
+        (3, 1): ("e", 1, 1),
+        (3, 2): ("f", 1, 1),
+    }
+    assert cells_to_html(cells) == (
+        "<table><tr><td rowspan=2>span</td><td>b</td></tr>"
+        "<tr><td>d</td></tr><tr><td>e</td><td>f</td></tr></table>"
+    )
+
+
+def test_table_colspan():
+    html = "<table><tr><td colspan=2>w</td><td>x</td></tr><tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    cells = segment_table_grid(parse_html(html).children[0])
+    grid = {(c.row_number, c.column_number): c.text for c in cells}
+    assert grid == {(1, 1): "w", (1, 3): "x", (2, 1): "a", (2, 2): "b", (2, 3): "c"}
+
+
+# ---------------------------------------------------------------------------
+# reading order on positioned lines (FIXTURES.md §3 "ordering")
+# ---------------------------------------------------------------------------
+
+
+def test_two_column_reading_order():
+    payload = (
+        "@72,40:The Title\n"
+        "@306,100:right top\n"
+        "@72,100:left top\n"
+        "@72,150:left bottom\n"
+        "@306,150:right bottom"
+    )
+    blocks = extract_layout_blocks(payload)
+    assert [(b.category, b.text) for b in blocks] == [
+        ("title", "The Title"),
+        ("text", "left top\nleft bottom"),
+        ("text", "right top\nright bottom"),
+    ]
+
+
+def test_single_column_no_title_when_tie():
+    # two lines share min y → no unique title
+    payload = "@72,40:a\n@80,40:b\n@72,90:c"
+    blocks = extract_layout_blocks(payload)
+    assert [b.category for b in blocks] == ["text"]
+    assert blocks[0].text == "a\nb\nc"  # same column (gap < 100), (y, x) order
+
+
+def test_column_gap_parameter():
+    payload = "@0,10:l\n@90,10:m\n@250,10:r"
+    one = extract_layout_blocks(payload, column_gap=300)
+    assert len(one) == 1 and one[0].text == "l\nm\nr"
+    two = extract_layout_blocks(payload, column_gap=100)
+    assert [b.text for b in two] == ["l\nm", "r"]
+
+
+# ---------------------------------------------------------------------------
+# matching + NMS (FIXTURES.md §3 "matching", incl. just-below-threshold case
+# mirroring /root/reference/tests/pipe/test_common.py ioa=0.499)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_ioa_and_threshold():
+    parents = np.array([[0, 100], [100, 200]])
+    children = np.array([[10, 20], [95, 105], [98, 102], [150, 160]])
+    m = interval_ioa(parents, children)
+    assert m[0, 0] == 1.0
+    assert m[0, 1] == pytest.approx(0.5)
+    # just-below-threshold: child [95,105] has ioa 0.5 with each parent;
+    # at threshold 0.501 it matches nothing
+    pairs = match_children(parents, children, threshold=0.501)
+    assert (0, 1) not in pairs and (1, 1) not in pairs
+    pairs = match_children(parents, children, threshold=0.5)
+    assert (0, 0) in pairs and (1, 3) in pairs
+
+
+def test_match_max_parent_only_argmax():
+    parents = np.array([[0, 10], [5, 30]])
+    children = np.array([[6, 10]])  # fully inside both? [6,10) in [0,10) and [5,30)
+    pairs = match_children(parents, children, threshold=0.5, max_parent_only=True)
+    assert len(pairs) == 1  # argmax picks exactly one parent
+    pairs_all = match_children(parents, children, threshold=0.5, max_parent_only=False)
+    assert len(pairs_all) == 2
+
+
+def test_nms_keeps_high_score():
+    spans = np.array([[0, 100], [10, 90], [200, 300]])
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms_spans(spans, scores, iou_threshold=0.5)
+    assert keep == [0, 2]
+
+
+def test_nms_deterministic_tiebreak():
+    spans = np.array([[0, 10], [0, 10]])
+    scores = np.array([0.5, 0.5])
+    assert nms_spans(spans, scores) == [0]
+
+
+# ---------------------------------------------------------------------------
+# dispatch + finalize (degenerate cases, FIXTURES.md §3 "degenerate")
+# ---------------------------------------------------------------------------
+
+
+def test_extract_plain_and_empty():
+    assert extract_turn("  hello   world ", "") == extract_turn("hello world", "")
+    assert extract_turn("", "") == []
+    assert extract_turn("   \n ", "") == []
+    assert extract_turn(None, "") == []
+
+
+def test_finalize_offsets_and_ids():
+    blocks = extract_turn("<body><h1>T</h1><p>body</p></body>", "browser")
+    fin = finalize_turn("c", 0, blocks)
+    assert fin.extracted_text == "T\nbody"
+    (b0, b1) = fin.blocks
+    assert (b0.begin, b0.end, b0.reading_order) == (0, 1, 0)
+    assert (b1.begin, b1.end, b1.reading_order) == (2, 6, 1)
+    assert b0.span_id == span_id("c", 0, "title", 0, 1)
+    # word spans over extracted text
+    assert [(w.begin, w.end) for w in fin.words] == [(0, 1), (2, 6)]
+
+
+def test_content_sniff_fallback():
+    # tool='' but payload is html → sniffed
+    blocks = extract_turn("<body><p>sniffed</p></body>", "")
+    assert [(b.category, b.text) for b in blocks] == [("text", "sniffed")]
+    blocks = extract_turn("@72,40:positioned", "")
+    assert blocks[0].text == "positioned"
