@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints:
+
+    {"metric": "headline_total_sec", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "turns": N, "turns_per_sec": R, "cpus": C, "replication": K}
+
+Design notes
+------------
+- Forcing full computation uses the `noop` sink (df.write.format("noop")):
+  every row is produced and serialized by the executors, nothing is collected
+  to the driver — the measured time is the distributed pipeline, not driver
+  ingest.
+- The sandbox parquet inputs are single small files → a 1-split scan that
+  would serialize the Arrow extraction stage onto one core. Real 100 TB
+  inputs arrive in thousands of splits, so the bench reproduces that shape:
+  the transcript build is replicated REPL× (crossJoin with spark.range, new
+  conv_id per replica) and repartitioned to 3×cores before the mapInPandas
+  stage. Replication multiplies distinct payloads, not one cached row.
+- turns/sec (BASELINE.json metric) is reported for the full extraction
+  pipeline (parse → spans → tables → reading order → word tokens).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from deepdoctection_spark.config import get_spark  # noqa: E402
+from deepdoctection_spark.operators.extraction import extract_transcripts  # noqa: E402
+from deepdoctection_spark.operators.reassembly import reassemble_conversations  # noqa: E402
+from deepdoctection_spark.sources.transcripts import build_transcripts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "24"))
+
+
+def replicated_transcripts(spark: SparkSession, sf_dir: str, repl: int) -> DataFrame:
+    """REPL copies of the transcript table with per-replica conv_ids, spread
+    over 3×cores partitions (the multi-split shape of a real large scan)."""
+    t = build_transcripts(spark, sf_dir)
+    if repl > 1:
+        reps = spark.range(repl).withColumnRenamed("id", "rep")
+        t = t.crossJoin(F.broadcast(reps)).withColumn(
+            "conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string"))
+        ).drop("rep")
+    return t.repartition(CPUS * 3)
+
+
+def run(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    # register query families lazily (import cost kept out of timings)
+    import deepdoctection_spark.plans.pipeline  # noqa: F401
+    import deepdoctection_spark.plans.relational  # noqa: F401
+    import deepdoctection_spark.plans.training_ops  # noqa: F401
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM + Arrow path once (tiny), excluded from timings
+    run(extract_transcripts(build_transcripts(spark, SF_DIR).limit(256)))
+
+    t_all = replicated_transcripts(spark, SF_DIR, REPL)
+    n_turns = t_all.count()
+
+    t0 = time.time()
+    run(extract_transcripts(t_all, with_words=True))
+    timings["extract_turns"] = round(time.time() - t0, 3)
+    turns_per_sec = round(n_turns / timings["extract_turns"], 1)
+
+    t0 = time.time()
+    run(reassemble_conversations(extract_transcripts(t_all, with_words=False)))
+    timings["extract_reassemble"] = round(time.time() - t0, 3)
+
+    for name in (
+        "table_cells",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "knn_bruteforce",
+        "lang_id",
+        "quality_scores",
+        "rel_pricing_summary",
+        "rel_join_revenue",
+        "rel_window_topk",
+    ):
+        t0 = time.time()
+        run(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": CPUS,
+                "replication": REPL,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ Output contract (pinned once — SURVEY.md §7 hard-part #1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from deepdoctection_spark.kernels.html import extract_blocks, looks_like_html
 from deepdoctection_spark.kernels.ids import span_id
@@ -53,12 +54,23 @@ class SpanOut:
     attrs: dict[str, str]
 
 
+class WordSpan(NamedTuple):
+    """Word-level span WITHOUT an id: word span_ids are computed JVM-side
+    (md5 column expression over the same key) so the hot per-word path never
+    calls hashlib in Python — see operators/extraction.py."""
+
+    idx: int
+    token: str
+    begin: int
+    end: int
+
+
 @dataclass
 class TurnExtraction:
     extracted_text: str
     blocks: list[SpanOut]
     cells: list[SpanOut]
-    words: list[SpanOut]
+    words: list[WordSpan]
     table_htmls: list[str]
 
 
@@ -130,11 +142,5 @@ def finalize_turn(conv_id: str, turn_idx: int, blocks: list[Block]) -> TurnExtra
                     first_in_row = False
                 cursor += 1  # the joining \n (or trailing — harmless)
         offset = end + 1  # block-joining \n
-    words = [
-        SpanOut(
-            span_id(conv_id, turn_idx, "word", wb, we),
-            "word", wb, we, i, None, 1.0, {"characters": tok},
-        )
-        for i, tok, wb, we in word_spans(extracted)
-    ]
+    words = [WordSpan(i, tok, wb, we) for i, tok, wb, we in word_spans(extracted)]
     return TurnExtraction(extracted, spans, cell_spans, words, table_htmls)

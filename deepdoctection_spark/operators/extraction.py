@@ -2,7 +2,7 @@
 
 Spark-first design notes
 ------------------------
-- ONE ``mapInPandas`` stage runs the whole per-turn chain (decode → block
+- ONE ``mapInArrow`` stage runs the whole per-turn chain (decode → block
   segmentation → boilerplate strip → table segmentation → ordering → span
   finalization). The reference runs the same chain as N sequential per-row
   components (/root/reference/deepdoctection/pipe/base.py:282-292); fusing
@@ -30,8 +30,9 @@ Spark-first design notes
 from __future__ import annotations
 
 from collections.abc import Iterator
+from hashlib import md5
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -92,18 +93,74 @@ EXTRACTION_SCHEMA = T.StructType(
 )
 
 
+# pyarrow mirror of EXTRACTION_SCHEMA. The stage runs as mapInArrow and
+# builds RecordBatches with pyarrow's C conversion path directly: PySpark's
+# generic pandas→Arrow converter walks nested structs element-by-element in
+# Python (≈20× the cost of the extraction kernel itself, measured at sf0.1);
+# pa.array(list-of-dicts, type=...) does the same job in C.
+_PA_SPAN = pa.struct(
+    [
+        ("span_id", pa.string()),
+        ("category", pa.string()),
+        ("span_begin", pa.int32()),
+        ("span_end", pa.int32()),
+        ("reading_order", pa.int32()),
+        ("parent_id", pa.string()),
+        ("score", pa.float32()),
+    ]
+)
+_PA_CELL = pa.struct(
+    [
+        ("span_id", pa.string()),
+        ("span_begin", pa.int32()),
+        ("span_end", pa.int32()),
+        ("row_number", pa.int32()),
+        ("column_number", pa.int32()),
+        ("row_span", pa.int32()),
+        ("column_span", pa.int32()),
+        ("parent_id", pa.string()),
+        ("cell_text", pa.string()),
+    ]
+)
+_PA_WORD = pa.struct(
+    [
+        ("span_id", pa.string()),
+        ("token", pa.string()),
+        ("span_begin", pa.int32()),
+        ("span_end", pa.int32()),
+        ("word_idx", pa.int32()),
+    ]
+)
+_PA_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_blocks", pa.int32()),
+        ("blocks", pa.list_(_PA_SPAN)),
+        ("cells", pa.list_(_PA_CELL)),
+        ("words", pa.list_(_PA_WORD)),
+        ("table_html", pa.string()),
+        ("error", pa.string()),
+    ]
+)
+
+
 def _extract_batches(
     cfg: PipelineConfig, with_words: bool
 ) -> "callable":
     ld, gap = cfg.link_density_threshold, cfg.column_gap
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            conv = pdf["conv_id"].tolist()
-            tix = pdf["turn_idx"].tolist()
-            texts = pdf["text"].tolist()
-            tools = pdf["tool"].tolist()
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            n = rb.num_rows
+            conv = rb.column(rb.schema.get_field_index("conv_id")).to_pylist()
+            tix = rb.column(rb.schema.get_field_index("turn_idx")).to_pylist()
+            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
+            tools = rb.column(rb.schema.get_field_index("tool")).to_pylist()
+            roles = rb.column(rb.schema.get_field_index("role")).to_pylist()
             out_text: list[str] = [""] * n
             out_nb: list[int] = [0] * n
             out_blocks: list[list] = [[] for _ in range(n)]
@@ -144,33 +201,39 @@ def _extract_batches(
                         for s in fin.cells
                     ]
                     if with_words:
+                        # word ids share the row prefix — hash only the
+                        # suffix per word (same contract as kernels/ids.py)
+                        pfx = f"{conv[i]}|{int(tix[i])}|word|"
                         out_words[i] = [
                             {
-                                "span_id": s.span_id,
-                                "token": s.attrs["characters"],
-                                "span_begin": s.begin,
-                                "span_end": s.end,
-                                "word_idx": s.reading_order,
+                                "span_id": md5(
+                                    f"{pfx}{w.begin}|{w.end}".encode()
+                                ).hexdigest(),
+                                "token": w.token,
+                                "span_begin": w.begin,
+                                "span_end": w.end,
+                                "word_idx": w.idx,
                             }
-                            for s in fin.words
+                            for w in fin.words
                         ]
                     out_html[i] = fin.table_htmls[0] if fin.table_htmls else None
                 except Exception as exc:  # quarantine, never throw
                     out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv,
-                    "turn_idx": pd.array(tix, dtype="int32"),
-                    "role": pdf["role"].tolist(),
-                    "tool": tools,
-                    "extracted_text": out_text,
-                    "n_blocks": pd.array(out_nb, dtype="int32"),
-                    "blocks": out_blocks,
-                    "cells": out_cells,
-                    "words": out_words,
-                    "table_html": out_html,
-                    "error": out_err,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(conv, pa.string()),
+                    pa.array(tix, pa.int32()),
+                    pa.array(roles, pa.string()),
+                    pa.array(tools, pa.string()),
+                    pa.array(out_text, pa.string()),
+                    pa.array(out_nb, pa.int32()),
+                    pa.array(out_blocks, pa.list_(_PA_SPAN)),
+                    pa.array(out_cells, pa.list_(_PA_CELL)),
+                    pa.array(out_words, pa.list_(_PA_WORD)),
+                    pa.array(out_html, pa.string()),
+                    pa.array(out_err, pa.string()),
+                ],
+                schema=_PA_SCHEMA,
             )
 
     return fn
@@ -188,7 +251,7 @@ def extract_transcripts(
     contract per operator.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return transcripts.select(*cols).mapInPandas(
+    return transcripts.select(*cols).mapInArrow(
         _extract_batches(cfg, with_words), schema=EXTRACTION_SCHEMA
     )
 
