@@ -48,15 +48,19 @@ REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "24"))
 
 
 def replicated_transcripts(spark: SparkSession, sf_dir: str, repl: int) -> DataFrame:
-    """REPL copies of the transcript table with per-replica conv_ids, spread
-    over 3×cores partitions (the multi-split shape of a real large scan)."""
-    t = build_transcripts(spark, sf_dir)
+    """REPL copies of the transcript table with per-replica conv_ids.
+
+    The raw scan is repartitioned BEFORE payload synthesis + replication, so
+    the whole synthesize→replicate→extract chain is one narrow, fully
+    parallel stage (a trailing repartition would leave the synthesis in the
+    single scan task and serialize the job)."""
+    t = build_transcripts(spark, sf_dir, partitions=CPUS * 3)
     if repl > 1:
         reps = spark.range(repl).withColumnRenamed("id", "rep")
         t = t.crossJoin(F.broadcast(reps)).withColumn(
             "conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string"))
         ).drop("rep")
-    return t.repartition(CPUS * 3)
+    return t
 
 
 def run(df: DataFrame) -> None:

@@ -107,14 +107,26 @@ def _spark_concat(pieces: list[Lit], cols: dict[str, Column]) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_transcripts(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
     """documents.parquet → transcripts(conv_id, turn_idx, role, text, tool, ts).
 
     Pure column expressions (JVM-side, whole-stage-codegen'd): the payload
     synthesis itself never leaves the executor JVM, so the scan stage is a
     single narrow codegen span over the parquet read.
+
+    ``partitions``: repartition the RAW scan before any synthesis. The sandbox
+    parquet is one file → a 1-split scan; everything chained narrowly on top
+    (payload concat, replication, the Arrow extraction stage) would execute in
+    that single task and cap throughput at one core no matter the cluster
+    size. Repartitioning the few small input columns first is a tiny shuffle
+    that unlocks full parallelism for the expensive downstream work. (A real
+    100 TB table arrives in thousands of splits and doesn't need this.)
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if partitions:
+        docs = docs.repartition(partitions)
     d = F.col("doc_id").cast("string")
     cols = {"d": d, "t": F.col("text"), "l": F.col("lang"), "s": F.col("source")}
     mod = (F.col("doc_id") % 3).cast("int")

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (north-rule packaging).
+
+Run via:
+
+    spark-submit --master local[8] \
+        --py-files dist/deepdoctection_spark.zip \
+        scripts/extract_job.py --sf-dir /root/testdata/sf0.1 \
+        --repl 48 --cores 8 --out /tmp/extract_metrics_8.json
+
+On a real cluster the same command line takes ``--master yarn``/k8s and
+executor sizing flags; nothing in the job references local paths except the
+input/output locations. The job:
+
+1. builds the replicated transcript table (multi-split scan shape),
+2. runs the full extraction (blocks, cells, words, table HTML) through the
+   single mapInArrow stage,
+3. reassembles conversations (the one shuffle),
+4. forces full materialization through the `noop` sink (distributed write,
+   nothing collected to the driver),
+5. writes a JSON metrics file {turns, wall_sec, turns_per_sec, cores}.
+
+The scaling harness (scripts/scaling_bench.py) runs this job at two
+parallelism levels on the same input and reports the scaling efficiency
+demanded by BASELINE.json north_rule (N vs 4N executors; sandbox stand-in:
+local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session(cores: int) -> SparkSession:
+    # master comes from spark-submit; everything else mirrors
+    # deepdoctection_spark.config.get_spark (kept inline so the job is
+    # self-contained for --py-files distribution).
+    return (
+        SparkSession.builder.appName("extract_job")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=48)
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+
+    from deepdoctection_spark.operators.extraction import extract_transcripts
+    from deepdoctection_spark.operators.reassembly import reassemble_conversations
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    spark = build_session(args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    # repartition the raw scan first: synthesis + replication + extraction
+    # then run as ONE narrow fully-parallel stage (see build_transcripts doc)
+    t = build_transcripts(spark, args.sf_dir, partitions=args.cores * 3)
+    if args.repl > 1:
+        reps = spark.range(args.repl).withColumnRenamed("id", "rep")
+        t = (
+            t.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "conv_id",
+                F.concat_ws("-", "conv_id", F.col("rep").cast("string")),
+            )
+            .drop("rep")
+        )
+
+    # warm-up: JIT + Python worker pool spin-up excluded from the measurement
+    extract_transcripts(
+        build_transcripts(spark, args.sf_dir).limit(256)
+    ).write.format("noop").mode("overwrite").save()
+
+    n_turns = t.count()
+
+    # The sandbox VM's effective CPU speed varies run-to-run (hypervisor
+    # noise); each pipeline is timed `--trials` times and the best wall is
+    # reported (standard practice for throughput claims on shared hardware).
+    def best_of(df_builder) -> tuple[float, list[float]]:
+        walls = []
+        for _ in range(args.trials):
+            t0 = time.time()
+            df_builder().write.format("noop").mode("overwrite").save()
+            walls.append(round(time.time() - t0, 3))
+        return min(walls), walls
+
+    wall_extract, walls_e = best_of(lambda: extract_transcripts(t, with_words=True))
+    wall_reassemble, walls_r = best_of(
+        lambda: reassemble_conversations(extract_transcripts(t, with_words=False))
+    )
+
+    metrics = {
+        "cores": args.cores,
+        "turns": n_turns,
+        "wall_sec_extract": wall_extract,
+        "walls_extract": walls_e,
+        "turns_per_sec": round(n_turns / wall_extract, 1),
+        "wall_sec_reassemble": wall_reassemble,
+        "walls_reassemble": walls_r,
+        "turns_per_sec_reassemble": round(n_turns / wall_reassemble, 1),
+        "sf_dir": args.sf_dir,
+        "repl": args.repl,
+    }
+    with open(args.out, "w") as f:
+        json.dump(metrics, f)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+The rule demands throughput scaling efficiency >= 0.8 between clusters of N
+and 4N executors. The sandbox has one machine, so the same spark-submit job
+runs at two parallelism levels on the same input.
+
+Pair selection: the sandbox VM does NOT provide 4x hardware from 8->32
+processes — a pure-CPU multiprocessing control (no Spark; hashlib.md5 busy
+loops) measures per-core throughput dropping from 4.7 to 2.9 work-units/s as
+engaged cores rise (frequency scaling / hypervisor steal): hardware ceilings
+are 0.94 (2->8 procs), 0.76 (4->16), 0.69 (8->32). On a real cluster of N vs
+4N separate executors this confound does not exist. The primary evidence pair
+is therefore N=2 -> 4N=8 cores (hardware supports 0.94); the 8->32 pair is
+also reported, normalized against the measured hardware ceiling.
+
+    python scripts/scaling_bench.py [--repl 24] [--sf-dir /root/testdata/sf0.1]
+
+Steps:
+1. zip the package into dist/deepdoctection_spark.zip (--py-files payload),
+2. run the same multiprocessing hardware control on this box,
+3. spark-submit scripts/extract_job.py at local[N] and local[4N] for both
+   pairs (2,8) and (8,32),
+4. efficiency = (rate_4N / rate_N) / 4, raw and hardware-normalized;
+   results -> SCALING.json (summarized in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "deepdoctection_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(REPO, "deepdoctection_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_at(cores: int, zpath: str, sf_dir: str, repl: int) -> dict:
+    out = f"/tmp/extract_metrics_{cores}.json"
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--driver-memory",
+        "8g",
+        "--py-files",
+        zpath,
+        os.path.join(REPO, "scripts", "extract_job.py"),
+        "--sf-dir",
+        sf_dir,
+        "--repl",
+        str(repl),
+        "--cores",
+        str(cores),
+        "--out",
+        out,
+    ]
+    print("+", " ".join(cmd), file=sys.stderr)
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PYSPARK")}
+    subprocess.run(cmd, check=True, env=env, capture_output=True, text=True)
+    with open(out) as f:
+        return json.load(f)
+
+
+def _hw_task(_i: int) -> int:
+    from hashlib import md5
+
+    h = b"x"
+    for _ in range(400000):
+        h = md5(h).digest()
+    return 1
+
+
+def hw_control(procs: int, tasks: int = 96) -> float:
+    """Pure-CPU multiprocessing rate (tasks/s) at `procs` workers — the
+    machine's parallel ceiling independent of Spark."""
+    import time
+    from multiprocessing import Pool
+
+    with Pool(procs) as p:
+        p.map(_hw_task, range(procs))  # warm forks
+        t0 = time.time()
+        p.map(_hw_task, range(tasks))
+        return tasks / (time.time() - t0)
+
+
+def pair_result(n: int, n4: int, zpath: str, sf_dir: str, repl: int) -> dict:
+    hw_n, hw_4n = hw_control(n), hw_control(n4)
+    hw_eff = (hw_4n / hw_n) / (n4 / n)
+    m_n = run_at(n, zpath, sf_dir, repl)
+    m_4n = run_at(n4, zpath, sf_dir, repl)
+    ratio = n4 / n
+    eff = (m_4n["turns_per_sec"] / m_n["turns_per_sec"]) / ratio
+    eff_re = (
+        m_4n["turns_per_sec_reassemble"] / m_n["turns_per_sec_reassemble"]
+    ) / ratio
+    return {
+        "N_cores": n,
+        "4N_cores": n4,
+        "turns": m_n["turns"],
+        "turns_per_sec_N": m_n["turns_per_sec"],
+        "turns_per_sec_4N": m_4n["turns_per_sec"],
+        "efficiency_extract": round(eff, 3),
+        "efficiency_extract_reassemble": round(eff_re, 3),
+        "hw_ceiling_efficiency": round(hw_eff, 3),
+        "efficiency_extract_hw_normalized": round(eff / hw_eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repl", type=int, default=24)
+    ap.add_argument(
+        "--pairs", default="2:8,8:32", help="comma-separated N:4N core pairs"
+    )
+    args = ap.parse_args()
+
+    zpath = make_zip()
+    pairs = [tuple(map(int, p.split(":"))) for p in args.pairs.split(",")]
+    result = {
+        "metric": "scaling_efficiency",
+        "pairs": [
+            pair_result(n, n4, zpath, args.sf_dir, args.repl) for n, n4 in pairs
+        ],
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
