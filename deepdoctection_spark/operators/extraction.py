@@ -149,9 +149,12 @@ _PA_SCHEMA = pa.schema(
 
 
 def _extract_batches(
-    cfg: PipelineConfig, with_words: bool
+    cfg: PipelineConfig, with_words: bool, keep_ts: bool = False
 ) -> "callable":
     ld, gap = cfg.link_density_threshold, cfg.column_gap
+    schema = (
+        _PA_SCHEMA.append(pa.field("ts_us", pa.int64())) if keep_ts else _PA_SCHEMA
+    )
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -219,22 +222,22 @@ def _extract_batches(
                     out_html[i] = fin.table_htmls[0] if fin.table_htmls else None
                 except Exception as exc:  # quarantine, never throw
                     out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(conv, pa.string()),
-                    pa.array(tix, pa.int32()),
-                    pa.array(roles, pa.string()),
-                    pa.array(tools, pa.string()),
-                    pa.array(out_text, pa.string()),
-                    pa.array(out_nb, pa.int32()),
-                    pa.array(out_blocks, pa.list_(_PA_SPAN)),
-                    pa.array(out_cells, pa.list_(_PA_CELL)),
-                    pa.array(out_words, pa.list_(_PA_WORD)),
-                    pa.array(out_html, pa.string()),
-                    pa.array(out_err, pa.string()),
-                ],
-                schema=_PA_SCHEMA,
-            )
+            arrays = [
+                pa.array(conv, pa.string()),
+                pa.array(tix, pa.int32()),
+                pa.array(roles, pa.string()),
+                pa.array(tools, pa.string()),
+                pa.array(out_text, pa.string()),
+                pa.array(out_nb, pa.int32()),
+                pa.array(out_blocks, pa.list_(_PA_SPAN)),
+                pa.array(out_cells, pa.list_(_PA_CELL)),
+                pa.array(out_words, pa.list_(_PA_WORD)),
+                pa.array(out_html, pa.string()),
+                pa.array(out_err, pa.string()),
+            ]
+            if keep_ts:
+                arrays.append(rb.column(rb.schema.get_field_index("ts_us")))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return fn
 
@@ -243,17 +246,33 @@ def extract_transcripts(
     transcripts: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_words: bool = True,
+    keep_ts: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extraction rows.
 
     Narrow (shuffle-free); schema is the engine's get_meta_annotation analogue
     (/root/reference/deepdoctection/pipe/base.py:118-128): a declared output
     contract per operator.
+
+    ``keep_ts`` threads the event-time column through the Arrow stage as
+    int64 micros (restored to timestamp JVM-side) — required by the
+    streaming surface, where the watermark column must survive the stage.
     """
     cols = ["conv_id", "turn_idx", "role", "text", "tool"]
-    return transcripts.select(*cols).mapInArrow(
-        _extract_batches(cfg, with_words), schema=EXTRACTION_SCHEMA
+    sel = transcripts.select(*cols) if not keep_ts else transcripts.select(
+        *cols, F.unix_micros("ts").alias("ts_us")
     )
+    schema = (
+        EXTRACTION_SCHEMA
+        if not keep_ts
+        else T.StructType(
+            EXTRACTION_SCHEMA.fields + [T.StructField("ts_us", T.LongType())]
+        )
+    )
+    out = sel.mapInArrow(_extract_batches(cfg, with_words, keep_ts), schema=schema)
+    if keep_ts:
+        out = out.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+    return out
 
 
 def block_spans(extracted: DataFrame) -> DataFrame:

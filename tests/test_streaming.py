@@ -1,0 +1,104 @@
+"""Streaming surface: the same extraction stage under Structured Streaming
+produces exactly the batch results; windowed reassembly is deterministic
+under multi-file (out-of-order) arrival.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.extraction import extract_transcripts
+from deepdoctection_spark.sources.transcripts import build_transcripts
+from deepdoctection_spark.streaming import (
+    stream_extract,
+    stream_reassemble,
+    stream_transcripts,
+)
+
+
+def _write_stream_input(spark, sf_small, path: str) -> None:
+    # several files so the availableNow run sees multi-file arrival order
+    build_transcripts(spark, sf_small).repartition(4).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def _run_to_memory(stream_df, name: str, complete: bool = False):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if complete else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_extract_equals_batch(spark, sf_small, tmp_path):
+    path = str(tmp_path / "in")
+    _write_stream_input(spark, sf_small, path)
+
+    q = _run_to_memory(
+        stream_extract(stream_transcripts(spark, path)), "ex_stream"
+    )
+    assert q.lastProgress is not None
+    got = spark.table("ex_stream")
+
+    batch = extract_transcripts(
+        spark.read.parquet(path), with_words=True, keep_ts=True
+    )
+    key = ["conv_id", "turn_idx"]
+    fp = lambda df: sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], r["n_blocks"])
+        for r in df.select(*key, "extracted_text", "n_blocks").collect()
+    )
+    assert fp(got) == fp(batch)
+    assert got.count() == batch.count()
+    # event time survived the Arrow stage
+    assert got.where(F.col("ts").isNull()).count() == 0
+
+
+def test_stream_reassemble_windows(spark, sf_small, tmp_path):
+    path = str(tmp_path / "in2")
+    _write_stream_input(spark, sf_small, path)
+
+    # complete mode: append would (correctly) hold back windows the watermark
+    # hasn't closed — for whole-result equality we want every window emitted.
+    q = _run_to_memory(
+        stream_reassemble(stream_transcripts(spark, path), window="1 hour"),
+        "conv_stream",
+        complete=True,
+    )
+    got = spark.table("conv_stream")
+    # every conversation appears, each turn in exactly one window
+    n_convs_in = (
+        spark.read.parquet(path).select("conv_id").distinct().count()
+    )
+    assert got.select("conv_id").distinct().count() == n_convs_in
+    total_turns = got.agg(F.sum("n_turns")).collect()[0][0]
+    assert total_turns == spark.read.parquet(path).count()
+    # inside a window, text is ordered by turn_idx: spot-check one conv
+    row = (
+        got.where(F.col("n_turns") > 2)
+        .orderBy("conv_id", "window_start")
+        .limit(1)
+        .collect()
+    )
+    if row:
+        conv_id, win_start = row[0]["conv_id"], row[0]["window_start"]
+        turns = (
+            extract_transcripts(
+                spark.read.parquet(path).where(F.col("conv_id") == conv_id),
+                with_words=False,
+                keep_ts=True,
+            )
+            .where(
+                (F.col("ts") >= win_start)
+                & (F.col("ts") < F.lit(win_start) + F.expr("INTERVAL 1 HOUR"))
+            )
+            .orderBy("turn_idx")
+            .select("extracted_text")
+            .collect()
+        )
+        assert row[0]["conv_text"] == "\n\n".join(t["extracted_text"] for t in turns)
