@@ -1,0 +1,97 @@
+"""Evaluation-metric queries: the reference's Evaluator + AccuracyMetric /
+ConfusionMetric family (/root/reference/deepdoctection/eval/eval.py:90-218,
+eval/accmetric.py:75-525) as distributed joins with a DuckDB oracle.
+
+gt = the engine's own extracted block spans (golden by the extraction
+oracles); pred = a deterministic arithmetic perturbation of gt (drops +
+category flips — operators/evalmetrics.perturbed_pred) so that both engines
+reconstruct the identical prediction and the metric arithmetic is checked
+end-to-end (tp/fp/fn, precision/recall/F1, confusion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from deepdoctection_spark.operators.evalmetrics import (
+    perturbed_pred,
+    span_confusion,
+    span_prf,
+)
+from deepdoctection_spark.operators.extraction import block_spans, extract_transcripts
+from deepdoctection_spark.plans import oracles
+from deepdoctection_spark.plans.registry import register
+from deepdoctection_spark.sources.transcripts import build_transcripts
+
+
+def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return block_spans(
+        extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
+    )
+
+
+_PRED_SQL = """
+SELECT conv_id, turn_idx,
+       md5(conv_id || '|' || turn_idx || '|' || category || '|' ||
+           span_begin || '|' || span_end) AS span_id,
+       category, span_begin, span_end, reading_order
+FROM (
+  SELECT conv_id, turn_idx, span_begin, span_end, reading_order,
+         CASE WHEN (turn_idx + span_begin) % 7 = 0 THEN 'text'
+              ELSE category END AS category
+  FROM gt
+  WHERE (turn_idx * 31 + span_begin) % 11 != 0
+)
+"""
+
+
+def _with_gt_pred(body: str) -> str:
+    return (
+        f"WITH gt AS ({oracles.oracle_extract_spans()}),\n"
+        f"pred AS ({_PRED_SQL})\n{body}"
+    )
+
+
+@register(
+    "eval_span_prf",
+    _with_gt_pred(
+        """
+SELECT category,
+       tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn,
+       round(tp / greatest(tp + fp, 1), 6) AS precision,
+       round(tp / greatest(tp + fn, 1), 6) AS recall,
+       round(2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1)) /
+             greatest(tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1), 1e-12),
+             6) AS f1
+FROM (
+  SELECT coalesce(g.category, p.category) AS category,
+         sum(CASE WHEN g.span_id IS NOT NULL AND p.span_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN g.span_id IS NULL THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN p.span_id IS NULL THEN 1 ELSE 0 END) AS fn
+  FROM gt g FULL OUTER JOIN pred p ON g.span_id = p.span_id
+  GROUP BY 1
+)
+"""
+    ),
+)
+def q_eval_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = _gt(spark, sf_dir)
+    return span_prf(gt, perturbed_pred(gt))
+
+
+@register(
+    "eval_confusion",
+    _with_gt_pred(
+        """
+SELECT g.category AS gt_category, p.category AS pred_category,
+       count(*)::BIGINT AS n
+FROM gt g JOIN pred p
+  ON g.conv_id = p.conv_id AND g.turn_idx = p.turn_idx
+ AND g.span_begin = p.span_begin AND g.span_end = p.span_end
+GROUP BY 1, 2
+"""
+    ),
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gt = _gt(spark, sf_dir)
+    return span_confusion(gt, perturbed_pred(gt))
