@@ -166,27 +166,24 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification scoped to candidates only — the LSH payoff:
-    # the shingle join fans out per candidate pair, not per corpus pair
-    sh = shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    sha = sh.alias("sha")
-    shb = sh.alias("shb")
-    inter = (
-        cand.join(sha, F.col("doc_a") == F.col("sha.doc_id"))
-        .join(
-            shb,
-            (F.col("doc_b") == F.col("shb.doc_id"))
-            & (F.col("sha.shingle") == F.col("shb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("intersect_size"))
+    # exact-Jaccard verification scoped to candidates only — the LSH payoff.
+    # Verification joins per-doc shingle SETS 1:1 to the candidate pairs and
+    # intersects row-locally (array_intersect): no per-shingle fan-out join
+    # and no regrouping shuffle. A doc's shingle set is bounded by its text
+    # length, so the arrays stay small at any corpus scale.
+    sets = shingles(docs, k).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("sh"),
+        F.count("*").alias("n_shingles"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "intersect_size",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.round(

@@ -16,6 +16,23 @@ from deepdoctection_spark.operators.similarity import ANN_NUM_PLANES, hyperplane
 from deepdoctection_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
 from deepdoctection_spark.plans.registry import register
 
+
+def _docs(spark, sf_dir):
+    """documents scan, spread over the cluster. The sandbox table is a single
+    parquet file → a 1-split scan that would serialize every downstream
+    explode/join onto one core; a real corpus arrives in thousands of splits.
+    The tiny repartition shuffle restores the real shape (same rationale as
+    sources/transcripts.build_transcripts(partitions=...))."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
 _NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 
 _SHINGLES_CTE = f"""
@@ -40,7 +57,7 @@ FROM documents GROUP BY 1
 """,
 )
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
 @register(
@@ -62,7 +79,7 @@ WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4
 )
 def q_dedup_ngram(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, threshold=0.8
+        _docs(spark, sf_dir), k=3, threshold=0.8
     )
 
 
@@ -105,7 +122,7 @@ WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4
 @register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        _docs(spark, sf_dir),
         num_perm=8,
         bands=4,
         k=3,
@@ -138,7 +155,7 @@ SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
 
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
 
 
 @register(
@@ -162,7 +179,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def q_dedup_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3
+        _docs(spark, sf_dir), max_hamming=3
     )
 
 
@@ -197,7 +214,7 @@ SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
 )
 def q_knn(spark, sf_dir):
     return similarity.knn_bruteforce(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_queries=20, k=5
+        _embs(spark, sf_dir), n_queries=20, k=5
     )
 
 
@@ -224,7 +241,7 @@ SELECT vec_id, ({_ann_bucket_expr()})::INT AS bucket FROM base
 """,
 )
 def q_ann_buckets(spark, sf_dir):
-    return similarity.ann_buckets(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return similarity.ann_buckets(_embs(spark, sf_dir))
 
 
 @register(
@@ -242,7 +259,7 @@ WHERE round(list_dot_product(a.emb, b.emb) /
 )
 def q_ann_pairs(spark, sf_dir):
     return similarity.ann_lsh_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_cosine=0.9
+        _embs(spark, sf_dir), min_cosine=0.9
     )
 
 
@@ -275,7 +292,7 @@ FROM scored
 
 @register("lang_id", _lang_oracle())
 def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textstats.lang_id(_docs(spark, sf_dir))
 
 
 @register(
@@ -301,7 +318,7 @@ FROM feat
 """,
 )
 def q_quality(spark, sf_dir):
-    return textstats.quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textstats.quality_scores(_docs(spark, sf_dir))
 
 
 @register(
@@ -314,7 +331,7 @@ FROM documents
 """,
 )
 def q_token_counts(spark, sf_dir):
-    return textstats.token_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textstats.token_counts(_docs(spark, sf_dir))
 
 
 @register(
@@ -327,4 +344,4 @@ FROM documents
 """,
 )
 def q_fingerprints(spark, sf_dir):
-    return textstats.fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return textstats.fingerprints(_docs(spark, sf_dir))
