@@ -1,0 +1,133 @@
+"""Multimodal queries with DuckDB oracles.
+
+Spark genuinely decodes the binary payloads (header parse + numpy over the
+byte stream inside mapInPandas); the oracle never sees a byte — it recomputes
+every statistic from the closed-form pixel/sample definitions
+(operators/multimodal.py fake-codec contract: pixel[i] = (seed + 7i) % 256,
+sample[i] = ((seed*13 + 17i) % 4096) - 2048) by unnesting range(n) per doc.
+Agreement proves the decode path end-to-end, same philosophy as the
+transcript extraction oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators import multimodal as mm
+from deepdoctection_spark.plans.registry import register
+from deepdoctection_spark.plans.training_ops import _docs
+
+_IMG_DIMS = """
+dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (16 + doc_id % 16)::INT AS width, (8 + doc_id % 8)::INT AS height,
+         3::INT AS channels,
+         ((16 + doc_id % 16) * (8 + doc_id % 8) * 3)::INT AS n_pixels
+  FROM documents
+)
+"""
+
+
+@register(
+    "media_image_stats",
+    f"""
+WITH {_IMG_DIMS},
+px AS (
+  SELECT media_id, width, height, channels, n_pixels,
+         ((seed + 7 * i) % 256) AS v, (i % 3) AS ch
+  FROM dims, unnest(range(n_pixels)) AS t(i)
+)
+SELECT media_id, width, height, channels, n_pixels,
+       round(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round(avg(v) FILTER (ch = 0), 4) AS mean_c0
+FROM px GROUP BY media_id, width, height, channels, n_pixels
+""",
+)
+def q_media_image_stats(spark, sf_dir):
+    return mm.image_stats(mm.synth_images(_docs(spark, sf_dir)))
+
+
+@register(
+    "media_audio_rms",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         8000::INT AS sample_rate, (512 + doc_id % 256)::INT AS n_samples
+  FROM documents
+),
+s AS (
+  SELECT media_id, sample_rate, n_samples,
+         (((seed * 13 + 17 * i) % 4096) - 2048) AS x
+  FROM dims, unnest(range(n_samples)) AS t(i)
+)
+SELECT media_id, sample_rate, n_samples,
+       round(n_samples / sample_rate::DOUBLE, 6) AS duration_sec,
+       round(sqrt(avg(x * x::DOUBLE)), 4) AS rms,
+       max(abs(x))::INT AS peak
+FROM s GROUP BY media_id, sample_rate, n_samples
+""",
+)
+def q_media_audio_rms(spark, sf_dir):
+    return mm.audio_features(mm.synth_audio(_docs(spark, sf_dir)))
+
+
+@register(
+    "media_frame_sample",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         8::INT AS width, 6::INT AS height,
+         (4 + doc_id % 4)::INT AS n_frames, 8 * 6 * 3 AS frame_px
+  FROM documents
+),
+frames AS (
+  SELECT media_id, seed, width, height, frame_px, fi::INT AS frame_idx
+  FROM dims, unnest(range(n_frames)) AS t(fi)
+  WHERE fi % 2 = 0
+),
+px AS (
+  SELECT media_id, frame_idx, width, height,
+         ((seed + 7 * (frame_idx * frame_px + i)) % 256) AS v
+  FROM frames, unnest(range(frame_px)) AS t(i)
+)
+SELECT media_id, frame_idx, width, height, sum(v)::BIGINT AS frame_sum
+FROM px GROUP BY media_id, frame_idx, width, height
+""",
+)
+def q_media_frame_sample(spark, sf_dir):
+    return mm.sample_frames(mm.synth_video(_docs(spark, sf_dir)), every=2)
+
+
+@register(
+    "media_catalog",
+    """
+SELECT doc_id AS media_id, 'image/fimg' AS media_type,
+       (16 + doc_id % 16)::INT AS width, (8 + doc_id % 8)::INT AS height,
+       3::INT AS channels, NULL::INT AS sample_rate, NULL::INT AS n_frames,
+       (10 + (16 + doc_id % 16) * (8 + doc_id % 8) * 3)::BIGINT AS n_bytes
+FROM documents
+UNION ALL
+SELECT doc_id, 'audio/fpcm', NULL, NULL, NULL, 8000,
+       NULL, (8 + 2 * (512 + doc_id % 256))::BIGINT
+FROM documents
+UNION ALL
+SELECT doc_id, 'video/fvid', 8, 6, 3, NULL, (4 + doc_id % 4)::INT,
+       (12 + 8 * 6 * 3 * (4 + doc_id % 4))::BIGINT
+FROM documents
+""",
+)
+def q_media_catalog(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cat = mm.media_catalog(
+        mm.synth_images(docs), mm.synth_audio(docs), mm.synth_video(docs)
+    )
+    return cat.select(
+        "media_id",
+        "media_type",
+        F.coalesce("image_meta.width", "video_meta.width").alias("width"),
+        F.coalesce("image_meta.height", "video_meta.height").alias("height"),
+        F.coalesce("image_meta.channels", "video_meta.channels").alias("channels"),
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("video_meta.n_frames").alias("n_frames"),
+        "n_bytes",
+    )

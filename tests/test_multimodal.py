@@ -1,0 +1,69 @@
+"""Multimodal plumbing: fake-codec round-trips, batch UDF shapes, resize,
+frame sampling, and the real-codec stub contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepdoctection_spark.operators import multimodal as mm
+
+
+def test_fimg_roundtrip():
+    raw = mm.fimg_encode(seed=42, w=5, h=4, c=3)
+    a = mm.fimg_decode(raw)
+    assert a.shape == (4, 5, 3)
+    flat = a.reshape(-1)
+    assert flat[0] == 42 and flat[1] == 49
+    assert int(flat[37]) == (42 + 7 * 37) % 256
+
+
+def test_fpcm_roundtrip():
+    raw = mm.fpcm_encode(seed=7, sr=8000, n=100)
+    sr, x = mm.fpcm_decode(raw)
+    assert sr == 8000 and len(x) == 100
+    assert int(x[3]) == ((7 * 13 + 17 * 3) % 4096) - 2048
+    assert x.dtype == np.dtype("<i2")
+
+
+def test_real_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_real_image(b"\x89PNG....")
+
+
+def test_resize_nearest(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(8)
+    imgs = mm.synth_images(docs)
+    small = mm.resize_images(imgs, out_w=4, out_h=4)
+    rows = {r["media_id"]: r for r in small.collect()}
+    orig = {r["media_id"]: r for r in imgs.collect()}
+    assert set(rows) == set(orig)
+    for mid, r in rows.items():
+        a = mm.fimg_decode(bytes(r["content"]))
+        assert a.shape == (4, 4, 3)
+        big = mm.fimg_decode(bytes(orig[mid]["content"]))
+        h, w, _ = big.shape
+        # nearest-neighbor corner: output (0,0) samples input (0,0)
+        assert (a[0, 0] == big[0, 0]).all()
+        assert (a[3, 3] == big[3 * h // 4, 3 * w // 4]).all()
+
+
+def test_sample_frames_every_k(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(16)
+    vids = mm.synth_video(docs)
+    frames = mm.sample_frames(vids, every=2)
+    per = {}
+    for r in frames.collect():
+        per.setdefault(r["media_id"], []).append(r["frame_idx"])
+    meta = {r["media_id"]: r["n_frames"] for r in vids.collect()}
+    for mid, idxs in per.items():
+        assert sorted(idxs) == list(range(0, meta[mid], 2))
+
+
+def test_catalog_prunes_binary(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(8)
+    cat = mm.media_catalog(
+        mm.synth_images(docs), mm.synth_audio(docs), mm.synth_video(docs)
+    )
+    assert cat.count() == 24
+    assert "content" not in cat.columns  # payload never carried past length()
