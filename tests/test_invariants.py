@@ -1,0 +1,101 @@
+"""Engine invariants (SURVEY.md §5): deterministic results under any physical
+parallelism, salted-vs-unsalted equivalence, and plan-shape guarantees
+(pushdown / broadcast / narrow extraction) asserted on the optimized plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.config import PipelineConfig
+from deepdoctection_spark.operators.extraction import extract_transcripts
+from deepdoctection_spark.operators.reassembly import (
+    reassemble_conversations,
+    salted_repartition,
+)
+from deepdoctection_spark.sources.transcripts import build_transcripts
+
+
+def _conv_fp(df):
+    """Deterministic fingerprint of reassembled conversations."""
+    return sorted(
+        (r["conv_id"], r["n_turns"], r["conv_text"])
+        for r in df.collect()
+    )
+
+
+def test_reassembly_stable_under_repartition(spark, sf_small):
+    t = build_transcripts(spark, sf_small)
+    base = _conv_fp(reassemble_conversations(extract_transcripts(t, with_words=False)))
+    for k in (1, 5, 17):
+        shuffled = t.repartition(k)
+        got = _conv_fp(
+            reassemble_conversations(extract_transcripts(shuffled, with_words=False))
+        )
+        assert got == base, f"result changed under repartition({k})"
+
+
+def test_salted_equals_unsalted(spark, sf_small):
+    t = build_transcripts(spark, sf_small)
+    base = _conv_fp(reassemble_conversations(extract_transcripts(t, with_words=False)))
+    salted = salted_repartition(t, 16, PipelineConfig(skew_salt_buckets=4))
+    got = _conv_fp(
+        reassemble_conversations(extract_transcripts(salted, with_words=False))
+    )
+    assert got == base
+
+
+def test_extraction_stage_is_narrow(spark, sf_small):
+    """No shuffle between the scan and the Arrow stage: the physical plan of
+    the extraction must contain no Exchange below the mapInArrow node."""
+    t = build_transcripts(spark, sf_small)  # no repartition requested
+    plan = (
+        extract_transcripts(t, with_words=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_scan_prunes_columns(spark, sf_small):
+    """Selecting only ids from the extraction must not read the payload
+    template columns beyond what synthesis needs, and the documents scan
+    must not read unreferenced columns (Catalyst column pruning reaches the
+    parquet ReadSchema)."""
+    docs_cols_needed = {"doc_id", "text", "lang", "source"}
+    t = build_transcripts(spark, sf_small)
+    plan = (
+        t.select("conv_id", "turn_idx")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # conv_id/turn_idx derive from doc_id only -> ReadSchema must shrink
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+    full_plan = t._jdf.queryExecution().executedPlan().toString()
+    for c in docs_cols_needed:
+        assert c in full_plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_parity):
+    """rel_join_revenue joins lineitem against small dims — the optimized
+    plan must pick BroadcastHashJoin, not sort-merge, for the dim side."""
+    import deepdoctection_spark.plans.relational  # noqa: F401
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    plan = (
+        QUERIES["rel_join_revenue"](spark, sf_parity)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_parity):
+    df = spark.read.parquet(f"{sf_parity}/lineitem.parquet").where(
+        F.col("l_quantity") > 45
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan, plan
