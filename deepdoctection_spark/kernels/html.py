@@ -120,7 +120,10 @@ def _gather_text(node: Node) -> tuple[str, int, int]:
         if nd.tag == "":
             t = nd.text
             parts.append(t)
-            stripped = len(normalize_ws(t))
+            # == len(normalize_ws(t)) without the regex: words joined by
+            # single spaces (C-level split, ~3× faster on small fragments)
+            ws = t.split()
+            stripped = sum(map(len, ws)) + max(0, len(ws) - 1)
             total += stripped
             if in_link:
                 linked += stripped
@@ -150,12 +153,22 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
     root = parse_html(html)
     out: list[HtmlBlock] = []
 
-    def emit(node: Node, category: str, text: str, cells: list[TableCell] | None = None) -> None:
-        _, total, linked = _gather_text(node)
+    def emit(
+        node: Node,
+        category: str,
+        text: str | None = None,
+        cells: list[TableCell] | None = None,
+    ) -> None:
+        """One subtree walk serves both the density filter and (when `text`
+        is None) the block text itself — the subtree is never gathered
+        twice."""
+        raw, total, linked = _gather_text(node)
         if total == 0:
             return
         if linked / total > link_density_threshold:
             return  # boilerplate: mostly anchor text
+        if text is None:
+            text = normalize_ws(raw)
         if text:
             out.append(HtmlBlock(category, text, cells or []))
 
@@ -170,7 +183,7 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
                 return
             wrapper = Node("#anon", children=list(pending))
             pending.clear()
-            emit(wrapper, "text", normalize_ws(_gather_text(wrapper)[0]))
+            emit(wrapper, "text")
 
         for c in node.children:
             if c.tag == "" or c.tag not in _BLOCKISH:
@@ -179,9 +192,9 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
             flush()
             tag = c.tag
             if tag in _HEADINGS:
-                emit(c, "title", normalize_ws(_gather_text(c)[0]))
+                emit(c, "title")
             elif tag == "p" or tag == "pre":
-                emit(c, "text", normalize_ws(_gather_text(c)[0]))
+                emit(c, "text")
             elif tag in _LISTS:
                 items = [
                     normalize_ws(_gather_text(li)[0])
@@ -203,7 +216,7 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
                 if _has_block_child(c):
                     walk(c)  # container: recurse
                 else:
-                    emit(c, "text", normalize_ws(_gather_text(c)[0]))
+                    emit(c, "text")
         flush()
 
     walk(root)
