@@ -20,7 +20,10 @@ from deepdoctection_spark.operators.evalmetrics import (
 from deepdoctection_spark.operators.extraction import block_spans, extract_transcripts
 from deepdoctection_spark.plans import oracles
 from deepdoctection_spark.plans.registry import register
-from deepdoctection_spark.sources.transcripts import build_transcripts
+from deepdoctection_spark.sources.transcripts import (
+    TRANSCRIPT_BASE_SQL,
+    build_transcripts,
+)
 
 
 def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,6 +80,44 @@ FROM (
 def q_eval_span_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = _gt(spark, sf_dir)
     return span_prf(gt, perturbed_pred(gt))
+
+
+@register(
+    "eval_teds",
+    f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL})
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 2 = 0 THEN 0.833333 ELSE 1.0 END AS teds
+FROM base WHERE (doc_id % 3) = 1
+""",
+)
+def q_eval_teds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEDS between each browser turn's real table HTML and a deterministic
+    perturbation (last cell of the last row dropped on even turns). The
+    oracle value is the hand-derived Zhang-Shasha result for these template
+    trees: removing one <td> + its text node from the 12-node table tree is
+    distance 2 → 1 - 2/12 = 0.833333; odd turns are identical → 1.0. The
+    Spark side actually parses both HTML strings and runs the full dynamic
+    program — agreement validates the metric implementation end-to-end."""
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.operators.tedsop import teds_scores
+
+    ex = extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
+    pairs = ex.where(F.col("table_html").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.col("table_html").alias("gt_html"),
+        F.when(
+            F.col("turn_idx") % 2 == 0,
+            F.regexp_replace(
+                "table_html", r"<td>[^<]*</td></tr></table>$", "</tr></table>"
+            ),
+        )
+        .otherwise(F.col("table_html"))
+        .alias("pred_html"),
+    )
+    return teds_scores(pairs)
 
 
 @register(

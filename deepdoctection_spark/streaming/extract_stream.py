@@ -70,6 +70,25 @@ def stream_extract(
     )
 
 
+def stream_dedup_turns(
+    transcripts: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: first occurrence of each (conv_id, turn_idx,
+    payload-fingerprint) wins; re-deliveries inside the watermark are dropped
+    by Spark's stateful dropDuplicatesWithinWatermark-style operator.
+
+    This is the ingest-time guard a replayed 10^12-turn feed needs (at-least-
+    once sources re-deliver); state is bounded by the watermark. The batch
+    engine needs no such operator — deterministic span ids make re-runs
+    idempotent (kernels/ids.py) — but a stream cannot re-run, it must dedup
+    in flight."""
+    keyed = transcripts.withColumn("fp", F.md5(F.concat_ws("\x01", "text", "tool")))
+    return keyed.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx", "fp"]
+    )
+
+
 def stream_reassemble(
     transcripts: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,

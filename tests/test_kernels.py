@@ -255,3 +255,22 @@ def test_content_sniff_fallback():
     assert [(b.category, b.text) for b in blocks] == [("text", "sniffed")]
     blocks = extract_turn("@72,40:positioned", "")
     assert blocks[0].text == "positioned"
+
+
+def test_teds_identity_rename_and_delete():
+    from deepdoctection_spark.kernels.html import parse_html
+    from deepdoctection_spark.kernels.teds import teds, tree_edit_distance
+
+    assert teds("<a><b>x</b></a>", "<a><b>x</b></a>") == 1.0
+    # rename one of 3 nodes (root, a, b)
+    d, m, n = tree_edit_distance(parse_html("<a><b></b></a>"), parse_html("<a><c></c></a>"))
+    assert (d, m, n) == (1, 3, 3)
+    # delete a leaf element + its text
+    gt = "<t><r><c>x</c><c>y</c></r></t>"
+    pred = "<t><r><c>x</c></r></t>"
+    d, m, n = tree_edit_distance(parse_html(gt), parse_html(pred))
+    assert (d, m, n) == (2, 7, 5)
+    assert round(teds(gt, pred), 6) == round(1 - 2 / 7, 6)
+    # text change = one rename
+    d, _, _ = tree_edit_distance(parse_html("<p>hello</p>"), parse_html("<p>world</p>"))
+    assert d == 1

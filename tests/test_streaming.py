@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from deepdoctection_spark.operators.extraction import extract_transcripts
 from deepdoctection_spark.sources.transcripts import build_transcripts
 from deepdoctection_spark.streaming import (
+    stream_dedup_turns,
     stream_extract,
     stream_reassemble,
     stream_transcripts,
@@ -102,3 +103,17 @@ def test_stream_reassemble_windows(spark, sf_small, tmp_path):
             .collect()
         )
         assert row[0]["conv_text"] == "\n\n".join(t["extracted_text"] for t in turns)
+
+
+def test_stream_dedup_drops_redelivery(spark, sf_small, tmp_path):
+    path = str(tmp_path / "in3")
+    t = build_transcripts(spark, sf_small).limit(100)
+    # duplicate the whole feed (an at-least-once source re-delivering)
+    t.unionByName(t).repartition(4).write.mode("overwrite").parquet(path)
+
+    q = _run_to_memory(
+        stream_dedup_turns(stream_transcripts(spark, path)), "dedup_stream"
+    )
+    got = spark.table("dedup_stream")
+    assert got.count() == 100
+    assert got.select("conv_id", "turn_idx").distinct().count() == 100
