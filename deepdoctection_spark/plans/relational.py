@@ -302,3 +302,85 @@ def q_anti_join(spark, sf_dir):
     return o.join(l, o.o_orderkey == l.l_orderkey, "left_anti").select(
         "o_orderkey", "o_custkey"
     )
+
+
+# --- grouping sets / cube (multi-level aggregation in one shuffle) -----------
+
+
+@register(
+    "rel_cube_volume",
+    """
+SELECT coalesce(l_returnflag, '*') AS returnflag,
+       coalesce(l_linestatus, '*') AS linestatus,
+       count(*)::BIGINT AS n,
+       round(sum(l_quantity::DECIMAL(20,4)), 2)::DOUBLE AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube(spark, sf_dir):
+    """CUBE: all 4 grouping levels computed in ONE pass (Catalyst expands to
+    a single Expand + hash agg — the multi-level rollup a 100 TB reporting
+    job wants instead of 4 scans)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("*")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("*")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+# --- set operations: intersect / except --------------------------------------
+
+
+@register(
+    "rel_intersect_except",
+    """
+WITH hi AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45),
+disc AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.08)
+SELECT 'both' AS which, l_orderkey FROM (SELECT l_orderkey FROM hi INTERSECT SELECT l_orderkey FROM disc)
+UNION ALL
+SELECT 'hi_only', l_orderkey FROM (SELECT l_orderkey FROM hi EXCEPT SELECT l_orderkey FROM disc)
+""",
+)
+def q_intersect_except(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    hi = li.where(F.col("l_quantity") >= 45).select("l_orderkey").distinct()
+    disc = li.where(F.col("l_discount") >= 0.08).select("l_orderkey").distinct()
+    return hi.intersect(disc).select(
+        F.lit("both").alias("which"), "l_orderkey"
+    ).unionByName(
+        hi.exceptAll(disc).select(F.lit("hi_only").alias("which"), "l_orderkey")
+    )
+
+
+# --- semi join (EXISTS pushdown; no payload columns move) --------------------
+
+
+@register(
+    "rel_semi_join",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def q_semi_join(spark, sf_dir):
+    """Left-semi join: only the key crosses the shuffle; Spark never
+    materializes the orders payload for matching customers."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust["c_custkey"] == big["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")

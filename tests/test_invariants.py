@@ -99,3 +99,35 @@ def test_filter_pushdown_reaches_scan(spark, sf_parity):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan, plan
+
+
+def test_mega_conversation_skew_path(spark, sf_small):
+    """A single conv holding ~30% of all turns: extraction + reassembly stay
+    correct, salted == unsalted, and the mega conversation's text is ordered
+    by turn_idx."""
+    from deepdoctection_spark.sources.transcripts import build_skewed_transcripts
+
+    t = build_skewed_transcripts(spark, sf_small)
+    n_total = t.count()
+    n_mega = t.where(F.col("conv_id") == "conv-mega").count()
+    assert abs(n_mega / n_total - 0.3) < 0.05
+
+    base = _conv_fp(reassemble_conversations(extract_transcripts(t, with_words=False)))
+    salted = salted_repartition(t, 16, PipelineConfig(skew_salt_buckets=8))
+    got = _conv_fp(
+        reassemble_conversations(extract_transcripts(salted, with_words=False))
+    )
+    assert got == base
+
+    mega = [r for r in base if r[0] == "conv-mega"]
+    assert len(mega) == 1 and mega[0][1] == n_mega
+    # ordered by turn_idx: first chunk of conv_text = extraction of min turn
+    first_turn = (
+        extract_transcripts(
+            t.where(F.col("conv_id") == "conv-mega"), with_words=False
+        )
+        .orderBy("turn_idx")
+        .limit(1)
+        .collect()[0]["extracted_text"]
+    )
+    assert mega[0][2].startswith(first_turn)

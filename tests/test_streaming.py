@@ -117,3 +117,49 @@ def test_stream_dedup_drops_redelivery(spark, sf_small, tmp_path):
     got = spark.table("dedup_stream")
     assert got.count() == 100
     assert got.select("conv_id", "turn_idx").distinct().count() == 100
+
+
+def test_sessionize_gap_splits_and_orders(spark, tmp_path):
+    """Turns 40s apart with a 60s gap stay in one session; a 10-minute hole
+    splits sessions. Arrival order is scrambled; output must order by
+    turn_idx."""
+    import datetime as dt
+
+    from deepdoctection_spark.streaming.sessionize import sessionize_conversations
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    # conv A: turns 0..3 at +0,40,80,120s  (one session)
+    for i, off in enumerate([0, 40, 80, 120]):
+        rows.append(("A", i, "user", f"a{i}", "", base + dt.timedelta(seconds=off)))
+    # conv A: turns 4..5 at +1000,1040s (second session after a >60s hole)
+    for i, off in [(4, 1000), (5, 1040)]:
+        rows.append(("A", i, "user", f"a{i}", "", base + dt.timedelta(seconds=off)))
+    # conv B: single session
+    for i, off in [(0, 10), (1, 30)]:
+        rows.append(("B", i, "user", f"b{i}", "", base + dt.timedelta(seconds=off)))
+    # late "closer" rows push the watermark far past every session above
+    rows.append(("Z", 0, "user", "z", "", base + dt.timedelta(hours=2)))
+
+    path = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(3).write.mode("overwrite").parquet(path)
+
+    stream = stream_extract(stream_transcripts(spark, path), with_words=False)
+    q = (
+        sessionize_conversations(stream, gap_seconds=60, watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["n_turns"]): r["conv_text"]
+        for r in spark.table("sessions").collect()
+    }
+    assert ("A", 4) in got and got[("A", 4)] == "a0\n\na1\n\na2\n\na3"
+    assert ("A", 2) in got and got[("A", 2)] == "a4\n\na5"
+    assert ("B", 2) in got and got[("B", 2)] == "b0\n\nb1"
