@@ -125,3 +125,102 @@ def ann_lsh_pairs(embeddings: DataFrame, min_cosine: float = 0.9, round_to: int 
         )
         .where(F.col("cosine_sim") >= min_cosine)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: inverted-file ANN with a deterministic sampled coarse quantizer
+# ---------------------------------------------------------------------------
+
+IVF_K = 8
+IVF_PROBES = 2
+
+
+def _l2sq(a: Column, b: Column, round_to: int = 6) -> Column:
+    """Squared L2 via dot products (identical evaluation order in the SQL
+    oracle: dot(a,a) - 2*dot(a,b) + dot(b,b)); rounded before ranking so
+    near-ties order identically in both engines."""
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), round_to)
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+    """Coarse quantizer: the first k vectors ARE the centroids (deterministic
+    sampling — standard IVF practice uses a trained or sampled quantizer; a
+    sampled one keeps the structure exactly reproducible in any SQL engine,
+    where iterative k-means would drift on float summation order)."""
+    return embeddings.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"),
+        as_double(F.col("embedding")).alias("cemb"),
+    )
+
+
+def ivf_assign(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+    """(vec_id, cluster, dist2): nearest coarse centroid per vector.
+
+    The centroid table is k rows → broadcast; assignment is one narrow pass
+    over the corpus + a per-vector argmin window (tie-break cluster id)."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    cents = ivf_centroids(embeddings, k)
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cluster", _l2sq(F.col("emb"), F.col("cemb")).alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cluster"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist2")
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    probes: int = IVF_PROBES,
+    n_clusters: int = IVF_K,
+    round_to: int = 5,
+) -> DataFrame:
+    """ANN top-k: probe the `probes` nearest inverted lists per query, exact
+    cosine only within them. At 10^9 vectors this replaces the full cross
+    product with (corpus/n_clusters)·probes candidates per query — the scan
+    prunes to probed clusters (partition the corpus table by `cluster` on
+    write and the pruning is physical)."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+    cents = ivf_centroids(embeddings, n_clusters)
+    assign = ivf_assign(embeddings, n_clusters)
+
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdist2"), F.col("cluster"))
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qemb", "cluster",
+            _l2sq(F.col("qemb"), F.col("cemb")).alias("qdist2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= probes)
+        .select("query_id", "qemb", "cluster")
+    )
+    cand = probed.join(assign, "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.join(base, "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qemb"), F.col("emb")), round_to).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+        )
+    )

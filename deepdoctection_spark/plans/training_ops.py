@@ -345,3 +345,77 @@ FROM documents
 )
 def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file with sampled coarse quantizer)
+# ---------------------------------------------------------------------------
+
+_IVF_DIST = (
+    "round(list_dot_product(emb, emb) - 2 * list_dot_product(emb, cemb)"
+    " + list_dot_product(cemb, cemb), 6)"
+)
+_IVF_QDIST = (
+    "round(list_dot_product(qemb, qemb) - 2 * list_dot_product(qemb, cemb)"
+    " + list_dot_product(cemb, cemb), 6)"
+)
+
+_IVF_ASSIGN_CTE = f"""
+cents AS (SELECT vec_id AS cluster, emb AS cemb FROM base WHERE vec_id < {similarity.IVF_K}),
+scored AS (
+  SELECT b.vec_id, c.cluster, {_IVF_DIST} AS dist2
+  FROM base b, cents c
+),
+assign AS (
+  SELECT vec_id, cluster::INT AS cluster, dist2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ann_ivf_assign",
+    f"""
+WITH {_EMB_BASE},
+{_IVF_ASSIGN_CTE}
+SELECT vec_id, cluster, dist2 FROM assign
+""",
+)
+def q_ann_ivf_assign(spark, sf_dir):
+    return similarity.ivf_assign(_embs(spark, sf_dir))
+
+
+@register(
+    "ann_ivf_search",
+    f"""
+WITH {_EMB_BASE},
+{_IVF_ASSIGN_CTE},
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 10),
+probed AS (
+  SELECT query_id, qemb, cluster FROM (
+    SELECT q.query_id, q.qemb, c.cluster, {_IVF_QDIST} AS qdist2,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {_IVF_QDIST}, c.cluster) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {similarity.IVF_PROBES}
+),
+cand AS (
+  SELECT p.query_id, p.qemb, a.vec_id
+  FROM probed p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+),
+qscored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(c.qemb, b.emb) /
+               (sqrt(list_dot_product(c.qemb, c.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM qscored
+) WHERE rank <= 5
+""",
+)
+def q_ann_ivf_search(spark, sf_dir):
+    return similarity.ivf_search(_embs(spark, sf_dir), n_queries=10, k=5)
