@@ -1,0 +1,87 @@
+"""Analyzer facade: the reference's top-level entry point, Spark-first.
+
+Mirrors `get_dd_analyzer()` / `analyzer.analyze(path=...)`
+(/root/reference/deepdoctection/analyzer/dd.py:404-465,
+pipe/doctectionpipe.py:206-232): config resolution → component selection →
+lazy plan construction. A user of the reference maps 1:1:
+
+    reference                               this engine
+    ---------                               -----------
+    analyzer = get_dd_analyzer(             analyzer = get_analyzer(
+        config_overwrite=[...])                 config_overwrite={...})
+    df = analyzer.analyze(path=p)           df = analyzer.analyze_path(spark, p)
+    df.reset_state(); for page in df: ...   df is a DataFrame — any action runs it
+    page.text / page.chunks                 extracted_text col / analyzer.chunks(df)
+
+`analyze` returns a lazy DataFrame (plan construction only — the analogue of
+the reference's zero-execution _build_pipe chain); execution happens at the
+first action, optimized end-to-end by Catalyst rather than component by
+component.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from deepdoctection_spark.config import DEFAULT_CONFIG, PipelineConfig
+from deepdoctection_spark.operators.extraction import (
+    block_spans,
+    extract_transcripts,
+)
+from deepdoctection_spark.operators.reassembly import reassemble_conversations
+from deepdoctection_spark.sources.transcripts import build_transcripts
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Configured, reusable extraction pipeline (immutable — the reference
+    clones components for thread-safety, pipe/concurrency.py:118-124; an
+    immutable plan builder needs no cloning)."""
+
+    cfg: PipelineConfig
+    with_words: bool = True
+
+    def analyze(self, transcripts: DataFrame) -> DataFrame:
+        """transcripts(conv_id, turn_idx, role, text, tool[, ts]) →
+        per-turn extraction rows (lazy)."""
+        return extract_transcripts(
+            transcripts, cfg=self.cfg, with_words=self.with_words
+        )
+
+    def analyze_path(self, spark: SparkSession, path: str) -> DataFrame:
+        """Parquet directory/file of transcripts → extraction rows — the
+        analogue of analyze(path=...) source selection
+        (doctectionpipe.py:142-163)."""
+        return self.analyze(spark.read.parquet(path))
+
+    def analyze_sf(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Driver-testdata convenience: synthesize transcripts from the
+        documents table and analyze them."""
+        return self.analyze(build_transcripts(spark, sf_dir))
+
+    def chunks(self, extracted: DataFrame) -> DataFrame:
+        """Flat span export — Page.chunks (view.py:733-764)."""
+        return block_spans(extracted)
+
+    def conversations(self, extracted: DataFrame) -> DataFrame:
+        """Stable-order conversation texts — Page.text generalized across
+        turns (view.py:660-678 + the north-rule turn window)."""
+        return reassemble_conversations(extracted)
+
+
+def get_analyzer(
+    config_overwrite: dict | None = None, with_words: bool = True
+) -> Analyzer:
+    """Build an analyzer from the default config + overrides — the
+    get_dd_analyzer contract (dd.py:404-465: copy default YAML, apply
+    `config_overwrite`, sanity-check)."""
+    cfg = DEFAULT_CONFIG
+    if config_overwrite:
+        unknown = set(config_overwrite) - set(cfg.__dataclass_fields__)
+        if unknown:
+            raise ValueError(f"unknown config keys: {sorted(unknown)}")
+        cfg = replace(cfg, **config_overwrite)
+    if not 0.0 <= cfg.link_density_threshold <= 1.0:
+        raise ValueError("link_density_threshold must be in [0, 1]")
+    return Analyzer(cfg=cfg, with_words=with_words)

@@ -97,3 +97,23 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp60"),
         F.length(norm).cast("int").alias("n_chars_norm"),
     )
+
+
+def rolling_hash(docs, base: int = 131, mod: int = 2147483647):
+    """Rabin-Karp polynomial fingerprint of the normalized text, folded
+    JVM-side (aggregate over the char array — sequential, exact bigint
+    arithmetic, reproducible in any SQL engine with a list fold)."""
+    from pyspark.sql import functions as F
+
+    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+    return docs.select(
+        "doc_id",
+        h.alias("rolling_fp"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )

@@ -419,3 +419,20 @@ SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
 )
 def q_ann_ivf_search(spark, sf_dir):
     return similarity.ivf_search(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+@register(
+    "doc_rolling_hash",
+    f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split({_NORM}, ''), c -> ord(c)::BIGINT)),
+         (acc, x) -> (acc * 131 + x) % 2147483647
+       ) AS rolling_fp,
+       length({_NORM})::INT AS n_chars_norm
+FROM documents
+""",
+)
+def q_rolling_hash(spark, sf_dir):
+    return textstats.rolling_hash(_docs(spark, sf_dir))

@@ -1,0 +1,51 @@
+"""Analyzer facade: the reference's get_dd_analyzer -> analyze() surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepdoctection_spark import get_analyzer
+from deepdoctection_spark.sources.transcripts import build_transcripts
+
+
+def test_analyze_matches_direct_pipeline(spark, sf_small):
+    an = get_analyzer()
+    t = build_transcripts(spark, sf_small)
+    out = an.analyze(t)
+    assert out.count() == t.count()
+    assert "extracted_text" in out.columns and "blocks" in out.columns
+    convs = an.conversations(out)
+    assert convs.count() == t.select("conv_id").distinct().count()
+    ch = an.chunks(out)
+    assert {"span_id", "category", "reading_order"} <= set(ch.columns)
+
+
+def test_analyze_path_roundtrip(spark, sf_small, tmp_path):
+    t = build_transcripts(spark, sf_small).limit(64)
+    p = str(tmp_path / "t")
+    t.write.mode("overwrite").parquet(p)
+    out = get_analyzer(with_words=False).analyze_path(spark, p)
+    assert out.count() == 64
+
+
+def test_config_overwrite_validated():
+    an = get_analyzer(config_overwrite={"link_density_threshold": 0.7})
+    assert an.cfg.link_density_threshold == 0.7
+    with pytest.raises(ValueError, match="unknown config keys"):
+        get_analyzer(config_overwrite={"nope": 1})
+    with pytest.raises(ValueError, match="link_density_threshold"):
+        get_analyzer(config_overwrite={"link_density_threshold": 3.0})
+
+
+def test_config_changes_behavior(spark, sf_small):
+    """A permissive link-density threshold keeps nav/footer blocks that the
+    default drops — config actually reaches the kernels."""
+    t = build_transcripts(spark, sf_small).where("tool = 'browser'").limit(16)
+    strict = get_analyzer().analyze(t).agg({"n_blocks": "sum"}).collect()[0][0]
+    loose = (
+        get_analyzer(config_overwrite={"link_density_threshold": 1.0})
+        .analyze(t)
+        .agg({"n_blocks": "sum"})
+        .collect()[0][0]
+    )
+    assert loose > strict
