@@ -436,3 +436,45 @@ FROM documents
 )
 def q_rolling_hash(spark, sf_dir):
     return textstats.rolling_hash(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH {_EMB_BASE},
+wb AS (SELECT vec_id, emb, ({_ann_bucket_expr()})::INT AS bucket FROM base),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.emb, b.emb) /
+               (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.cosine_sim,
+       da.source AS source_a, db.source AS source_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.vec_a
+JOIN documents db ON db.doc_id = p.vec_b
+WHERE p.cosine_sim >= 0.9
+""",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection over the documents table:
+    hyperplane-LSH candidate buckets, exact-cosine verification, joined back
+    to document metadata (vec_id ≡ doc_id in the driver's testdata). The
+    per-document embedding join is the only addition over ann_lsh_pairs —
+    at corpus scale both sides hash-join on the doc key."""
+    from pyspark.sql import functions as F
+
+    pairs = similarity.ann_lsh_pairs(_embs(spark, sf_dir), min_cosine=0.9)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        pairs.join(docs.alias("da"), pairs["vec_a"] == F.col("da.doc_id"))
+        .join(docs.alias("db"), pairs["vec_b"] == F.col("db.doc_id"))
+        .select(
+            pairs["vec_a"].alias("doc_a"),
+            pairs["vec_b"].alias("doc_b"),
+            "cosine_sim",
+            F.col("da.source").alias("source_a"),
+            F.col("db.source").alias("source_b"),
+        )
+    )
