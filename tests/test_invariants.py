@@ -131,3 +131,26 @@ def test_mega_conversation_skew_path(spark, sf_small):
         .collect()[0]["extracted_text"]
     )
     assert mega[0][2].startswith(first_turn)
+
+
+def test_poison_row_quarantined_not_fatal(spark):
+    """Row-level error quarantine (the MappingContextManager contract,
+    SURVEY §2.9): a poison row yields an `error` value and empty outputs;
+    the batch and the job survive."""
+    rows = [
+        ("c1", 0, "user", "good text", "", None),
+        ("c1", None, "user", "poison: null turn_idx", "", None),  # int(None) raises
+        ("c1", 2, "user", "<p>also good</p>", "browser", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = extract_transcripts(df, with_words=True).collect()
+    assert len(out) == 3
+    by_text = {r["text"] if "text" in r else None: r for r in out}
+    errs = [r for r in out if r["error"] is not None]
+    good = [r for r in out if r["error"] is None]
+    assert len(errs) == 1 and len(good) == 2
+    assert errs[0]["extracted_text"] == "" and errs[0]["blocks"] == []
+    assert {g["extracted_text"] for g in good} == {"good text", "also good"}
