@@ -110,14 +110,37 @@ def _md5_hash64(col: Column, salt: str) -> Column:
     return F.conv(F.substring(F.md5(F.concat(F.lit(salt + "#"), col)), 1, 15), 16, 10).cast("long")
 
 
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh: array<string>, n_shingles) — one aggregation of the
+    exploded shingle stream; signatures AND verification both derive from
+    this single pass (arrays are bounded by document length, so they stay
+    small at any corpus scale)."""
+    return shingles(docs, k).groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("sh"),
+        F.count("*").alias("n_shingles"),
+    )
+
+
 def minhash_signatures(docs: DataFrame, num_perm: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): min over shingles of the j-th hash family."""
-    sh = shingles(docs, k)
-    aggs = [
-        F.min(_md5_hash64(F.col("shingle"), str(j))).alias(f"sig_{j}")
-        for j in range(num_perm)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return _signatures_from_sets(shingle_sets(docs, k), num_perm).drop(
+        "sh", "n_shingles"
+    )
+
+
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """Signatures as NARROW array expressions over the per-doc shingle set:
+    sig_j = array_min(transform(sh, s -> hash_j(s))). No second explode, no
+    second shuffle — the shingle stream is aggregated exactly once."""
+    out = sets
+    for j in range(num_perm):
+        out = out.withColumn(
+            f"sig_{j}",
+            F.array_min(
+                F.transform(F.col("sh"), lambda s, j=j: _md5_hash64(s, str(j)))
+            ),
+        )
+    return out
 
 
 def minhash_lsh_pairs(
@@ -133,7 +156,8 @@ def minhash_lsh_pairs(
     shingle — at corpus scale this is the difference between a bounded
     shuffle and a quadratic one."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, k)
+    sets = shingle_sets(docs, k)
+    sigs = _signatures_from_sets(sets, num_perm)
     band_structs = F.array(
         *[
             F.struct(
@@ -167,16 +191,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification scoped to candidates only — the LSH payoff.
-    # Verification joins per-doc shingle SETS 1:1 to the candidate pairs and
-    # intersects row-locally (array_intersect): no per-shingle fan-out join
-    # and no regrouping shuffle. A doc's shingle set is bounded by its text
-    # length, so the arrays stay small at any corpus scale.
-    sets = shingles(docs, k).groupBy("doc_id").agg(
-        F.collect_list("shingle").alias("sh"),
-        F.count("*").alias("n_shingles"),
-    )
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
+    # Verification joins the SAME per-doc shingle-set table 1:1 to candidate
+    # pairs and intersects row-locally (array_intersect): no per-shingle
+    # fan-out join, no regrouping shuffle, and the shingle stream was
+    # aggregated exactly once for signatures + verification together.
+    sa = sets.select("doc_id", "sh", "n_shingles").alias("sa")
+    sb = sets.select("doc_id", "sh", "n_shingles").alias("sb")
     return (
         cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
