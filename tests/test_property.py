@@ -1,0 +1,71 @@
+"""Property-based kernel tests (hypothesis): totality + span invariants.
+
+The reference has no property-based testing (SURVEY §5); at 10^12 turns the
+kernels see adversarial inputs statistically, so totality (never throw) and
+offset validity are load-bearing properties, not nice-to-haves.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deepdoctection_spark.kernels.extract import extract_turn, finalize_turn
+from deepdoctection_spark.kernels.html import extract_blocks, parse_html
+from deepdoctection_spark.kernels.teds import teds
+from deepdoctection_spark.kernels.textnorm import normalize_ws, word_spans
+
+# text with plenty of HTML-ish structure mixed in
+_frag = st.sampled_from(
+    list("abc <>/=\"'&\n\t!-xyzp1")
+    + ["<p>", "</p>", "<a href='x'>", "</a>", "<table>", "<tr>", "<td>",
+       "</td>", "</tr>", "</table>", "<div>", "</div>", "<!--", "-->"]
+)
+_soup = st.lists(_frag, max_size=80).map("".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_soup)
+def test_parser_total_on_tag_soup(s):
+    parse_html(s)  # must not raise on any input
+    extract_blocks(s)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(max_size=300),
+    st.sampled_from(["", "browser", "pdf_reader"]),
+)
+def test_extract_turn_total_and_offsets_valid(text, tool):
+    blocks = extract_turn(text, tool)
+    fin = finalize_turn("conv", 0, blocks)
+    et = fin.extracted_text
+    # every span's offsets slice to a consistent substring
+    for s in fin.blocks:
+        assert 0 <= s.begin <= s.end <= len(et)
+    for w in fin.words:
+        assert et[w.begin : w.end] == w.token
+        assert " " not in w.token and "\n" not in w.token
+    # block texts joined with \n reconstruct extracted_text
+    assert "\n".join(et[s.begin : s.end] for s in fin.blocks) == et
+    # reading order is dense 0..n-1
+    assert [s.reading_order for s in fin.blocks] == list(range(len(fin.blocks)))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(max_size=200))
+def test_normalize_idempotent_and_word_spans_cover(s):
+    n = normalize_ws(s)
+    assert normalize_ws(n) == n
+    ws = word_spans(n)
+    # tokens tile the normalized text with single separators
+    rebuilt_len = sum(e - b for _, _, b, e in ws) + max(0, len(ws) - 1)
+    assert rebuilt_len == len(n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_soup, _soup)
+def test_teds_bounded_and_reflexive(a, b):
+    assert teds(a, a) == 1.0
+    v = teds(a, b)
+    assert 0.0 <= v <= 1.0
