@@ -71,16 +71,17 @@ def parse_html(html: str) -> Node:
     stack = [root]
     pos = 0
     n = len(html)
+    search = _TAG_RE.search  # bind hot lookups once per document
     while pos < n:
-        m = _TAG_RE.search(html, pos)
+        m = search(html, pos)
         if m is None:
             txt = html[pos:]
-            if txt.strip():
+            if txt and not txt.isspace():
                 stack[-1].children.append(Node("", text=txt))
             break
         if m.start() > pos:
             txt = html[pos : m.start()]
-            if txt.strip():
+            if txt and not txt.isspace():
                 stack[-1].children.append(Node("", text=txt))
         pos = m.end()
         if m.group(2) is None:  # comment
@@ -92,9 +93,12 @@ def parse_html(html: str) -> Node:
                     del stack[i:]
                     break
             continue
-        attrs = {
-            k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(m.group(3) or "")
-        }
+        rawattrs = m.group(3)
+        attrs = (
+            {k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(rawattrs)}
+            if rawattrs and "=" in rawattrs
+            else {}
+        )
         node = Node(tag, attrs=attrs)
         if tag in _SKIP_CONTENT:
             close = html.find(f"</{tag}", pos)
