@@ -87,6 +87,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     # register query families lazily (import cost kept out of timings)
     import deepdoctection_spark.plans.evaluation  # noqa: F401
+    import deepdoctection_spark.plans.lm_ops  # noqa: F401
     import deepdoctection_spark.plans.multimodal_ops  # noqa: F401
     import deepdoctection_spark.plans.pipeline  # noqa: F401
     import deepdoctection_spark.plans.relational  # noqa: F401
