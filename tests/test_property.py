@@ -24,14 +24,14 @@ _frag = st.sampled_from(
 _soup = st.lists(_frag, max_size=80).map("".join)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(_soup)
 def test_parser_total_on_tag_soup(s):
     parse_html(s)  # must not raise on any input
     extract_blocks(s)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(
     st.text(max_size=300),
     st.sampled_from(["", "browser", "pdf_reader"]),
@@ -52,7 +52,7 @@ def test_extract_turn_total_and_offsets_valid(text, tool):
     assert [s.reading_order for s in fin.blocks] == list(range(len(fin.blocks)))
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80, deadline=None, derandomize=True)
 @given(st.text(max_size=200))
 def test_normalize_idempotent_and_word_spans_cover(s):
     n = normalize_ws(s)
@@ -63,7 +63,7 @@ def test_normalize_idempotent_and_word_spans_cover(s):
     assert rebuilt_len == len(n)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(_soup, _soup)
 def test_teds_bounded_and_reflexive(a, b):
     assert teds(a, a) == 1.0
