@@ -21,8 +21,12 @@ from dataclasses import dataclass, field
 from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
 from deepdoctection_spark.kernels.textnorm import normalize_ws
 
+# Alternatives: element tag | comment | DOCTYPE-style declaration | processing
+# instruction. The last two would otherwise fall through as text nodes and be
+# emitted as a garbage first content block on every real-world page.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>|<!--.*?-->",
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+    r"|<!--.*?-->|<![a-zA-Z][^>]*>|<\?[^>]*>",
     re.DOTALL,
 )
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
@@ -76,15 +80,15 @@ def parse_html(html: str) -> Node:
         m = search(html, pos)
         if m is None:
             txt = html[pos:]
-            if txt and not txt.isspace():
+            if txt:
                 stack[-1].children.append(Node("", text=txt))
             break
         if m.start() > pos:
-            txt = html[pos : m.start()]
-            if txt and not txt.isspace():
-                stack[-1].children.append(Node("", text=txt))
+            # whitespace-only text nodes are KEPT: '<b>a</b> <i>b</i>' must
+            # not merge to 'ab' — normalization collapses them later
+            stack[-1].children.append(Node("", text=html[pos : m.start()]))
         pos = m.end()
-        if m.group(2) is None:  # comment
+        if m.group(2) is None:  # comment / declaration / processing instr.
             continue
         closing, tag = m.group(1) == "/", m.group(2).lower()
         if closing:
@@ -102,12 +106,21 @@ def parse_html(html: str) -> Node:
         node = Node(tag, attrs=attrs)
         if tag in _SKIP_CONTENT:
             close = html.find(f"</{tag}", pos)
-            pos = n if close < 0 else html.find(">", close) + 1
+            if close < 0:
+                pos = n  # truncated payload: rest of document is dead content
+            else:
+                gt = html.find(">", close)
+                # truncated close tag ('</script' with no '>'): consume to EOF
+                # — gt+1 with gt == -1 would rewind pos to 0 and loop forever
+                pos = n if gt < 0 else gt + 1
             continue
         stack[-1].children.append(node)
         if tag == "br":
             stack[-1].children.append(Node("", text="\n"))
-        if tag not in _VOID and not m.group(0).endswith("/>") and len(stack) < MAX_DEPTH:
+        # Per HTML5, self-closing syntax ("/>") has no effect on non-void
+        # elements — and a trailing "/" may simply belong to an unquoted
+        # attribute value (<a href=http://x.com/>). Only _VOID controls it.
+        if tag not in _VOID and len(stack) < MAX_DEPTH:
             stack.append(node)
     return root
 

@@ -219,7 +219,12 @@ def _extract_batches(
                             }
                             for w in fin.words
                         ]
-                    out_html[i] = fin.table_htmls[0] if fin.table_htmls else None
+                    # every table's HTML, in block order (a turn can carry
+                    # several tables; keeping only the first silently
+                    # contradicts the cells output)
+                    out_html[i] = (
+                        "\n".join(fin.table_htmls) if fin.table_htmls else None
+                    )
                 except Exception as exc:  # quarantine, never throw
                     out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
             arrays = [

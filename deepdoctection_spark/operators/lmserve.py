@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 TOKEN_TAGS = ["O", "B-HEAD", "I-HEAD", "B-CELL", "I-CELL"]
 SEQ_LABELS = ["report", "conversation", "table_doc", "mixed"]
 
-_MODEL = None  # executor-local singleton (lazy init once per Python worker)
+_MODELS: dict[str, "_StubModel"] = {}  # executor-local, one per service kind
 
 
 class _StubModel:
@@ -57,10 +57,12 @@ class _StubModel:
 
 
 def _get_model(kind: str) -> _StubModel:
-    global _MODEL
-    if _MODEL is None or _MODEL.kind != kind:
-        _MODEL = _StubModel(kind)  # real deployment: load weights here, once
-    return _MODEL
+    # keyed by kind: a worker running BOTH services must not reload weights
+    # on every alternating task (a single invalidated slot would)
+    model = _MODELS.get(kind)
+    if model is None:
+        model = _MODELS[kind] = _StubModel(kind)  # real: load weights once
+    return model
 
 
 TOKEN_TAG_SCHEMA = (

@@ -49,7 +49,9 @@ def decode_real_image(raw: bytes) -> "np.ndarray":
             "image codec libraries are not available in this container; "
             "use the FIMG fake codec (synth_images) for plumbing tests"
         )
-    return np.asarray(_PILImage.open(raw))  # pragma: no cover
+    import io  # pragma: no cover
+
+    return np.asarray(_PILImage.open(io.BytesIO(raw)))  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -264,10 +266,12 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
                 sr, x = fpcm_decode(bytes(raw))
                 xf = x.astype(np.float64)
+                # peak on the float copy: np.abs(int16 -32768) overflows to
+                # -32768 in int16 (full-scale negative is common in real PCM)
                 rows.append(
                     (int(mid), sr, len(x), round(len(x) / sr, 6),
                      round(float(np.sqrt((xf * xf).mean())), 4),
-                     int(np.abs(x).max()))
+                     int(np.abs(xf).max()))
                 )
             yield pd.DataFrame(
                 rows,

@@ -26,7 +26,12 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _tokens(text_col: str = "text"):
-    return F.split(normalized_text(F.col(text_col)), " ")
+    # split('', ' ') returns [''] — filter it so an empty/whitespace-only
+    # document counts 0 tokens (matching kernels.textnorm.whitespace_token_count)
+    return F.filter(
+        F.split(normalized_text(F.col(text_col)), " "),
+        lambda w: F.length(w) > 0,
+    )
 
 
 def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:

@@ -281,7 +281,7 @@ def _lang_oracle() -> str:
         f"WHEN r_{lang} = best AND r_{lang} >= 0.02 THEN '{lang}'" for lang in langs
     )
     return f"""
-WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length(w) > 0) AS ws FROM documents),
 ratios AS (SELECT doc_id, {ratio_defs} FROM toks),
 scored AS (SELECT *, {best} AS best FROM ratios)
 SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
@@ -299,7 +299,7 @@ def q_lang_id(spark, sf_dir):
     "quality_scores",
     f"""
 WITH t AS (
-  SELECT doc_id, string_split({_NORM}, ' ') AS ws, length({_NORM}) AS n_chars
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length(w) > 0) AS ws, length({_NORM}) AS n_chars
   FROM documents
 ),
 feat AS (
@@ -325,7 +325,7 @@ def q_quality(spark, sf_dir):
     "token_counts",
     f"""
 SELECT doc_id,
-       len(string_split({_NORM}, ' '))::INT AS ws_tokens,
+       len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0))::INT AS ws_tokens,
        len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))::INT AS bpe_ish_tokens
 FROM documents
 """,

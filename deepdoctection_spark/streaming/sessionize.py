@@ -89,18 +89,25 @@ def _sessionizer(gap_us: int):
                 rows.append((int(ti), tx, int(tus)))
         rows.sort(key=lambda r: r[2])  # event-time order for gap detection
 
+        # track the open session's latest event time incrementally: state
+        # rows were appended in ascending order and this batch is sorted, so
+        # max == last seen; recomputing max() per row would be O(n²) for a
+        # hot conversation with a long-lived session
+        last_ts = max(ts_us) if ts_us else None
         for ti, tx, tus in rows:
-            if ts_us and tus > max(ts_us) + gap_us:
+            if last_ts is not None and tus > last_ts + gap_us:
                 yield _emit(conv_id, idxs, texts, ts_us)
                 idxs, texts, ts_us = [], [], []
             idxs.append(ti)
             texts.append(tx)
             ts_us.append(tus)
+            if last_ts is None or tus > last_ts:
+                last_ts = tus
 
         if idxs:
             state.update((idxs, texts, ts_us))
             # flush when the watermark passes the session's gap horizon
-            state.setTimeoutTimestamp(max(ts_us) // 1000 + gap_us // 1000)
+            state.setTimeoutTimestamp(last_ts // 1000 + gap_us // 1000)
         else:
             state.remove()
 

@@ -154,3 +154,15 @@ def test_poison_row_quarantined_not_fatal(spark):
     assert len(errs) == 1 and len(good) == 2
     assert errs[0]["extracted_text"] == "" and errs[0]["blocks"] == []
     assert {g["extracted_text"] for g in good} == {"good text", "also good"}
+
+
+def test_empty_doc_counts_zero_tokens(spark):
+    """split('', ' ') returns [''] — the operators must filter it so empty
+    docs count 0 tokens, matching kernels.textnorm.whitespace_token_count."""
+    from deepdoctection_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ws_tokens"] for r in textstats.token_counts(docs).collect()}
+    assert got == {1: 2, 2: 0, 3: 0}

@@ -274,3 +274,45 @@ def test_teds_identity_rename_and_delete():
     # text change = one rename
     d, _, _ = tree_edit_distance(parse_html("<p>hello</p>"), parse_html("<p>world</p>"))
     assert d == 1
+
+
+# ---------------------------------------------------------------------------
+# regressions from the round-1 code review
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_skip_content_terminates():
+    # '</script' with no closing '>' must not loop forever
+    blocks = extract_blocks("<p>ok</p><script>x</script")
+    assert [(b.category, b.text) for b in blocks] == [("text", "ok")]
+    extract_blocks("<style>p{}</style")  # terminates, nothing to assert
+
+
+def test_inline_whitespace_preserved():
+    blocks = extract_blocks("<p><b>bold</b> <i>italic</i> words</p>")
+    assert blocks[0].text == "bold italic words"
+
+
+def test_doctype_and_pi_not_content():
+    blocks = extract_blocks(
+        "<?xml version='1.0'?><!DOCTYPE html><html><body><p>hello world</p></body></html>"
+    )
+    assert [(b.category, b.text) for b in blocks] == [("text", "hello world")]
+
+
+def test_unquoted_href_trailing_slash_is_link_text():
+    blocks = extract_blocks(
+        "<div><a href=http://x.com/>Home</a> <a href=http://y.com/>About</a></div>"
+    )
+    assert blocks == []  # pure nav boilerplate must be dropped
+
+
+def test_multiple_tables_all_in_html():
+    html = (
+        "<body><table><tr><td>a</td></tr></table>"
+        "<p>mid</p>"
+        "<table><tr><td>b</td></tr></table></body>"
+    )
+    fin = finalize_turn("c", 0, extract_turn(html, "browser"))
+    assert len(fin.table_htmls) == 2
+    assert "a" in fin.table_htmls[0] and "b" in fin.table_htmls[1]
