@@ -32,7 +32,6 @@ import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -40,7 +39,10 @@ sys.path.insert(0, REPO)
 from deepdoctection_spark.config import get_spark  # noqa: E402
 from deepdoctection_spark.operators.extraction import extract_transcripts  # noqa: E402
 from deepdoctection_spark.operators.reassembly import reassemble_conversations  # noqa: E402
-from deepdoctection_spark.sources.transcripts import build_transcripts  # noqa: E402
+from deepdoctection_spark.sources.transcripts import (  # noqa: E402
+    build_transcripts,
+    replicated_transcripts as _replicated,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -48,19 +50,9 @@ REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "24"))
 
 
 def replicated_transcripts(spark: SparkSession, sf_dir: str, repl: int) -> DataFrame:
-    """REPL copies of the transcript table with per-replica conv_ids.
-
-    The raw scan is repartitioned BEFORE payload synthesis + replication, so
-    the whole synthesize→replicate→extract chain is one narrow, fully
-    parallel stage (a trailing repartition would leave the synthesis in the
-    single scan task and serialize the job)."""
-    t = build_transcripts(spark, sf_dir, partitions=CPUS * 3)
-    if repl > 1:
-        reps = spark.range(repl).withColumnRenamed("id", "rep")
-        t = t.crossJoin(F.broadcast(reps)).withColumn(
-            "conv_id", F.concat_ws("-", "conv_id", F.col("rep").cast("string"))
-        ).drop("rep")
-    return t
+    """Shared workload builder (sources/transcripts.replicated_transcripts)
+    at the bench's partitioning."""
+    return _replicated(spark, sf_dir, repl, partitions=CPUS * 3)
 
 
 def run(df: DataFrame) -> None:
@@ -76,9 +68,9 @@ def timed(df_builder) -> float:
     throughput estimator on shared hardware."""
     walls = []
     for _ in range(TRIALS):
-        t0 = time.time()
+        t0 = time.monotonic()
         run(df_builder())
-        walls.append(time.time() - t0)
+        walls.append(time.monotonic() - t0)
     return round(min(walls), 3)
 
 

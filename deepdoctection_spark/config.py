@@ -20,26 +20,34 @@ from pyspark.sql import SparkSession
 DEFAULT_ARROW_BATCH = 2048
 
 
+_ENV_MASTER = "env"  # sentinel: derive master from SPARK_GRAFT_CPUS
+
+
 def get_spark(
     app_name: str = "deepdoctection_spark",
-    master: str | None = None,
+    master: str | None = _ENV_MASTER,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build a session tuned for the extraction workload.
 
     local[N] in the sandbox; on a real cluster the same conf applies except
-    master/memory come from spark-submit. AQE is on so the reassembly shuffle
-    coalesces and skew-splits at runtime (mega-conversation handling).
+    master/memory come from spark-submit — pass ``master=None`` there so the
+    submit-provided master wins (scripts/extract_job.py does). AQE is on so
+    the reassembly shuffle coalesces and skew-splits at runtime
+    (mega-conversation handling).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = master or f"local[{cpus}]"
+    if master == _ENV_MASTER:
+        master = f"local[{cpus}]"
     # In local[N] there is no cluster: shuffle partitions should track cores,
     # not the 200 default (which just adds task-scheduling overhead).
     n_shuffle = shuffle_partitions or max(8, int(cpus) if cpus.isdigit() else 32)
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        b
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -145,6 +145,30 @@ def build_transcripts(
     )
 
 
+def replicated_transcripts(
+    spark: SparkSession, sf_dir: str, repl: int, partitions: int | None = None
+) -> DataFrame:
+    """REPL distinct copies of the transcript table (per-replica conv_ids) —
+    the shared workload builder for bench.py and scripts/extract_job.py so
+    throughput and scaling runs measure the identical shape. The raw scan is
+    repartitioned BEFORE synthesis + replication: the whole
+    synthesize→replicate→extract chain stays one narrow fully-parallel stage
+    (a trailing repartition would serialize synthesis into the single-file
+    scan task)."""
+    t = build_transcripts(spark, sf_dir, partitions=partitions)
+    if repl > 1:
+        reps = spark.range(repl).withColumnRenamed("id", "rep")
+        t = (
+            t.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "conv_id",
+                F.concat_ws("-", "conv_id", F.col("rep").cast("string")),
+            )
+            .drop("rep")
+        )
+    return t
+
+
 def build_skewed_transcripts(
     spark: SparkSession,
     sf_dir: str,

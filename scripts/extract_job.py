@@ -33,24 +33,16 @@ import json
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def build_session(cores: int) -> SparkSession:
-    # master comes from spark-submit; everything else mirrors
-    # deepdoctection_spark.config.get_spark (kept inline so the job is
-    # self-contained for --py-files distribution).
-    return (
-        SparkSession.builder.appName("extract_job")
-        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    # Exactly the engine's session config (no drift between the scaling
+    # evidence and bench/tests): master=None lets spark-submit's --master
+    # win; the package is on the path via --py-files anyway.
+    from deepdoctection_spark.config import get_spark
+
+    return get_spark(
+        app_name="extract_job", master=None, shuffle_partitions=max(8, cores)
     )
 
 
@@ -65,24 +57,17 @@ def main() -> None:
 
     from deepdoctection_spark.operators.extraction import extract_transcripts
     from deepdoctection_spark.operators.reassembly import reassemble_conversations
-    from deepdoctection_spark.sources.transcripts import build_transcripts
+    from deepdoctection_spark.sources.transcripts import (
+        build_transcripts,
+        replicated_transcripts,
+    )
 
     spark = build_session(args.cores)
-    spark.sparkContext.setLogLevel("WARN")
 
-    # repartition the raw scan first: synthesis + replication + extraction
-    # then run as ONE narrow fully-parallel stage (see build_transcripts doc)
-    t = build_transcripts(spark, args.sf_dir, partitions=args.cores * 3)
-    if args.repl > 1:
-        reps = spark.range(args.repl).withColumnRenamed("id", "rep")
-        t = (
-            t.crossJoin(F.broadcast(reps))
-            .withColumn(
-                "conv_id",
-                F.concat_ws("-", "conv_id", F.col("rep").cast("string")),
-            )
-            .drop("rep")
-        )
+    # the SAME workload builder bench.py uses (shared helper — no drift)
+    t = replicated_transcripts(
+        spark, args.sf_dir, args.repl, partitions=args.cores * 3
+    )
 
     # warm-up: JIT + Python worker pool spin-up excluded from the measurement
     extract_transcripts(
@@ -97,9 +82,9 @@ def main() -> None:
     def best_of(df_builder) -> tuple[float, list[float]]:
         walls = []
         for _ in range(args.trials):
-            t0 = time.time()
+            t0 = time.monotonic()
             df_builder().write.format("noop").mode("overwrite").save()
-            walls.append(round(time.time() - t0, 3))
+            walls.append(round(time.monotonic() - t0, 3))
         return min(walls), walls
 
     wall_extract, walls_e = best_of(lambda: extract_transcripts(t, with_words=True))

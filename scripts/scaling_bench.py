@@ -75,7 +75,12 @@ def run_at(cores: int, zpath: str, sf_dir: str, repl: int) -> dict:
     ]
     print("+", " ".join(cmd), file=sys.stderr)
     env = {k: v for k, v in os.environ.items() if not k.startswith("PYSPARK")}
-    subprocess.run(cmd, check=True, env=env, capture_output=True, text=True)
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface the real Spark error — a silent CalledProcessError after a
+        # multi-minute run is undebuggable
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"spark-submit failed (cores={cores})")
     with open(out) as f:
         return json.load(f)
 
@@ -89,17 +94,26 @@ def _hw_task(_i: int) -> int:
     return 1
 
 
+_HW_CACHE: dict[int, float] = {}
+
+
 def hw_control(procs: int, tasks: int = 96) -> float:
     """Pure-CPU multiprocessing rate (tasks/s) at `procs` workers — the
-    machine's parallel ceiling independent of Spark."""
+    machine's parallel ceiling independent of Spark. Memoized per proc
+    count so shared sizes across pairs (e.g. 2:8,8:32) use one measurement
+    and the pairs' normalizations stay mutually consistent."""
     import time
     from multiprocessing import Pool
 
+    if procs in _HW_CACHE:
+        return _HW_CACHE[procs]
     with Pool(procs) as p:
         p.map(_hw_task, range(procs))  # warm forks
-        t0 = time.time()
+        t0 = time.monotonic()
         p.map(_hw_task, range(tasks))
-        return tasks / (time.time() - t0)
+        rate = tasks / (time.monotonic() - t0)
+    _HW_CACHE[procs] = rate
+    return rate
 
 
 def pair_result(n: int, n4: int, zpath: str, sf_dir: str, repl: int) -> dict:
