@@ -35,14 +35,14 @@ from deepdoctection_spark.kernels.table import TableCell, cells_to_html
 from deepdoctection_spark.kernels.textnorm import normalize_ws, word_spans
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     category: str
     text: str
     cells: list[TableCell] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class SpanOut:
     span_id: str
     category: str
@@ -65,7 +65,7 @@ class WordSpan(NamedTuple):
     end: int
 
 
-@dataclass
+@dataclass(slots=True)
 class TurnExtraction:
     extracted_text: str
     blocks: list[SpanOut]

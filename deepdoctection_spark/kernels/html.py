@@ -52,7 +52,7 @@ _BLOCKISH = (
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class Node:
     tag: str  # "" for text nodes
     text: str = ""
@@ -158,7 +158,7 @@ def _has_block_child(node: Node) -> bool:
     return any(c.tag in _BLOCKISH and c.tag != "" for c in node.children)
 
 
-@dataclass
+@dataclass(slots=True)
 class HtmlBlock:
     category: str  # title | text | list | table
     text: str
