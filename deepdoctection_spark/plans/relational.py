@@ -384,3 +384,112 @@ def q_semi_join(spark, sf_dir):
     return cust.join(
         big, cust["c_custkey"] == big["o_custkey"], "left_semi"
     ).select("c_custkey", "c_name")
+
+
+# --- event-stream coverage: sessionization, tumbling windows, JSON ----------
+
+
+@register(
+    "events_sessionize",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no::INT AS session_no,
+       min(ts_us)::BIGINT AS session_start_us,
+       max(ts_us)::BIGINT AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min idle) as lag + running-sum windows —
+    the batch formulation of the streaming sessionizer
+    (streaming/sessionize.py); two window passes over one user_id shuffle."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # parquet ts reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+        # is an identity re-tag for unix_micros
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = e.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("session_no").cast("int").alias("session_no")).agg(
+        F.min("ts_us").cast("long").alias("session_start_us"),
+        F.max("ts_us").cast("long").alias("session_end_us"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "events_tumbling_stats",
+    """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling event-time windows (the batch face of the streaming
+    windowed aggregation)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_micros(
+            F.window("ts", "1 hour").getField("start").cast("timestamp")
+        )
+        .cast("long")
+        .alias("window_start_us"),
+        "event_type",
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_id, (props::JSON->>'k')::INT AS k,
+       CASE WHEN (props::JSON->>'k')::INT >= 50 THEN 'hi' ELSE 'lo' END AS k_band
+FROM events
+""",
+)
+def q_events_json(spark, sf_dir):
+    """Semi-structured props column: JSON path extraction JVM-side
+    (get_json_object — no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )
