@@ -102,7 +102,17 @@ def run_resumable_extract(
     hook for proving resume semantics (tests/test_resumable.py).
     """
     job_id = uuid.uuid4().hex[:12]
-    attempt = len({e.get("job_id") for e in read_manifest(out_dir)}) + 1
+    prior = read_manifest(out_dir)
+    # n_buckets is part of the hash layout: resuming with a different value
+    # would anti-join bucket ids from INCOMPATIBLE hash spaces and silently
+    # drop or duplicate conversations. The manifest pins it.
+    prior_nb = {e["n_buckets"] for e in prior if "n_buckets" in e}
+    if prior_nb and prior_nb != {n_buckets}:
+        raise ValueError(
+            f"manifest at {out_dir} was written with n_buckets={sorted(prior_nb)}; "
+            f"resume must use the same value (got {n_buckets})"
+        )
+    attempt = len({e.get("job_id") for e in prior}) + 1
     pending = pending_buckets(out_dir, n_buckets)
     res = ResumableResult(
         job_id=job_id,
@@ -114,7 +124,12 @@ def run_resumable_extract(
 
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
-    bucketed = with_bucket(transcripts, n_buckets)
+    # Persist the bucketed projection: the per-wave bucket filter is on a
+    # computed hash column (no pushdown), so without this every wave would
+    # re-scan the full input — n_waves × the corpus in I/O at 100 TB. (At
+    # real scale the equivalent is writing the input bucketed once —
+    # jobs/bucketing.py — and letting bucket pruning do this for free.)
+    bucketed = with_bucket(transcripts, n_buckets).persist()
 
     for wi in range(0, len(pending), wave_size):
         wave = pending[wi : wi + wave_size]
@@ -146,15 +161,22 @@ def run_resumable_extract(
         }
         # Step 2: manifest commit (atomic rename — readers never see a torn
         # manifest file).
+        # per-bucket wall: the wave's wall apportioned by row share — the
+        # honest per-partition throughput signal (identical wave-level
+        # values would hide skewed buckets, the thing the feed exists to
+        # surface); wave_wall_ms keeps the raw measurement.
+        total_rows = max(1, sum(counts.values()))
         entries = [
             {
                 "bucket": int(b),
                 "status": "done",
                 "rows": int(counts.get(b, 0)),
-                "wall_ms": wall_ms,
+                "wall_ms": int(wall_ms * counts.get(b, 0) / total_rows),
+                "wave_wall_ms": wall_ms,
                 "wave": res.waves,
                 "attempt": attempt,
                 "job_id": job_id,
+                "n_buckets": n_buckets,
             }
             for b in wave
         ]
@@ -168,15 +190,31 @@ def run_resumable_extract(
         res.rows_written += sum(counts.values())
         res.waves += 1
         if fail_after_waves is not None and res.waves >= fail_after_waves:
+            bucketed.unpersist()
             raise RuntimeError(f"injected failure after {res.waves} waves")
+    bucketed.unpersist()
     return res
 
 
 def load_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back ONLY manifest-committed buckets (Iceberg-snapshot read
-    semantics: uncommitted data partitions from a torn wave are invisible)."""
+    semantics: uncommitted data partitions from a torn wave are invisible).
+
+    A run killed before its first commit leaves nothing committed — that is
+    a valid empty snapshot, not an error: callers get an empty DataFrame
+    with the extraction schema."""
+    from pyspark.sql import types as T
+
+    from deepdoctection_spark.operators.extraction import EXTRACTION_SCHEMA
+
     done = sorted(
         {e["bucket"] for e in read_manifest(out_dir) if e["status"] == "done"}
     )
-    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    data_dir = os.path.join(out_dir, "data")
+    if not done or not os.path.isdir(data_dir):
+        empty_schema = T.StructType(
+            EXTRACTION_SCHEMA.fields + [T.StructField(BUCKET_COL, T.IntegerType())]
+        )
+        return spark.createDataFrame([], schema=empty_schema)
+    df = spark.read.parquet(data_dir)
     return df.where(F.col(BUCKET_COL).isin(done))

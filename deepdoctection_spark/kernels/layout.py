@@ -95,9 +95,8 @@ def extract_layout_blocks(payload: str, column_gap: float = 100.0) -> list[Layou
         )
         rest = [ln for ln in lines if ln is not top[0]]
     for bucket in cluster_columns(rest, column_gap):
-        text = "\n".join(
-            normalize_ws(ln.content) for ln in bucket if normalize_ws(ln.content)
-        )
+        normed = [normalize_ws(ln.content) for ln in bucket]  # once per line
+        text = "\n".join(t for t in normed if t)
         if text:
             blocks.append(LayoutBlock("text", text, lines=bucket))
     return blocks

@@ -32,10 +32,18 @@ class TableCell:
     column_span: int = 1
 
 
+# Span cap — browsers clamp similarly (HTML spec caps rowspan at 65534;
+# we cap far lower). Without it, <td rowspan=2000000000> makes the occupancy
+# fill O(rs*cs): a single poison row would hang/OOM an executor, the one
+# failure mode the per-row quarantine cannot catch (same rationale as
+# html.MAX_DEPTH). 256 bounds per-cell work at 64k grid inserts.
+MAX_SPAN = 256
+
+
 def _int_attr(attrs: dict, name: str, default: int = 1) -> int:
     try:
         v = int(str(attrs.get(name, default)).strip() or default)
-        return max(v, 1)
+        return min(max(v, 1), MAX_SPAN)
     except (TypeError, ValueError):
         return default
 

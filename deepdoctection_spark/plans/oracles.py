@@ -42,6 +42,16 @@ def _extracted_text_case() -> str:
     )
 
 
+def _cells_by_row() -> list[tuple[int, list[tuple[int, list[Lit]]]]]:
+    """EXPECTED_CELLS grouped into (row, [(col, pieces)...]) in grid order —
+    shared by the cells and HTML oracles so the two can never disagree about
+    the same table."""
+    rows: dict[int, list[tuple[int, list[Lit]]]] = {}
+    for r, c, pieces in EXPECTED_CELLS:
+        rows.setdefault(r, []).append((c, pieces))
+    return [(r, sorted(rows[r], key=lambda x: x[0])) for r in sorted(rows)]
+
+
 def _span_id_sql(cat_sql: str, begin_sql: str, end_sql: str) -> str:
     return (
         "md5(conv_id || '|' || turn_idx || '|' || "
@@ -95,12 +105,9 @@ def oracle_table_cells() -> str:
 
     # within-block cell offsets: rows joined by \n, cells by ' '
     selects = []
-    rows: dict[int, list[tuple[int, list[Lit]]]] = {}
-    for r, c, pieces in EXPECTED_CELLS:
-        rows.setdefault(r, []).append((c, pieces))
     inner: list[Lit] = []  # pieces preceding current cell inside the block
-    for r in sorted(rows):
-        for j, (c, pieces) in enumerate(sorted(rows[r], key=lambda x: x[0])):
+    for r, row_cells in _cells_by_row():
+        for j, (c, pieces) in enumerate(row_cells):
             cb = f"({tbl_begin} + {sql_len(inner) if inner else '0'})"
             ce = f"({cb} + ({sql_len(pieces)}))"
             cell_sid = _span_id_sql("'cell'", cb, ce)
@@ -137,7 +144,13 @@ pos AS (
          ) AS cum
   FROM toks
 )
-SELECT conv_id, turn_idx, i::INT AS word_idx, token,
+SELECT conv_id, turn_idx,
+       -- word_idx numbers NON-EMPTY tokens (the kernel enumerates regex
+       -- matches only); empty split elements from adjacent separators must
+       -- consume offsets (cum) but not indices
+       (row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY i) - 1)::INT
+         AS word_idx,
+       token,
        (cum - length(token) - 1)::INT AS span_begin,
        (cum - 1)::INT AS span_end
 FROM pos WHERE length(token) > 0
@@ -156,12 +169,9 @@ FROM et GROUP BY conv_id
 
 def oracle_table_html() -> str:
     cells_html: list[Lit] = [("lit", "<table>")]
-    rows: dict[int, list[tuple[int, list[Lit]]]] = {}
-    for r, c, pieces in EXPECTED_CELLS:
-        rows.setdefault(r, []).append((c, pieces))
-    for r in sorted(rows):
+    for _r, row_cells in _cells_by_row():
         cells_html.append(("lit", "<tr>"))
-        for c, pieces in sorted(rows[r], key=lambda x: x[0]):
+        for _c, pieces in row_cells:
             cells_html.append(("lit", "<td>"))
             cells_html.extend(pieces)
             cells_html.append(("lit", "</td>"))

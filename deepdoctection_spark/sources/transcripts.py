@@ -136,7 +136,9 @@ def build_transcripts(
         .otherwise(F.col("text"))
     )
     return docs.select(
-        F.format_string("conv-%05d", F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("int")).alias("conv_id"),
+        # conv number stays LONG: an int cast would wrap at doc_id >= 2^34
+        # and collide conv_ids at the 10^12-turn design scale
+        F.format_string("conv-%05d", F.floor(F.col("doc_id") / TURNS_PER_CONV).cast("long")).alias("conv_id"),
         (F.col("doc_id") % TURNS_PER_CONV).cast("int").alias("turn_idx"),
         F.when(mod == 0, "user").when(mod == 1, "assistant").otherwise("tool").alias("role"),
         payload.alias("text"),
@@ -190,9 +192,12 @@ def build_skewed_transcripts(
     conv_no = F.regexp_extract("conv_id", r"conv-(\d+)", 1).cast("long")
     doc_id = conv_no * TURNS_PER_CONV + F.col("turn_idx")
     hot = (doc_id % hot_modulus) < hot_residues
+    # pmod keeps turn_idx in positive int32 range (the input_hint contract);
+    # unique while doc_id < 2^31-1, which covers every sandbox scale tier
+    mega_turn = F.pmod(doc_id, F.lit(2147483647)).cast("int")
     return base.select(
         F.when(hot, F.lit("conv-mega")).otherwise(F.col("conv_id")).alias("conv_id"),
-        F.when(hot, doc_id.cast("int")).otherwise(F.col("turn_idx")).alias("turn_idx"),
+        F.when(hot, mega_turn).otherwise(F.col("turn_idx")).alias("turn_idx"),
         "role", "text", "tool", "ts",
     )
 
@@ -233,7 +238,7 @@ def sql_len(pieces: list[Lit]) -> str:
 
 TRANSCRIPT_BASE_SQL = f"""
   SELECT doc_id, text, lang, source,
-         printf('conv-%05d', (doc_id // {TURNS_PER_CONV})::INT) AS conv_id,
+         printf('conv-%05d', (doc_id // {TURNS_PER_CONV})::BIGINT) AS conv_id,
          (doc_id % {TURNS_PER_CONV})::INT AS turn_idx,
          CASE (doc_id % 3) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
          CASE (doc_id % 3) WHEN 0 THEN '' WHEN 1 THEN 'browser' ELSE 'pdf_reader' END AS tool

@@ -316,3 +316,17 @@ def test_multiple_tables_all_in_html():
     fin = finalize_turn("c", 0, extract_turn(html, "browser"))
     assert len(fin.table_htmls) == 2
     assert "a" in fin.table_htmls[0] and "b" in fin.table_htmls[1]
+
+
+def test_adversarial_rowspan_capped():
+    """<td rowspan=2000000000> must not hang/OOM the executor (MAX_SPAN cap;
+    the per-row quarantine cannot catch a hang)."""
+    import time
+
+    from deepdoctection_spark.kernels.table import MAX_SPAN
+
+    html = "<table><tr><td rowspan=2000000000 colspan=999999>x</td></tr></table>"
+    t0 = time.monotonic()
+    cells = segment_table_grid(parse_html(html).children[0])
+    assert time.monotonic() - t0 < 2.0
+    assert cells[0].row_span == MAX_SPAN and cells[0].column_span == MAX_SPAN

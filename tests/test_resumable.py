@@ -92,3 +92,21 @@ def test_manifest_carries_per_partition_metrics(spark, sf_small, tmp_path):
     assert all(e["wall_ms"] > 0 for e in entries)
     assert sum(e["rows"] for e in entries) == t.count()
     assert all(e["attempt"] == 1 for e in entries)
+
+
+def test_resume_rejects_changed_bucket_count(spark, sf_small, tmp_path):
+    """n_buckets is part of the hash layout; resuming with a different value
+    must fail loudly instead of silently dropping conversations."""
+    t = build_transcripts(spark, sf_small).limit(64)
+    out = str(tmp_path / "nb")
+    run_resumable_extract(spark, t, out, n_buckets=8, wave_size=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_resumable_extract(spark, t, out, n_buckets=4, wave_size=4)
+
+
+def test_load_extracted_empty_before_first_commit(spark, tmp_path):
+    from deepdoctection_spark.jobs.resumable import load_extracted
+
+    df = load_extracted(spark, str(tmp_path / "never_ran"))
+    assert df.count() == 0
+    assert "extracted_text" in df.columns
