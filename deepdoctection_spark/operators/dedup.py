@@ -32,7 +32,11 @@ SIMHASH_BITS = 32
 
 
 def normalized_text(col: Column) -> Column:
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    # explicit class, NOT \s: Java's \s includes \x0B (vertical tab) but
+    # RE2's (DuckDB) does not — a \x0B in real text would silently diverge
+    # every _NORM-derived oracle. The class below means the same thing in
+    # both engines (and matches kernels/textnorm._WS_RE).
+    return F.trim(F.regexp_replace(col, r"[ \t\n\r\f\x0B]+", " "))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -155,6 +159,12 @@ def minhash_lsh_pairs(
     The band-bucket join touches each doc `bands` times instead of once per
     shingle — at corpus scale this is the difference between a bounded
     shuffle and a quadratic one."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "otherwise trailing signature rows are silently unused and the "
+            "recall profile differs from the configured one"
+        )
     rows_per_band = num_perm // bands
     sets = shingle_sets(docs, k)
     sigs = _signatures_from_sets(sets, num_perm)

@@ -55,9 +55,19 @@ def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:
     return docs.select(
         "doc_id",
         pred.alias("pred_lang"),
-        F.round(best_ratio, 4).alias("stopword_ratio"),
+        _round4(best_ratio).alias("stopword_ratio"),
     )
 
+
+
+def _round4(col):
+    """floor(x*1e4 + 0.5)/1e4 — bit-deterministic across engines. Built-in
+    round() differs between Spark (half-up on the double) and DuckDB
+    (decimal-izes first) exactly at float-error-adjacent boundaries, e.g.
+    0.84024999999999 -> 0.8402 vs 0.8403 (reproduced at sf0.001 doc 209).
+    floor on the identical IEEE double gives the identical answer in any
+    engine; the oracle uses the same formulation."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Rule-based quality features + composite score ∈ [0,1]:
@@ -70,13 +80,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     avg_len = (n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1))  # chars minus separators
     coverage = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     shape = F.when((avg_len >= 3) & (avg_len <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    score = F.round(0.4 * coverage + 0.3 * distinct_ratio + 0.3 * shape, 4)
+    score = _round4(0.4 * coverage + 0.3 * distinct_ratio + 0.3 * shape)
     return docs.select(
         "doc_id",
         n_tok.cast("int").alias("n_tokens"),
         n_chars.cast("int").alias("n_chars_norm"),
-        F.round(distinct_ratio, 4).alias("type_token_ratio"),
-        F.round(avg_len, 4).alias("avg_token_len"),
+        _round4(distinct_ratio).alias("type_token_ratio"),
+        _round4(avg_len).alias("avg_token_len"),
         score.alias("quality"),
     )
 
@@ -104,13 +114,11 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-def rolling_hash(docs, base: int = 131, mod: int = 2147483647):
+def rolling_hash(docs: DataFrame, base: int = 131, mod: int = 2147483647) -> DataFrame:
     """Rabin-Karp polynomial fingerprint of the normalized text, folded
     JVM-side (aggregate over the char array — sequential, exact bigint
     arithmetic, reproducible in any SQL engine with a list fold)."""
-    from pyspark.sql import functions as F
-
-    norm = F.trim(F.regexp_replace("text", r"\s+", " "))
+    norm = normalized_text(F.col("text"))
     codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
     h = F.aggregate(
         codes,

@@ -33,7 +33,8 @@ def _embs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
 
-_NORM = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+# explicit class == Spark side's (Java \s and RE2 \s disagree on \x0B)
+_NORM = "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
 _SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
@@ -130,7 +131,9 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
-def _simhash_oracle(k_bits: int = dedup.SIMHASH_BITS) -> str:
+def _simhash_cte(k_bits: int = dedup.SIMHASH_BITS) -> str:
+    """toks/counted/sums/fp CTE chain shared by BOTH simhash oracles — a
+    change to the fingerprint definition lands in one place."""
     sums = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}"
         for b in range(k_bits)
@@ -140,7 +143,7 @@ def _simhash_oracle(k_bits: int = dedup.SIMHASH_BITS) -> str:
         for b in range(k_bits)
     )
     return f"""
-WITH toks AS (
+toks AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
 ),
 counted AS (
@@ -148,9 +151,13 @@ counted AS (
          ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
   FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
 ),
-sums AS (SELECT doc_id, {sums} FROM counted GROUP BY doc_id)
-SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+sums AS (SELECT doc_id, {sums} FROM counted GROUP BY doc_id),
+fp AS (SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums)
 """
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM fp"
 
 
 @register("dedup_simhash", _simhash_oracle())
@@ -161,16 +168,7 @@ def q_dedup_simhash(spark, sf_dir):
 @register(
     "dedup_simhash_pairs",
     f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
-),
-counted AS (
-  SELECT doc_id, token, count(*)::BIGINT AS cnt,
-         ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
-  FROM toks WHERE length(token) > 0 GROUP BY doc_id, token
-),
-sums AS (SELECT doc_id, {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS s_{b}" for b in range(dedup.SIMHASH_BITS))} FROM counted GROUP BY doc_id),
-fp AS (SELECT doc_id, ({" + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)" for b in range(dedup.SIMHASH_BITS))})::BIGINT AS simhash FROM sums)
+WITH {_simhash_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -285,7 +283,7 @@ WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length
 ratios AS (SELECT doc_id, {ratio_defs} FROM toks),
 scored AS (SELECT *, {best} AS best FROM ratios)
 SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
-       round(best, 4) AS stopword_ratio
+       floor(best * 10000 + 0.5) / 10000 AS stopword_ratio
 FROM scored
 """
 
@@ -310,10 +308,10 @@ feat AS (
   FROM t
 )
 SELECT doc_id, n_tok::INT AS n_tokens, n_chars::INT AS n_chars_norm,
-       round(dr, 4) AS type_token_ratio,
-       round(avg_len, 4) AS avg_token_len,
-       round(0.4 * least(n_tok / 50.0, 1.0) + 0.3 * dr +
-             0.3 * (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1.0 ELSE 0.5 END), 4) AS quality
+       floor(dr * 10000 + 0.5) / 10000 AS type_token_ratio,
+       floor(avg_len * 10000 + 0.5) / 10000 AS avg_token_len,
+       floor((0.4 * least(n_tok / 50.0, 1.0) + 0.3 * dr +
+             0.3 * (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5) / 10000 AS quality
 FROM feat
 """,
 )

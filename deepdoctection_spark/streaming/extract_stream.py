@@ -75,16 +75,19 @@ def stream_dedup_turns(
     watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming exact-dedup: first occurrence of each (conv_id, turn_idx,
-    payload-fingerprint) wins; re-deliveries inside the watermark are dropped
-    by Spark's stateful dropDuplicatesWithinWatermark-style operator.
+    payload-fingerprint) wins; re-deliveries inside the watermark are dropped.
 
-    This is the ingest-time guard a replayed 10^12-turn feed needs (at-least-
-    once sources re-deliver); state is bounded by the watermark. The batch
-    engine needs no such operator — deterministic span ids make re-runs
-    idempotent (kernels/ids.py) — but a stream cannot re-run, it must dedup
-    in flight."""
+    Uses dropDuplicatesWithinWatermark: plain dropDuplicates on a subset
+    WITHOUT the event-time column never evicts its state (the watermark only
+    cleans keys that include the time column), which on an unbounded
+    10^12-turn ingest means unbounded state-store growth. The
+    within-watermark variant expires each key once the watermark passes its
+    event time — exactly the re-delivery window an at-least-once source
+    needs. The batch engine needs no such operator: deterministic span ids
+    make re-runs idempotent (kernels/ids.py); a stream cannot re-run, it
+    must dedup in flight with bounded state."""
     keyed = transcripts.withColumn("fp", F.md5(F.concat_ws("\x01", "text", "tool")))
-    return keyed.withWatermark("ts", watermark).dropDuplicates(
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx", "fp"]
     )
 

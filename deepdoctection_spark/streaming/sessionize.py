@@ -7,12 +7,16 @@ transcript analogue of web sessionization. The reference cannot express this
 at all: its dataflow is stateless per-record pull iteration
 (/root/reference/deepdoctection/dataflow/base.py:41-145) with no event time.
 
-Semantics:
-- group by conv_id; state = the open session's turns + max event time seen;
-- a turn extends the open session if ts <= last_ts + gap, else the open
-  session is emitted and a new one starts;
-- event-time timeout (watermark-driven) flushes idle sessions, bounding
-  state on an unbounded 10^12-turn stream;
+Semantics (event-time correct — output independent of micro-batch cuts):
+- group by conv_id; state accumulates the conversation's pending turns;
+- nothing is emitted while rows can still arrive: a session boundary is
+  only decidable once the watermark passes last_ts + gap (any row admitted
+  after that instant necessarily starts a later session). Cutting eagerly
+  on an in-batch gap would finalize a session that a late-but-within-
+  watermark row from the next batch could still bridge;
+- at the event-time timeout the accumulated turns are sorted by event time,
+  split at > gap holes, and ALL closed sessions are emitted; state clears —
+  bounding state on an unbounded 10^12-turn stream;
 - emitted sessions order turns by the explicit (turn_idx) key — arrival
   order never matters (the engine's stable-ordering contract).
 """
@@ -65,49 +69,59 @@ def _sessionizer(gap_us: int):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
+
         if state.hasTimedOut:
+            # The watermark passed max_ts + gap: no admissible future row
+            # can extend ANY session currently in state (an admitted row has
+            # event time ≥ watermark > max_ts + gap ⇒ it would start a new
+            # session). Only NOW is splitting by gap safe — splitting
+            # eagerly inside a batch would finalize a session that a
+            # late-but-within-watermark row from a later batch could still
+            # bridge, making output depend on micro-batch boundaries.
             if state.exists:
-                idxs, texts, ts_us = state.get
-                yield _emit(conv_id, list(idxs), list(texts), list(ts_us))
+                idxs, texts, ts_us = (list(c) for c in state.get)
+                order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+                start = 0
+                for k in range(1, len(order)):
+                    if ts_us[order[k]] > ts_us[order[k - 1]] + gap_us:
+                        sel = order[start:k]
+                        yield _emit(
+                            conv_id,
+                            [idxs[i] for i in sel],
+                            [texts[i] for i in sel],
+                            [ts_us[i] for i in sel],
+                        )
+                        start = k
+                sel = order[start:]
+                if sel:
+                    yield _emit(
+                        conv_id,
+                        [idxs[i] for i in sel],
+                        [texts[i] for i in sel],
+                        [ts_us[i] for i in sel],
+                    )
             state.remove()
             return
 
+        # data batch: accumulate only; sessions are cut at timeout
         idxs: list[int] = []
         texts: list[str] = []
         ts_us: list[int] = []
         if state.exists:
             s = state.get
             idxs, texts, ts_us = list(s[0]), list(s[1]), list(s[2])
-
-        rows: list[tuple[int, str, int]] = []
+        max_ts = max(ts_us) if ts_us else 0
         for pdf in pdfs:
-            for ti, tx, tus in zip(
-                pdf["turn_idx"].tolist(),
-                pdf["text"].tolist(),
-                pdf["ts_us"].tolist(),
-            ):
-                rows.append((int(ti), tx, int(tus)))
-        rows.sort(key=lambda r: r[2])  # event-time order for gap detection
-
-        # track the open session's latest event time incrementally: state
-        # rows were appended in ascending order and this batch is sorted, so
-        # max == last seen; recomputing max() per row would be O(n²) for a
-        # hot conversation with a long-lived session
-        last_ts = max(ts_us) if ts_us else None
-        for ti, tx, tus in rows:
-            if last_ts is not None and tus > last_ts + gap_us:
-                yield _emit(conv_id, idxs, texts, ts_us)
-                idxs, texts, ts_us = [], [], []
-            idxs.append(ti)
-            texts.append(tx)
-            ts_us.append(tus)
-            if last_ts is None or tus > last_ts:
-                last_ts = tus
-
+            idxs.extend(int(v) for v in pdf["turn_idx"].tolist())
+            texts.extend(pdf["text"].tolist())
+            batch_ts = [int(v) for v in pdf["ts_us"].tolist()]
+            ts_us.extend(batch_ts)
+            if batch_ts:
+                max_ts = max(max_ts, max(batch_ts))
         if idxs:
             state.update((idxs, texts, ts_us))
-            # flush when the watermark passes the session's gap horizon
-            state.setTimeoutTimestamp(last_ts // 1000 + gap_us // 1000)
+            # fire once the watermark passes the LAST turn's gap horizon
+            state.setTimeoutTimestamp(max_ts // 1000 + gap_us // 1000)
         else:
             state.remove()
 

@@ -166,3 +166,22 @@ def test_empty_doc_counts_zero_tokens(spark):
     )
     got = {r["doc_id"]: r["ws_tokens"] for r in textstats.token_counts(docs).collect()}
     assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_vertical_tab_normalizes_identically_in_both_engines(spark):
+    """Java's \\s includes \\x0B, RE2's (DuckDB) does not — the engine pins an
+    explicit whitespace class so _NORM-derived oracles can't diverge on
+    real-world text containing vertical tabs."""
+    import duckdb
+
+    from deepdoctection_spark.operators import textstats
+
+    weird = "a\x0bb  c\td"
+    docs = spark.createDataFrame([(1, weird)], "doc_id long, text string")
+    got = textstats.token_counts(docs).collect()[0]
+    oracle = duckdb.sql(
+        "SELECT len(list_filter(string_split("
+        "trim(regexp_replace('a' || chr(11) || 'b  c' || chr(9) || 'd',"
+        " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '), w -> length(w) > 0)) AS n"
+    ).fetchone()[0]
+    assert got["ws_tokens"] == oracle == 4  # a b c d

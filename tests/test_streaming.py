@@ -163,3 +163,57 @@ def test_sessionize_gap_splits_and_orders(spark, tmp_path):
     assert ("A", 4) in got and got[("A", 4)] == "a0\n\na1\n\na2\n\na3"
     assert ("A", 2) in got and got[("A", 2)] == "a4\n\na5"
     assert ("B", 2) in got and got[("B", 2)] == "b0\n\nb1"
+
+
+def test_sessionize_late_row_bridges_gap_across_batches(spark, tmp_path):
+    """Event-time correctness: a late-but-within-watermark turn delivered in
+    a LATER micro-batch bridges what looked like a gap in the earlier batch.
+    Output must be one session {0,200,400} — identical to single-batch
+    arrival — not the eager split {0} + {200,400}."""
+    import datetime as dt
+    import os
+
+    from deepdoctection_spark.streaming.sessionize import sessionize_conversations
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    d = tmp_path / "bridge_in"
+    os.makedirs(d)
+    # batch 1: turns at t=0 and t=400 (apparent 400s hole > 300s gap)
+    spark.createDataFrame(
+        [
+            ("A", 0, "user", "a0", "", base),
+            ("A", 2, "user", "a2", "", base + dt.timedelta(seconds=400)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f1"))
+    # batch 2: the bridging turn at t=200 (inside the 10-min watermark) plus
+    # a closer row far in the future to flush the session
+    spark.createDataFrame(
+        [
+            ("A", 1, "user", "a1", "", base + dt.timedelta(seconds=200)),
+            ("Z", 0, "user", "z", "", base + dt.timedelta(hours=3)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "f2"))
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    stream = stream_extract(src, with_words=False)
+    q = (
+        sessionize_conversations(stream, gap_seconds=300, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("bridge_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["conv_id"]: (r["n_turns"], r["conv_text"])
+        for r in spark.table("bridge_sessions").collect()
+    }
+    assert got.get("A") == (3, "a0\n\na1\n\na2")
