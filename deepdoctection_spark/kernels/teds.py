@@ -17,9 +17,24 @@ from deepdoctection_spark.kernels.html import Node, parse_html
 from deepdoctection_spark.kernels.textnorm import normalize_ws
 
 
-def _postorder(root: Node) -> tuple[list[tuple[str, str]], list[int]]:
-    """(labels, leftmost-leaf-descendant index) in postorder."""
-    labels: list[tuple[str, str]] = []
+# Size guard: the DP allocates an m×n matrix. Without a cap, a crawled page
+# with a ~100k-node table would OOM/hang the executor — the poison-row
+# failure the engine quarantines everywhere else (html.MAX_DEPTH,
+# table.MAX_SPAN). Callers catch TreeTooLarge and emit null.
+MAX_TEDS_NODES = 2000
+
+
+class TreeTooLarge(ValueError):
+    pass
+
+
+def _postorder(root: Node) -> tuple[list[tuple], list[int]]:
+    """(labels, leftmost-leaf-descendant index) in postorder.
+
+    Element labels include colspan/rowspan (the reference's TableTree
+    encodes cell spans into the label, tedsmetric.py:105-160) so
+    structurally different tables never score as identical."""
+    labels: list[tuple] = []
     lld: list[int] = []
 
     def rec(nd: Node) -> int:
@@ -29,8 +44,18 @@ def _postorder(root: Node) -> tuple[list[tuple[str, str]], list[int]]:
             leaf = rec(c)
             if first_leaf < 0:
                 first_leaf = leaf
-        label = (nd.tag, normalize_ws(nd.text) if nd.tag == "" else "")
+        if nd.tag == "":
+            label = ("", normalize_ws(nd.text), "", "")
+        else:
+            label = (
+                nd.tag,
+                "",
+                str(nd.attrs.get("colspan", "")),
+                str(nd.attrs.get("rowspan", "")),
+            )
         labels.append(label)
+        if len(labels) > MAX_TEDS_NODES:
+            raise TreeTooLarge(f"tree exceeds {MAX_TEDS_NODES} nodes")
         if first_leaf < 0:
             first_leaf = len(labels) - 1
         lld.append(first_leaf)

@@ -65,7 +65,8 @@ def fimg_encode(seed: int, w: int, h: int, c: int) -> bytes:
 
 
 def fimg_decode(raw: bytes) -> np.ndarray:
-    assert raw[:4] == b"FIMG", "bad magic"
+    if raw[:4] != b"FIMG":
+        raise ValueError("bad FIMG magic")
     w, h, c = struct.unpack("<HHH", raw[4:10])
     return np.frombuffer(raw[10:], dtype=np.uint8).reshape(h, w, c)
 
@@ -76,7 +77,8 @@ def fpcm_encode(seed: int, sr: int, n: int) -> bytes:
 
 
 def fpcm_decode(raw: bytes) -> tuple[int, np.ndarray]:
-    assert raw[:4] == b"FPCM", "bad magic"
+    if raw[:4] != b"FPCM":
+        raise ValueError("bad FPCM magic")
     sr, n = struct.unpack("<HH", raw[4:8])
     return sr, np.frombuffer(raw[8:], dtype="<i2")[:n]
 
@@ -88,7 +90,8 @@ def fvid_encode(seed: int, w: int, h: int, c: int, frames: int) -> bytes:
 
 
 def fvid_decode(raw: bytes) -> tuple[tuple[int, int, int, int], np.ndarray]:
-    assert raw[:4] == b"FVID", "bad magic"
+    if raw[:4] != b"FVID":
+        raise ValueError("bad FVID magic")
     w, h, c, f = struct.unpack("<HHHH", raw[4:12])
     return (w, h, c, f), np.frombuffer(raw[12:], dtype=np.uint8).reshape(
         f, h, w, c
@@ -188,7 +191,7 @@ def synth_video(docs: DataFrame, w: int = 8, h: int = 6, c: int = 3) -> DataFram
 
 IMG_STATS_SCHEMA = (
     "media_id long, width int, height int, channels int, n_pixels int, "
-    "mean_px double, min_px int, max_px int, mean_c0 double"
+    "mean_px double, min_px int, max_px int, mean_c0 double, error string"
 )
 
 
@@ -201,18 +204,24 @@ def image_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
-                a = fimg_decode(bytes(raw))
-                h, w, c = a.shape
-                rows.append(
-                    (int(mid), w, h, c, a.size, round(float(a.mean()), 4),
-                     int(a.min()), int(a.max()),
-                     round(float(a[:, :, 0].mean()), 4))
-                )
+                try:  # row quarantine: a truncated payload must not kill the task
+                    a = fimg_decode(bytes(raw))
+                    h, w, c = a.shape
+                    rows.append(
+                        (int(mid), w, h, c, a.size, round(float(a.mean()), 4),
+                         int(a.min()), int(a.max()),
+                         round(float(a[:, :, 0].mean()), 4), None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (int(mid), None, None, None, None, None, None, None,
+                         None, f"{type(exc).__name__}: {exc}"[:200])
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "width", "height", "channels", "n_pixels",
-                    "mean_px", "min_px", "max_px", "mean_c0",
+                    "mean_px", "min_px", "max_px", "mean_c0", "error",
                 ],
             )
 
@@ -252,7 +261,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 AUDIO_FEAT_SCHEMA = (
     "media_id long, sample_rate int, n_samples int, duration_sec double, "
-    "rms double, peak int"
+    "rms double, peak int, error string"
 )
 
 
@@ -264,20 +273,26 @@ def audio_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
-                sr, x = fpcm_decode(bytes(raw))
-                xf = x.astype(np.float64)
-                # peak on the float copy: np.abs(int16 -32768) overflows to
-                # -32768 in int16 (full-scale negative is common in real PCM)
-                rows.append(
-                    (int(mid), sr, len(x), round(len(x) / sr, 6),
-                     round(float(np.sqrt((xf * xf).mean())), 4),
-                     int(np.abs(xf).max()))
-                )
+                try:  # row quarantine
+                    sr, x = fpcm_decode(bytes(raw))
+                    xf = x.astype(np.float64)
+                    # peak on the float copy: np.abs(int16 -32768) overflows
+                    # to -32768 in int16 (full-scale negative is common)
+                    rows.append(
+                        (int(mid), sr, len(x), round(len(x) / sr, 6),
+                         round(float(np.sqrt((xf * xf).mean())), 4),
+                         int(np.abs(xf).max()), None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (int(mid), None, None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "media_id", "sample_rate", "n_samples", "duration_sec",
-                    "rms", "peak",
+                    "rms", "peak", "error",
                 ],
             )
 
@@ -298,7 +313,10 @@ def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
-                (w, h, _c, f), a = fvid_decode(bytes(raw))
+                try:  # poison video: skip its frames, keep the task alive
+                    (w, h, _c, f), a = fvid_decode(bytes(raw))
+                except Exception:
+                    continue
                 for fi in range(0, f, every):
                     rows.append(
                         (int(mid), fi, w, h, int(a[fi].astype(np.int64).sum()))

@@ -23,9 +23,17 @@ def teds_scores(pairs: DataFrame) -> DataFrame:
     Row-local (tables are small trees); narrow stage, no shuffle."""
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(g, p):
+            if g is None or p is None:
+                return None
+            try:
+                return round(teds(g, p), 6)
+            except Exception:  # oversized/poison trees → null, never a task kill
+                return None
+
         for pdf in batches:
             out = [
-                round(teds(g, p), 6) if g is not None and p is not None else None
+                one(g, p)
                 for g, p in zip(pdf["gt_html"].tolist(), pdf["pred_html"].tolist())
             ]
             yield pd.DataFrame(

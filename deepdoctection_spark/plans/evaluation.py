@@ -27,9 +27,14 @@ from deepdoctection_spark.sources.transcripts import (
 
 
 def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden span table, persisted: both metric queries self-join gt
+    against a perturbation of gt with different projections, so Catalyst
+    cannot reuse the exchange — without the persist the full extraction
+    stage (the dominant cost) would execute twice per metric. At design
+    scale the equivalent is materializing gt once as a table."""
     return block_spans(
         extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
-    )
+    ).persist()
 
 
 _PRED_SQL = """

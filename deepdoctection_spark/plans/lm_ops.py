@@ -30,8 +30,12 @@ def _argmax_case(score_exprs: list[str], labels: list[str]) -> str:
     max(key=(score, -i)) tie-break)."""
     clauses = []
     for i in range(len(labels) - 1):
-        rest = ", ".join(score_exprs[i + 1 :])
-        rest_max = f"greatest({rest})" if "," in rest else rest
+        remaining = score_exprs[i + 1 :]
+        rest_max = (
+            f"greatest({', '.join(remaining)})"
+            if len(remaining) > 1
+            else remaining[0]
+        )
         clauses.append(f"WHEN {score_exprs[i]} >= {rest_max} THEN '{labels[i]}'")
     return "CASE " + " ".join(clauses) + f" ELSE '{labels[-1]}' END"
 

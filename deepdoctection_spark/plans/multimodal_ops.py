@@ -39,7 +39,8 @@ px AS (
 SELECT media_id, width, height, channels, n_pixels,
        round(avg(v), 4) AS mean_px,
        min(v)::INT AS min_px, max(v)::INT AS max_px,
-       round(avg(v) FILTER (ch = 0), 4) AS mean_c0
+       round(avg(v) FILTER (ch = 0), 4) AS mean_c0,
+       NULL::VARCHAR AS error
 FROM px GROUP BY media_id, width, height, channels, n_pixels
 """,
 )
@@ -63,7 +64,8 @@ s AS (
 SELECT media_id, sample_rate, n_samples,
        round(n_samples / sample_rate::DOUBLE, 6) AS duration_sec,
        round(sqrt(avg(x * x::DOUBLE)), 4) AS rms,
-       max(abs(x))::INT AS peak
+       max(abs(x))::INT AS peak,
+       NULL::VARCHAR AS error
 FROM s GROUP BY media_id, sample_rate, n_samples
 """,
 )

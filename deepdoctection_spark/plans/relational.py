@@ -419,8 +419,6 @@ def q_events_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min idle) as lag + running-sum windows —
     the batch formulation of the streaming sessionizer
     (streaming/sessionize.py); two window passes over one user_id shuffle."""
-    from pyspark.sql.window import Window
-
     e = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

@@ -330,3 +330,20 @@ def test_adversarial_rowspan_capped():
     cells = segment_table_grid(parse_html(html).children[0])
     assert time.monotonic() - t0 < 2.0
     assert cells[0].row_span == MAX_SPAN and cells[0].column_span == MAX_SPAN
+
+
+def test_teds_spans_in_labels_and_size_cap():
+    from deepdoctection_spark.kernels.teds import TreeTooLarge, teds, tree_edit_distance
+    import pytest as _pytest
+
+    # colspan difference is a structural difference (reference TableTree
+    # encodes spans into labels) — must NOT score 1.0
+    a = '<table><tr><td colspan="2">x</td></tr></table>'
+    b = "<table><tr><td>x</td></tr></table>"
+    assert teds(a, b) < 1.0
+    d, _, _ = tree_edit_distance(parse_html(a), parse_html(b))
+    assert d == 1  # one rename (same tag/text, different span label)
+
+    big = "<p>" + "<b>x</b>" * 1500 + "</p>"
+    with _pytest.raises(TreeTooLarge):
+        tree_edit_distance(parse_html(big), parse_html(big))

@@ -67,3 +67,33 @@ def test_catalog_prunes_binary(spark, sf_small):
     )
     assert cat.count() == 24
     assert "content" not in cat.columns  # payload never carried past length()
+
+
+def test_poison_media_quarantined(spark, sf_small):
+    """Truncated/garbage payloads land in the error column (stats/features)
+    or are skipped (frames) — never a task failure."""
+    from pyspark.sql import Row
+
+    good_img = mm.fimg_encode(1, 4, 4, 3)
+    bad = b"GARBAGE-NOT-A-CODEC"
+    imgs = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(good_img)),
+         Row(media_id=2, content=bytearray(bad))]
+    )
+    rows = {r["media_id"]: r for r in mm.image_stats(imgs).collect()}
+    assert rows[1]["error"] is None and rows[1]["n_pixels"] == 48
+    assert rows[2]["error"] is not None and rows[2]["n_pixels"] is None
+
+    auds = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(mm.fpcm_encode(1, 8000, 16))),
+         Row(media_id=2, content=bytearray(bad))]
+    )
+    arows = {r["media_id"]: r for r in mm.audio_features(auds).collect()}
+    assert arows[1]["error"] is None and arows[2]["error"] is not None
+
+    vids = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(mm.fvid_encode(1, 4, 3, 3, 4))),
+         Row(media_id=2, content=bytearray(bad))]
+    )
+    frows = mm.sample_frames(vids, every=2).collect()
+    assert {r["media_id"] for r in frows} == {1}  # poison video skipped
