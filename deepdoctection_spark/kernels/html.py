@@ -19,7 +19,7 @@ import re
 from dataclasses import dataclass, field
 
 from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
-from deepdoctection_spark.kernels.textnorm import normalize_ws
+from deepdoctection_spark.kernels.textnorm import _WS_RE, normalize_ws
 
 # Alternatives: element tag | comment | DOCTYPE-style declaration | processing
 # instruction. The last two would otherwise fall through as text nodes and be
@@ -137,9 +137,12 @@ def _gather_text(node: Node) -> tuple[str, int, int]:
         if nd.tag == "":
             t = nd.text
             parts.append(t)
-            # == len(normalize_ws(t)) without the regex: words joined by
-            # single spaces (C-level split, ~3× faster on small fragments)
-            ws = t.split()
+            # == len(normalize_ws(t)) exactly: split on the SAME ASCII
+            # whitespace class normalize_ws collapses. str.split() would split
+            # on Unicode whitespace (\xa0,  , …) that _WS_RE keeps, so
+            # consecutive non-ASCII whitespace would skew density totals vs
+            # the emitted text length.
+            ws = [w for w in _WS_RE.split(t) if w]
             stripped = sum(map(len, ws)) + max(0, len(ws) - 1)
             total += stripped
             if in_link:

@@ -20,7 +20,9 @@ Scale design (10^9+ docs):
   are md5-derived so any SQL engine reproduces them bit-for-bit.
 - SimHash: 32 per-bit weighted sums computed as ONE aggregation pass (32
   conditional-sum columns — no bit explosion), fingerprint assembled by
-  shift-or; near-dup = hamming distance via bit_count(xor).
+  shift-or; near-dup pairs via pigeonhole banding (hamming ≤ k ⇒ the k+1
+  disjoint bit-chunks agree on ≥1 chunk → equi-join on chunk buckets), then
+  exact hamming verification via bit_count(xor).
 """
 
 from __future__ import annotations
@@ -72,9 +74,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verified near-dup pairs by k-gram Jaccard ≥ threshold.
 
-    max_shingle_df prunes candidate generation at scale (not used in the
-    oracle-checked configuration so the result set stays exactly the
-    SQL-defined one)."""
+    max_shingle_df prunes candidate generation at scale (drops shingles whose
+    document frequency exceeds the cap before the self-join, bounding fan-out
+    to cap² per shingle). Both configurations are oracle-checked:
+    dedup_ngram_jaccard (uncapped — the pure SQL-defined result set) and
+    dedup_ngram_jaccard_pruned (capped — the shape that runs at 100 TB)."""
     sh = shingles(docs, k)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -254,22 +258,61 @@ def simhash_fingerprints(docs: DataFrame, k_bits: int = SIMHASH_BITS) -> DataFra
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within hamming distance — broadcast self-join on fingerprints
-    (fingerprint table is tiny relative to the corpus); at larger scale the
-    standard trick is bucketing on bit-chunks (pigeonhole), same as LSH bands."""
+    """Pairs within hamming distance via pigeonhole banding — scale-safe.
+
+    Split the k-bit fingerprint into ``max_hamming + 1`` disjoint chunks: two
+    fingerprints within hamming distance h ≤ max_hamming differ in at most
+    max_hamming chunks, so they AGREE on at least one chunk (pigeonhole).
+    Candidates therefore come from an equi-join on (chunk_idx, chunk_val) —
+    the same bounded band-bucket shape as the MinHash LSH join above — and
+    are then verified exactly with bit_count(xor). No cross join anywhere;
+    at 10^9 docs the shuffle is |docs| × (max_hamming+1) rows and join
+    fan-out is bounded by per-bucket collision counts (AQE skew-split covers
+    pathological buckets such as the all-zeros chunk of short docs)."""
     fp = simhash_fingerprints(docs)
-    a = fp.alias("a")
-    b = fp.alias("b")
-    return (
-        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+    n_chunks = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_chunks)  # ceil: chunks cover all bits
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for j in range(n_chunks)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(F.col("hamming") <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("hamming").cast("int").alias("hamming"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
+        .distinct()  # a pair can agree on several chunks
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )

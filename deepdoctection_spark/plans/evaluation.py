@@ -26,15 +26,27 @@ from deepdoctection_spark.sources.transcripts import (
 )
 
 
+# One persisted gt per (session, sf_dir): each metric query self-joins gt
+# against a perturbation of gt with different projections, so Catalyst cannot
+# reuse the exchange — without a persist the full extraction stage (the
+# dominant cost) would execute twice per metric. The cache is module-level so
+# REPEATED query invocations in one session reuse the same persisted frame
+# instead of leaking a new cached DataFrame per call (executor memory held
+# for the session lifetime). At design scale the equivalent is materializing
+# gt once as a table.
+_GT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Golden span table, persisted: both metric queries self-join gt
-    against a perturbation of gt with different projections, so Catalyst
-    cannot reuse the exchange — without the persist the full extraction
-    stage (the dominant cost) would execute twice per metric. At design
-    scale the equivalent is materializing gt once as a table."""
-    return block_spans(
+    key = (id(spark), sf_dir)
+    cached = _GT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    gt = block_spans(
         extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
     ).persist()
+    _GT_CACHE[key] = gt
+    return gt
 
 
 _PRED_SQL = """

@@ -452,7 +452,7 @@ def q_events_sessionize(spark, sf_dir):
 SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start_us,
        event_type,
        count(*)::BIGINT AS n,
-       round(sum(value), 2) AS sum_value
+       round(sum(value::DECIMAL(20,4)), 2)::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -469,7 +469,13 @@ def q_events_tumbling(spark, sf_dir):
         "event_type",
     ).agg(
         F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # DECIMAL accumulation (same policy as rel_pricing_summary): double
+        # summation order varies with partitioning and can flip the rounded
+        # 2nd decimal vs the serial oracle; decimal sums are exact and
+        # order-independent
+        F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

@@ -84,6 +84,49 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+# The df-capped configuration — the one that actually runs at corpus scale
+# (bounds the shared-shingle join fan-out to cap² per shingle). The oracle
+# mirrors the pruning exactly: shingle df computed over distinct
+# (doc_id, shingle), shingles above the cap dropped BEFORE sizes and the
+# candidate join, so |sets| in the Jaccard denominator is the pruned size on
+# both engines.
+_PRUNED_DF_CAP = 50
+
+_SHINGLES_PRUNED_CTE = f"""
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+),
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= {_PRUNED_DF_CAP}),
+sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_pruned",
+    f"""
+WITH {_SHINGLES_PRUNED_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS intersect_size
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, intersect_size,
+       round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4) >= 0.8
+""",
+)
+def q_dedup_ngram_pruned(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), k=3, threshold=0.8, max_shingle_df=_PRUNED_DF_CAP
+    )
+
+
 def _minhash_oracle(num_perm: int = 8, bands: int = 4) -> str:
     r = num_perm // bands
     sig_cols = ", ".join(

@@ -77,8 +77,15 @@ def load_coco(spark: SparkSession, path: str) -> DataFrame:
         imgs.join(anns, imgs["id"] == anns["image_id"], "left")
         .groupBy(imgs["id"].alias("image_id"), "file_name", "height", "width")
         .agg(
+            # conditional collect: images with zero annotations must yield an
+            # EMPTY array (the reference's empty-list shape), not a length-1
+            # array holding one all-null struct — the left join's null columns
+            # would otherwise still build a non-null struct per unmatched image
             F.collect_list(
-                F.struct("ann_id", "category_id", "bbox", "area", "iscrowd")
+                F.when(
+                    F.col("ann_id").isNotNull(),
+                    F.struct("ann_id", "category_id", "bbox", "area", "iscrowd"),
+                )
             ).alias("annotations")
         )
     )
