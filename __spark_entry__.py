@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import deepdoctection_spark.plans.evaluation  # noqa: F401 — registers eval metrics (Evaluator analogue)
 import deepdoctection_spark.plans.lm_ops  # noqa: F401 — registers LM-service (stub model) queries
+import deepdoctection_spark.plans.matchnms_ops  # noqa: F401 — registers matching+NMS queries
 import deepdoctection_spark.plans.multimodal_ops  # noqa: F401 — registers media decode/feature queries
 import deepdoctection_spark.plans.pipeline  # noqa: F401 — registers extraction queries
 import deepdoctection_spark.plans.relational  # noqa: F401 — registers relational ops
