@@ -26,6 +26,7 @@ import deepdoctection_spark.plans.lm_ops  # noqa: F401 — registers LM-service 
 import deepdoctection_spark.plans.matchnms_ops  # noqa: F401 — registers matching+NMS queries
 import deepdoctection_spark.plans.multimodal_ops  # noqa: F401 — registers media decode/feature queries
 import deepdoctection_spark.plans.pipeline  # noqa: F401 — registers extraction queries
+import deepdoctection_spark.plans.pubtables_ops  # noqa: F401 — registers pubtables segmentation query
 import deepdoctection_spark.plans.refine_ops  # noqa: F401 — registers cell-merge refinement query
 import deepdoctection_spark.plans.relational  # noqa: F401 — registers relational ops
 import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers dedup/similarity/textstats
