@@ -103,6 +103,28 @@ def main() -> None:
         lambda: reassemble_conversations(extract_transcripts(t_all, with_words=False))
     )
 
+    # mega-conversation stress: same rows, ~30% reassigned to ONE conv_id —
+    # the two-phase reassembly must keep this within ~1.5x of the uniform
+    # shape (phase 1 spreads the hot conv over many bounded chunk groups)
+    from pyspark.sql import functions as F
+
+    t_skew = t_all.withColumn(
+        "hot", F.pmod(F.hash("conv_id", "turn_idx"), F.lit(10)) < 3
+    ).select(
+        F.when(F.col("hot"), F.lit("conv-mega")).otherwise(F.col("conv_id")).alias("conv_id"),
+        F.when(
+            F.col("hot"),
+            F.pmod(F.hash("conv_id", "turn_idx", "text"), F.lit(2147483647)),
+        )
+        .otherwise(F.col("turn_idx"))
+        .cast("int")
+        .alias("turn_idx"),
+        "role", "text", "tool", "ts",
+    )
+    timings["reassemble_skewed"] = timed(
+        lambda: reassemble_conversations(extract_transcripts(t_skew, with_words=False))
+    )
+
     for name in (
         "table_cells",
         "dedup_minhash_lsh",

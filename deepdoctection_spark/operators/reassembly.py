@@ -39,17 +39,79 @@ def with_turn_order(extracted: DataFrame) -> DataFrame:
 
 
 def reassemble_conversations(
-    extracted: DataFrame, text_col: str = "extracted_text", sep: str = "\n\n"
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    sep: str = "\n\n",
+    chunk_size: int | None = 1024,
 ) -> DataFrame:
     """One row per conversation: turns concatenated in turn_idx order.
 
     conv_text = join of per-turn extracted text, ordered by the explicit key —
     deterministic under any physical parallelism / arrival order.
+
+    Two-phase by default (the mega-conversation memory bound): phase 1
+    partially concatenates per (conv_id, turn_idx // chunk_size) — each
+    aggregation group holds at most chunk_size per-turn structs, so a
+    conversation carrying 30% of the corpus no longer forces one task to
+    buffer (and sort) every turn struct at once; AQE cannot split a single
+    group, but it CAN distribute many chunk groups. Phase 2 merges the
+    ordered chunk strings per conv_id — state there is one string per chunk,
+    not one struct per turn. Output strings are byte-identical to the
+    single-phase plan (chunks are ordered ranges of turn_idx, and sep joins
+    both within and between chunks). The final row still materializes the
+    whole conv_text — that is the output contract; for an output-bounded
+    variant use reassemble_conversations_chunked.
+
+    chunk_size=None selects the single-phase plan (one groupBy, used by the
+    equivalence invariant test). Chunk grouping assumes roughly dense
+    turn_idx per conversation (the input contract); pathologically sparse
+    indices degrade phase 1 back toward single-group behavior but never
+    change the result.
     """
+    if chunk_size is None:
+        return (
+            extracted.groupBy("conv_id")
+            .agg(
+                F.count("*").cast("long").alias("n_turns"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("turn_idx"), F.col(text_col))
+                            )
+                        ),
+                        lambda s: s[text_col],
+                    ),
+                    sep,
+                ).alias("conv_text"),
+            )
+        )
+    chunks = _chunked(extracted, text_col, sep, chunk_size)
+    return chunks.groupBy("conv_id").agg(
+        F.sum("chunk_turns").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("chunk_no"), F.col("chunk_text")))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            sep,
+        ).alias("conv_text"),
+    )
+
+
+def _chunked(
+    extracted: DataFrame, text_col: str, sep: str, chunk_size: int
+) -> DataFrame:
+    """Phase 1: ordered partial concat per (conv_id, turn_idx // chunk_size)."""
     return (
-        extracted.groupBy("conv_id")
+        extracted.withColumn(
+            "chunk_no", F.floor(F.col("turn_idx") / chunk_size).cast("long")
+        )
+        .groupBy("conv_id", "chunk_no")
         .agg(
-            F.count("*").cast("long").alias("n_turns"),
+            F.count("*").cast("long").alias("chunk_turns"),
             F.array_join(
                 F.transform(
                     F.array_sort(
@@ -58,8 +120,24 @@ def reassemble_conversations(
                     lambda s: s[text_col],
                 ),
                 sep,
-            ).alias("conv_text"),
+            ).alias("chunk_text"),
         )
+    )
+
+
+def reassemble_conversations_chunked(
+    extracted: DataFrame,
+    text_col: str = "extracted_text",
+    sep: str = "\n\n",
+    chunk_size: int = 1024,
+) -> DataFrame:
+    """Bounded-output reassembly: one row per (conv_id, chunk_no) with at
+    most chunk_size turns concatenated in order — the contract a 100 TB
+    consumer actually wants for a conversation too large for one row. A
+    reader restores the full text by concatenating chunk_text over ascending
+    chunk_no with sep (chunks are ordered, disjoint turn_idx ranges)."""
+    return _chunked(extracted, text_col, sep, chunk_size).select(
+        "conv_id", "chunk_no", "chunk_turns", "chunk_text"
     )
 
 

@@ -185,3 +185,43 @@ def test_vertical_tab_normalizes_identically_in_both_engines(spark):
         " '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '), w -> length(w) > 0)) AS n"
     ).fetchone()[0]
     assert got["ws_tokens"] == oracle == 4  # a b c d
+
+
+def test_two_phase_reassembly_equals_single_phase_on_skew(spark, sf_small):
+    """The mega-conversation memory bound: the chunked two-phase plan must be
+    byte-identical to the single-phase plan, with a chunk size small enough
+    that the mega conversation spans MANY phase-1 groups."""
+    from deepdoctection_spark.sources.transcripts import build_skewed_transcripts
+
+    t = build_skewed_transcripts(spark, sf_small)
+    ex = extract_transcripts(t, with_words=False)
+    single = _conv_fp(reassemble_conversations(ex, chunk_size=None))
+    two_phase = _conv_fp(reassemble_conversations(ex, chunk_size=7))
+    assert two_phase == single
+
+
+def test_chunked_reassembly_reconstructs_full_text(spark, sf_small):
+    """Bounded-output contract: concatenating chunk_text over ascending
+    chunk_no restores exactly the one-row conv_text, and every chunk holds
+    at most chunk_size turns."""
+    from collections import defaultdict
+
+    from deepdoctection_spark.operators.reassembly import (
+        reassemble_conversations_chunked,
+    )
+    from deepdoctection_spark.sources.transcripts import build_skewed_transcripts
+
+    t = build_skewed_transcripts(spark, sf_small)
+    ex = extract_transcripts(t, with_words=False)
+    full = {r["conv_id"]: (r["n_turns"], r["conv_text"])
+            for r in reassemble_conversations(ex, chunk_size=None).collect()}
+    chunks = defaultdict(list)
+    for r in reassemble_conversations_chunked(ex, chunk_size=5).collect():
+        assert r["chunk_turns"] <= 5
+        chunks[r["conv_id"]].append((r["chunk_no"], r["chunk_turns"], r["chunk_text"]))
+    assert set(chunks) == set(full)
+    for conv, parts in chunks.items():
+        parts.sort()
+        n = sum(p[1] for p in parts)
+        text = "\n\n".join(p[2] for p in parts)
+        assert (n, text) == full[conv]
