@@ -55,6 +55,47 @@ def looks_like_layout(payload: str) -> bool:
     return payload.startswith("@") and _LINE_RE.match(payload.split("\n", 1)[0]) is not None
 
 
+def make_sub_lines(
+    runs: list[PositionedLine],
+    paragraph_break: float,
+    char_width: float = 0.0,
+) -> list[PositionedLine]:
+    """Split each LINE (same-y runs, x-sorted) into sub-lines at horizontal
+    gaps ≥ paragraph_break — the reference's TextLineGenerator sub-line pass
+    (/root/reference/deepdoctection/pipe/order.py:345-563: consecutive words
+    stay in one sub-line while current.ulx - prev.lrx < paragraph_break).
+    Runs within a sub-line merge into one positioned line (x = first run's x,
+    texts space-joined) so multi-column structure is detected per LINE, not
+    per whole-payload x histogram.
+
+    ``char_width`` models a run's rendered width (prev.lrx = prev.x +
+    char_width·len(prev)); the text wire format carries only start positions,
+    so the default 0.0 measures start-to-start distance — the strongest
+    signal available without font metrics. Detector-driven inputs with real
+    box widths pass their measured width instead."""
+    by_y: dict[float, list[PositionedLine]] = {}
+    for r in runs:
+        by_y.setdefault(r.y, []).append(r)
+    out: list[PositionedLine] = []
+    for y in sorted(by_y):
+        row = sorted(by_y[y], key=lambda r: r.x)
+        cur: list[PositionedLine] = [row[0]]
+        for prev, nxt in zip(row, row[1:]):
+            prev_end = prev.x + char_width * len(normalize_ws(prev.content))
+            if nxt.x - prev_end < paragraph_break:
+                cur.append(nxt)
+            else:
+                out.append(_merge_sub_line(cur))
+                cur = [nxt]
+        out.append(_merge_sub_line(cur))
+    return out
+
+
+def _merge_sub_line(runs: list[PositionedLine]) -> PositionedLine:
+    texts = [t for t in (normalize_ws(r.content) for r in runs) if t]
+    return PositionedLine(runs[0].x, runs[0].y, " ".join(texts))
+
+
 def cluster_columns(lines: list[PositionedLine], column_gap: float) -> list[list[PositionedLine]]:
     """Bucket lines into columns: sorted distinct x starts a new column when
     the gap from the previous x exceeds ``column_gap`` (order.py:173-290
@@ -79,9 +120,15 @@ def cluster_columns(lines: list[PositionedLine], column_gap: float) -> list[list
     return buckets
 
 
-def extract_layout_blocks(payload: str, column_gap: float = 100.0) -> list[LayoutBlock]:
+def extract_layout_blocks(
+    payload: str,
+    column_gap: float = 100.0,
+    paragraph_break: float | None = None,
+) -> list[LayoutBlock]:
     """title block (unique topmost line) + one text block per column, in
-    reading order (title, then columns left→right, lines top→down)."""
+    reading order (title, then columns left→right, sub-lines top→down).
+    paragraph_break defaults to column_gap (a within-line gap wide enough to
+    start a column also starts a sub-line)."""
     lines = parse_positioned_lines(payload)
     if not lines:
         return []
@@ -94,9 +141,11 @@ def extract_layout_blocks(payload: str, column_gap: float = 100.0) -> list[Layou
             LayoutBlock("title", normalize_ws(top[0].content), lines=top)
         )
         rest = [ln for ln in lines if ln is not top[0]]
-    for bucket in cluster_columns(rest, column_gap):
-        normed = [normalize_ws(ln.content) for ln in bucket]  # once per line
-        text = "\n".join(t for t in normed if t)
+    sub = make_sub_lines(
+        rest, column_gap if paragraph_break is None else paragraph_break
+    )
+    for bucket in cluster_columns(sub, column_gap):
+        text = "\n".join(ln.content for ln in bucket if ln.content)
         if text:
             blocks.append(LayoutBlock("text", text, lines=bucket))
     return blocks

@@ -60,6 +60,12 @@ PDFISH_PAYLOAD: list[Lit] = [
     ("lit", "@72,40:Document "), ("col", "d"),
     ("lit", "\n@72,100:"), ("col", "t"),
     ("lit", "\n@72,160:left column lang "), ("col", "l"),
+    # two runs on ONE line (y=220) separated by 68 < paragraph_break(100):
+    # sub-line pass must merge them with a space ("closing note ref {d}"),
+    # NOT stack them as two lines — the case that distinguishes per-line
+    # sub-line splitting (order.py:345-563) from whole-payload x clustering
+    ("lit", "\n@72,220:closing note"),
+    ("lit", "\n@140,220:ref "), ("col", "d"),
     ("lit", "\n@306,100:right column source "), ("col", "s"),
     ("lit", "\n@306,160:end "), ("col", "d"),
 ]
@@ -80,7 +86,8 @@ EXPECTED_BLOCKS: dict[str, list[tuple[str, list[Lit]]]] = {
     ],
     "pdf_reader": [
         ("title", [("lit", "Document "), ("col", "d")]),
-        ("text", [("col", "t"), ("lit", "\nleft column lang "), ("col", "l")]),
+        ("text", [("col", "t"), ("lit", "\nleft column lang "), ("col", "l"),
+                  ("lit", "\nclosing note ref "), ("col", "d")]),
         ("text", [("lit", "right column source "), ("col", "s"),
                   ("lit", "\nend "), ("col", "d")]),
     ],

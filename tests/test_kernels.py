@@ -172,15 +172,19 @@ def test_single_column_no_title_when_tie():
     payload = "@72,40:a\n@80,40:b\n@72,90:c"
     blocks = extract_layout_blocks(payload)
     assert [b.category for b in blocks] == ["text"]
-    assert blocks[0].text == "a\nb\nc"  # same column (gap < 100), (y, x) order
+    # a+b share y with gap 8 < paragraph_break → ONE sub-line ("a b"),
+    # stacked above c (order.py:345-563 sub-line semantics)
+    assert blocks[0].text == "a b\nc"
 
 
 def test_column_gap_parameter():
+    # three runs on ONE line: sub-line grouping is gap-driven (the
+    # paragraph_break defaults to column_gap), columns from sub-line starts
     payload = "@0,10:l\n@90,10:m\n@250,10:r"
     one = extract_layout_blocks(payload, column_gap=300)
-    assert len(one) == 1 and one[0].text == "l\nm\nr"
+    assert len(one) == 1 and one[0].text == "l m r"
     two = extract_layout_blocks(payload, column_gap=100)
-    assert [b.text for b in two] == ["l\nm", "r"]
+    assert [b.text for b in two] == ["l m", "r"]
 
 
 # ---------------------------------------------------------------------------
@@ -347,3 +351,48 @@ def test_teds_spans_in_labels_and_size_cap():
     big = "<p>" + "<b>x</b>" * 1500 + "</p>"
     with _pytest.raises(TreeTooLarge):
         tree_edit_distance(parse_html(big), parse_html(big))
+
+
+# --- sub-line splitting (TextLineGenerator, order.py:345-563) ---------------
+
+
+def test_sub_line_merges_close_runs_on_one_line():
+    from deepdoctection_spark.kernels.layout import extract_layout_blocks
+
+    payload = "@72,40:T\n@72,100:alpha\n@140,100:beta\n@72,160:gamma"
+    blocks = extract_layout_blocks(payload)
+    # gap 68 < 100: same sub-line, space-joined — NOT two stacked lines
+    assert [b.text for b in blocks] == ["T", "alpha beta\ngamma"]
+
+
+def test_sub_line_wide_gap_splits_into_columns():
+    from deepdoctection_spark.kernels.layout import extract_layout_blocks
+
+    payload = "@72,40:T\n@72,100:left\n@500,100:right"
+    blocks = extract_layout_blocks(payload)
+    assert [(b.category, b.text) for b in blocks] == [
+        ("title", "T"), ("text", "left"), ("text", "right")
+    ]
+
+
+def test_sub_line_char_width_model_extends_run_end():
+    from deepdoctection_spark.kernels.layout import (
+        make_sub_lines,
+        parse_positioned_lines,
+    )
+
+    runs = parse_positioned_lines("@0,0:abcdefghij\n@150,0:next")
+    # start-distance mode: 150 >= 100 → split
+    assert len(make_sub_lines(runs, 100.0)) == 2
+    # width model: prev ends at 0 + 20*10 = 200 → gap -50 → merge
+    merged = make_sub_lines(runs, 100.0, char_width=20.0)
+    assert len(merged) == 1 and merged[0].content == "abcdefghij next"
+
+
+def test_paragraph_break_boundary_is_strict_less_than():
+    from deepdoctection_spark.kernels.layout import make_sub_lines, parse_positioned_lines
+
+    # gap exactly == break → split (reference: same sub-line only if < break)
+    runs = parse_positioned_lines("@0,0:a\n@100,0:b")
+    assert len(make_sub_lines(runs, 100.0)) == 2
+    assert len(make_sub_lines(runs, 100.5)) == 1
