@@ -41,17 +41,17 @@ except ImportError:
 
 
 def decode_real_image(raw: bytes) -> "np.ndarray":
-    """Decode a real jpeg/png payload. STUB: pillow is not installed in the
-    build container; the Spark-side plumbing is identical for the FIMG fake
-    codec, which the tests exercise."""
+    """Decode a real jpeg/png payload. Delegates to the codec adapter layer
+    (operators/codecs.py — the documented seam where PIL/pypdf/pdfplumber
+    plug in outside the sandbox); kept for back-compat with round-1 callers."""
     if _PILImage is None:
         raise NotImplementedError(
             "image codec libraries are not available in this container; "
             "use the FIMG fake codec (synth_images) for plumbing tests"
         )
-    import io  # pragma: no cover
+    from deepdoctection_spark.operators.codecs import _pil_decode  # pragma: no cover
 
-    return np.asarray(_PILImage.open(io.BytesIO(raw)))  # pragma: no cover
+    return _pil_decode(raw)  # pragma: no cover
 
 
 # ---------------------------------------------------------------------------
@@ -205,7 +205,9 @@ def image_stats(media: DataFrame) -> DataFrame:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
                 try:  # row quarantine: a truncated payload must not kill the task
-                    a = fimg_decode(bytes(raw))
+                    from deepdoctection_spark.operators.codecs import decode_image
+
+                    a = decode_image(bytes(raw))
                     h, w, c = a.shape
                     rows.append(
                         (int(mid), w, h, c, a.size, round(float(a.mean()), 4),
@@ -274,7 +276,9 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
                 try:  # row quarantine
-                    sr, x = fpcm_decode(bytes(raw))
+                    from deepdoctection_spark.operators.codecs import decode_audio
+
+                    sr, x = decode_audio(bytes(raw))
                     xf = x.astype(np.float64)
                     # peak on the float copy: np.abs(int16 -32768) overflows
                     # to -32768 in int16 (full-scale negative is common)
