@@ -163,6 +163,18 @@ def refine_cells(cells: list[ProposedCell]) -> list[RefinedCell]:
     return out
 
 
+def cells_to_csv(cells: list[RefinedCell], n_rows: int, n_cols: int) -> list[str]:
+    """csv-style rows (Table.csv,
+    /root/reference/deepdoctection/datapoint/view.py:332-344): an n_rows ×
+    n_cols grid of strings; each cell's text lands on its upper-left tile
+    with a trailing space appended; tiles covered by spans stay blank.
+    Returned as one tab-joined string per row."""
+    grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+    for c in cells:
+        grid[c.row_number - 1][c.column_number - 1] += c.text + " "
+    return ["\t".join(row) for row in grid]
+
+
 def refined_cells_to_html(cells: list[RefinedCell], n_rows: int) -> str:
     """generate_html_string semantics (refine.py:297-346): every row 1..n_rows
     emits a <tr> (possibly empty when fully covered by spans from above);

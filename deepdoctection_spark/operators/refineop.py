@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from deepdoctection_spark.kernels.refine import (
     ProposedCell,
+    cells_to_csv,
     refine_cells,
     refined_cells_to_html,
 )
@@ -90,6 +91,63 @@ def refined_tables(extracted: DataFrame) -> DataFrame:
             T.StructField("variant", T.IntegerType()),
             T.StructField("n_cells", T.IntegerType()),
             T.StructField("refined_html", T.StringType()),
+        ]
+    )
+    return (
+        extracted.where(F.size("cells") > 0)
+        .select("conv_id", "turn_idx", "cells")
+        .mapInArrow(fn, schema=schema)
+    )
+
+
+_CSV_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("variant", pa.int32()),
+        ("row_number", pa.int32()),
+        ("csv_row", pa.string()),
+    ]
+)
+
+
+def refined_csv_rows(extracted: DataFrame) -> DataFrame:
+    """Table.csv export (view.py:332-344) over the refined cells: one output
+    row per table row, tab-joined tiles, spanned tiles blank."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            conv = rb.column(0).to_pylist()
+            tix = rb.column(1).to_pylist()
+            cells = rb.column(2).to_pylist()
+            cols: list[list] = [[] for _ in range(5)]
+            for i in range(rb.num_rows):
+                if not cells[i]:
+                    continue
+                variant = int(tix[i]) % 3
+                refined = refine_cells(_proposals(cells[i], variant))
+                n_rows = max(c.row_number + c.row_span - 1 for c in refined)
+                n_cols = max(c.column_number + c.column_span - 1 for c in refined)
+                for r, row in enumerate(cells_to_csv(refined, n_rows, n_cols), 1):
+                    cols[0].append(conv[i])
+                    cols[1].append(tix[i])
+                    cols[2].append(variant)
+                    cols[3].append(r)
+                    cols[4].append(row)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, t.type) for c, t in zip(cols, _CSV_SCHEMA)],
+                schema=_CSV_SCHEMA,
+            )
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("variant", T.IntegerType()),
+            T.StructField("row_number", T.IntegerType()),
+            T.StructField("csv_row", T.StringType()),
         ]
     )
     return (

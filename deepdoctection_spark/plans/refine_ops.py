@@ -87,3 +87,45 @@ def q_table_refined(spark, sf_dir):
     return refined_tables(
         extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
     )
+
+
+def oracle_table_refined_csv() -> str:
+    """Expected Table.csv rows per variant: text + trailing space at the
+    upper-left tile, blank tiles under spans, tab-joined."""
+    cp = _cell_pieces()
+    c00, c01, c10, c11 = cp[(1, 1)], cp[(1, 2)], cp[(2, 1)], cp[(2, 2)]
+    sp: Lit = ("lit", " ")
+    tab: Lit = ("lit", "\t")
+    rows_by_variant = {
+        0: [
+            [*c00, sp, tab, *c01, sp],
+            [*c10, sp, tab, *c11, sp],
+        ],
+        1: [
+            [*_joined(c00, c10), sp, tab, *c01, sp],
+            [tab, *c11, sp],
+        ],
+        2: [
+            [*_joined(c00, c01, c10, c11), sp, tab],
+            [tab],
+        ],
+    }
+    selects = []
+    for v, rows in rows_by_variant.items():
+        for r, pieces in enumerate(rows, 1):
+            selects.append(
+                f"SELECT conv_id, turn_idx, {v}::INT AS variant, "
+                f"{r}::INT AS row_number, {sql_concat(pieces)} AS csv_row "
+                f"FROM base WHERE (doc_id % 3) = 1 AND (doc_id % 8) % 3 = {v}"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS ({TRANSCRIPT_BASE_SQL})\n{union}"
+
+
+@register("table_refined_csv", oracle_table_refined_csv())
+def q_table_refined_csv(spark, sf_dir):
+    from deepdoctection_spark.operators.refineop import refined_csv_rows
+
+    return refined_csv_rows(
+        extract_transcripts(build_transcripts(spark, sf_dir), with_words=False)
+    )

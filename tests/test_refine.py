@@ -91,3 +91,14 @@ def test_merged_text_in_row_col_order():
     refined = refine_cells(cells)
     assert len(refined) == 1
     assert refined[0].text == "first mid third late"
+
+
+def test_csv_spanned_tiles_blank():
+    from deepdoctection_spark.kernels.refine import cells_to_csv
+
+    cells = refine_cells([
+        P("c00", 1, 1, rs=2, text="A"), P("c01", 1, 2, text="B"),
+        P("c10", 2, 1, text="C"), P("c11", 2, 2, text="D"),
+    ])
+    # merged (1,1) rowspan-2 cell "A C": text at the upper-left tile only
+    assert cells_to_csv(cells, 2, 2) == ["A C \tB ", "\tD "]
