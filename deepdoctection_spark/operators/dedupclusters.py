@@ -1,0 +1,113 @@
+"""Near-duplicate cluster formation: connected components over dup pairs.
+
+Pair-level dedup (MinHash/SimHash/Jaccard) yields edges; production dedup
+needs CLUSTERS (keep one representative per component). This operator
+computes connected components distributively with iterated min-label
+propagation — the standard Spark formulation (no GraphFrames dependency):
+
+    label(v) ← min(label(v), min over neighbors(label(u)))   until fixpoint
+
+Each round is one self-join + aggregation on the edge list; rounds needed =
+graph diameter (near-dup graphs are shallow — duplicates of a document are
+duplicates of each other, so components are dense and the loop converges in
+2-3 rounds). The loop is DRIVER-side control flow over fully distributed
+steps; each iteration's result is checkpointed via localCheckpoint to cut
+the growing lineage (the iterative-algorithm pattern Catalyst cannot express
+declaratively).
+
+Scale notes:
+- edges come pre-deduplicated from the banded LSH joins (bounded fan-out);
+- each propagation round shuffles |V| + |E| rows on the vertex key;
+- convergence check is a 1-row aggregate per round (no collect of data).
+
+The DuckDB oracle computes the same components with a recursive CTE
+(transitive closure by min-label), a genuinely independent serial algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) — component = min node id reachable via edges.
+
+    Isolated nodes are absent (callers union the full corpus and coalesce
+    to self-cluster, see dup_clusters)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("min_nb"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("min_nb")).alias("label"),
+        )
+    )
+    for _ in range(max_iter):
+        # candidate labels: own label ∪ neighbors' labels
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(sym["a"].alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .where(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per document: its near-dup cluster id (min doc_id of the component;
+    singletons are their own cluster), the cluster size, and whether this doc
+    is the kept representative — the materialized keep/drop decision a
+    training-data dedup pass actually applies."""
+    comp = connected_components(pairs, src, dst)
+    joined = docs.select(F.col(doc_col).alias("node")).join(
+        comp, "node", "left"
+    )
+    labeled = joined.select(
+        F.col("node").alias(doc_col),
+        F.coalesce("component", "node").alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            doc_col,
+            "cluster_id",
+            "cluster_size",
+            (F.col(doc_col) == F.col("cluster_id")).alias("is_kept"),
+        )
+    )

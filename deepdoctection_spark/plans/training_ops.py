@@ -163,6 +163,47 @@ WHERE round(intersect_size / (sa.n_shingles + sb.n_shingles - intersect_size), 4
 """
 
 
+def _cluster_oracle() -> str:
+    """Clusters over the MinHash-LSH pairs via a recursive-CTE transitive
+    closure — an independent serial algorithm vs Spark's iterated min-label
+    propagation (operators/dedupclusters.py)."""
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM labeled GROUP BY 1)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       (l.doc_id = l.cluster_id) AS is_kept
+FROM labeled l JOIN sizes s USING (cluster_id)
+"""
+
+
+@register("dedup_clusters", _cluster_oracle())
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster materialization: LSH pairs → connected components
+    (iterated min-label propagation) → per-doc cluster id / size / keep
+    flag. The corpus-level keep/drop decision pair-dedup alone can't make."""
+    from deepdoctection_spark.operators.dedupclusters import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=3, threshold=0.8)
+    return dup_clusters(docs, pairs)
+
+
 @register("dedup_minhash_lsh", _minhash_oracle())
 def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(

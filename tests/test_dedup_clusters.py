@@ -1,0 +1,31 @@
+"""Connected-components cluster formation over dup pairs (end-to-end is the
+dedup_clusters row of the parity gate)."""
+
+from __future__ import annotations
+
+from deepdoctection_spark.operators.dedupclusters import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def test_multi_hop_chain_converges(spark):
+    # path graph 1-2-3-4-5 plus an isolated edge 10-11: min-label needs
+    # several propagation rounds to reach the chain's far end
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_keep_flags_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in dup_clusters(docs, pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[3]["cluster_id"] == 1
+    assert rows[1]["cluster_size"] == 3
+    assert rows[1]["is_kept"] and not rows[2]["is_kept"]
+    # singletons are their own kept cluster
+    assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1 and rows[4]["is_kept"]
+    assert rows[5]["cluster_size"] == 2 and rows[6]["cluster_id"] == 5
