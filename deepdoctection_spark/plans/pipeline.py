@@ -60,6 +60,29 @@ def q_conversation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reassemble_conversations(_extracted(spark, sf_dir))
 
 
+def _oracle_dataset_build() -> str:
+    """val-split, category-filtered span export: the extract_spans oracle
+    restricted by the md5 split bucket and the category list."""
+    return (
+        f"SELECT * FROM ({oracles.oracle_extract_spans()}) s "
+        "WHERE (('0x' || substr(md5(conv_id), 1, 2))::INT % 10) = 8 "
+        "AND category IN ('title', 'table')"
+    )
+
+
+@register("dataset_build", _oracle_dataset_build())
+def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datasets adapter facade (DataFlowBaseBuilder.build,
+    /root/reference/deepdoctection/datasets/dataflow_builder.py:32): val
+    split + category filter, exported as flat span rows."""
+    from deepdoctection_spark.sources.datasets import TranscriptDataset
+
+    ds = TranscriptDataset(spark, sf_dir).build(
+        split="val", categories=["title", "table"]
+    )
+    return block_spans(ds)
+
+
 @register("table_html", oracles.oracle_table_html())
 def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extracted(spark, sf_dir)

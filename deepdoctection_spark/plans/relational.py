@@ -174,6 +174,30 @@ def q_union_distinct(spark, sf_dir):
     )
 
 
+# --- repeat (RepeatedData) ----------------------------------------------------
+
+
+@register(
+    "rel_repeated",
+    """
+SELECT r.rep::INT AS rep, n.n_nationkey, n.n_name
+FROM nation n CROSS JOIN range(0, 3) AS r(rep)
+""",
+)
+def q_repeated(spark, sf_dir):
+    """RepeatedData (dataflow/common.py:154-184): stream repeated num times —
+    crossJoin with a broadcast range; per-replica index keeps rows keyed
+    (Spark outputs are unordered, so the epoch index must be explicit data,
+    unlike the reference's implicit iteration order)."""
+    n = _t(spark, sf_dir, "nation")
+    reps = F.broadcast(
+        spark.range(3).select(F.col("id").cast("int").alias("rep"))
+    )
+    return n.select("n_nationkey", "n_name").crossJoin(reps).select(
+        "rep", "n_nationkey", "n_name"
+    )
+
+
 # --- explode (FlattenData) ----------------------------------------------------
 
 
