@@ -345,6 +345,29 @@ def q_ann_pairs(spark, sf_dir):
     )
 
 
+# The driver's synthetic embeddings are near-orthogonal (max intra-bucket
+# cosine ≈ 0.47 at sf0.01), so the production 0.9-threshold config above is
+# correctness-checked against an EMPTY result — a weak value check. This
+# low-threshold config returns a non-empty pair set (23 rows at sf0.01) so
+# the bucket join + exact-cosine verification arithmetic is checked on real
+# values too.
+@register(
+    "ann_lsh_pairs_t03",
+    f"""
+WITH {_EMB_BASE},
+wb AS (SELECT vec_id, emb, ({_ann_bucket_expr()})::INT AS bucket FROM base)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) >= 0.3
+""",
+)
+def q_ann_pairs_t03(spark, sf_dir):
+    return similarity.ann_lsh_pairs(_embs(spark, sf_dir), min_cosine=0.3)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -225,3 +225,41 @@ def test_chunked_reassembly_reconstructs_full_text(spark, sf_small):
         n = sum(p[1] for p in parts)
         text = "\n\n".join(p[2] for p in parts)
         assert (n, text) == full[conv]
+
+
+def test_round2_operators_are_narrow(spark, sf_small):
+    """matchnms / refinement / pubtables / csv stages: zero Exchange — spans
+    never cross a turn, so each query must stay scan → project → mapInArrow."""
+    from deepdoctection_spark.operators.matchnms import (
+        noisy_assignments,
+        noisy_candidates,
+    )
+    from deepdoctection_spark.operators.pubtablesop import pubtables_grids
+    from deepdoctection_spark.operators.refineop import (
+        refined_csv_rows,
+        refined_tables,
+    )
+
+    t = build_transcripts(spark, sf_small)
+    ex = extract_transcripts(t, with_words=False)
+    for name, df in [
+        ("noisy_candidates", noisy_candidates(ex)),
+        ("noisy_assignments", noisy_assignments(ex)),
+        ("refined_tables", refined_tables(ex)),
+        ("refined_csv_rows", refined_csv_rows(ex)),
+        ("pubtables_grids", pubtables_grids(t)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"{name} plan has a shuffle:\n{plan}"
+
+
+def test_simhash_pairs_plan_has_no_cross_join(spark, sf_parity):
+    """The pigeonhole-banded rewrite must plan as an equi-join: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from deepdoctection_spark.operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_parity}/documents.parquet")
+    plan = (
+        simhash_near_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
