@@ -26,8 +26,6 @@ Output contract (pinned once — SURVEY.md §7 hard-part #1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import NamedTuple
-
 from deepdoctection_spark.kernels.html import extract_blocks, looks_like_html
 from deepdoctection_spark.kernels.ids import span_id
 from deepdoctection_spark.kernels.layout import extract_layout_blocks, looks_like_layout
@@ -54,15 +52,13 @@ class SpanOut:
     attrs: dict[str, str]
 
 
-class WordSpan(NamedTuple):
-    """Word-level span WITHOUT an id: word span_ids are computed JVM-side
-    (md5 column expression over the same key) so the hot per-word path never
-    calls hashlib in Python — see operators/extraction.py."""
-
-    idx: int
-    token: str
-    begin: int
-    end: int
+# Word-level spans travel as plain (idx, token, begin, end) tuples — the
+# single hottest per-row object (≈60 words/turn): no per-word class
+# construction, no per-word id hashing. Word span_ids are NOT materialized in
+# the hot path at all; consumers needing the deterministic id derive it
+# JVM-side from the same key (operators/extraction.word_token_ids), which is
+# a vectorized md5 column expression over the flat exploded rows.
+WordTuple = tuple[int, str, int, int]
 
 
 @dataclass(slots=True)
@@ -70,7 +66,7 @@ class TurnExtraction:
     extracted_text: str
     blocks: list[SpanOut]
     cells: list[SpanOut]
-    words: list[WordSpan]
+    words: list[WordTuple]
     table_htmls: list[str]
 
 
@@ -142,5 +138,6 @@ def finalize_turn(conv_id: str, turn_idx: int, blocks: list[Block]) -> TurnExtra
                     first_in_row = False
                 cursor += 1  # the joining \n (or trailing — harmless)
         offset = end + 1  # block-joining \n
-    words = [WordSpan(i, tok, wb, we) for i, tok, wb, we in word_spans(extracted)]
-    return TurnExtraction(extracted, spans, cell_spans, words, table_htmls)
+    return TurnExtraction(
+        extracted, spans, cell_spans, word_spans(extracted), table_htmls
+    )

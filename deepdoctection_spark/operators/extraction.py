@@ -30,8 +30,6 @@ Spark-first design notes
 from __future__ import annotations
 
 from collections.abc import Iterator
-from hashlib import md5
-
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,7 +66,6 @@ _CELL_STRUCT = T.StructType(
 
 _WORD_STRUCT = T.StructType(
     [
-        T.StructField("span_id", T.StringType()),
         T.StructField("token", T.StringType()),
         T.StructField("span_begin", T.IntegerType()),
         T.StructField("span_end", T.IntegerType()),
@@ -124,7 +121,6 @@ _PA_CELL = pa.struct(
 )
 _PA_WORD = pa.struct(
     [
-        ("span_id", pa.string()),
         ("token", pa.string()),
         ("span_begin", pa.int32()),
         ("span_end", pa.int32()),
@@ -168,9 +164,18 @@ def _extract_batches(
             out_nb: list[int] = [0] * n
             out_blocks: list[list] = [[] for _ in range(n)]
             out_cells: list[list] = [[] for _ in range(n)]
-            out_words: list[list] = [[] for _ in range(n)]
             out_html: list = [None] * n
             out_err: list = [None] * n
+            # words column built FLAT (token/begin/end/idx value lists +
+            # per-row offsets) and assembled with ListArray/StructArray
+            # .from_arrays — the all-C construction path. Words are the
+            # hottest per-row payload (~60/turn); per-word Python dicts
+            # measurably dominate the stage cost at scale.
+            w_tok: list[str] = []
+            w_begin: list[int] = []
+            w_end: list[int] = []
+            w_idx: list[int] = []
+            w_offsets: list[int] = [0]
             for i in range(n):
                 try:
                     blocks = extract_turn(texts[i], tools[i], ld, gap)
@@ -204,21 +209,11 @@ def _extract_batches(
                         for s in fin.cells
                     ]
                     if with_words:
-                        # word ids share the row prefix — hash only the
-                        # suffix per word (same contract as kernels/ids.py)
-                        pfx = f"{conv[i]}|{int(tix[i])}|word|"
-                        out_words[i] = [
-                            {
-                                "span_id": md5(
-                                    f"{pfx}{w.begin}|{w.end}".encode()
-                                ).hexdigest(),
-                                "token": w.token,
-                                "span_begin": w.begin,
-                                "span_end": w.end,
-                                "word_idx": w.idx,
-                            }
-                            for w in fin.words
-                        ]
+                        for wi, tok, wb, we in fin.words:
+                            w_tok.append(tok)
+                            w_begin.append(wb)
+                            w_end.append(we)
+                            w_idx.append(wi)
                     # every table's HTML, in block order (a turn can carry
                     # several tables; keeping only the first silently
                     # contradicts the cells output)
@@ -226,7 +221,24 @@ def _extract_batches(
                         "\n".join(fin.table_htmls) if fin.table_htmls else None
                     )
                 except Exception as exc:  # quarantine, never throw
+                    # roll back any words appended before the failure so the
+                    # quarantined row carries an EMPTY word list
+                    base = w_offsets[-1]
+                    del w_tok[base:], w_begin[base:], w_end[base:], w_idx[base:]
                     out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
+                w_offsets.append(len(w_tok))
+            words_arr = pa.ListArray.from_arrays(
+                pa.array(w_offsets, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(w_tok, pa.string()),
+                        pa.array(w_begin, pa.int32()),
+                        pa.array(w_end, pa.int32()),
+                        pa.array(w_idx, pa.int32()),
+                    ],
+                    fields=list(_PA_WORD),
+                ),
+            )
             arrays = [
                 pa.array(conv, pa.string()),
                 pa.array(tix, pa.int32()),
@@ -236,7 +248,7 @@ def _extract_batches(
                 pa.array(out_nb, pa.int32()),
                 pa.array(out_blocks, pa.list_(_PA_SPAN)),
                 pa.array(out_cells, pa.list_(_PA_CELL)),
-                pa.array(out_words, pa.list_(_PA_WORD)),
+                words_arr,
                 pa.array(out_html, pa.string()),
                 pa.array(out_err, pa.string()),
             ]
@@ -324,4 +336,24 @@ def word_tokens(extracted: DataFrame) -> DataFrame:
         F.col("w.token").alias("token"),
         F.col("w.span_begin").alias("span_begin"),
         F.col("w.span_end").alias("span_end"),
+    )
+
+
+def word_token_ids(words: DataFrame) -> DataFrame:
+    """Attach the deterministic word span_id to flat word_tokens rows —
+    md5('{conv}|{turn}|word|{begin}|{end}'), the kernels/ids.span_id
+    contract, computed JVM-side as a whole-stage-codegen md5 expression over
+    the exploded rows (never per-word Python in the hot Arrow stage)."""
+    return words.withColumn(
+        "span_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("conv_id"),
+                F.col("turn_idx"),
+                F.lit("word"),
+                F.col("span_begin"),
+                F.col("span_end"),
+            )
+        ),
     )

@@ -249,8 +249,8 @@ def test_finalize_offsets_and_ids():
     assert (b0.begin, b0.end, b0.reading_order) == (0, 1, 0)
     assert (b1.begin, b1.end, b1.reading_order) == (2, 6, 1)
     assert b0.span_id == span_id("c", 0, "title", 0, 1)
-    # word spans over extracted text
-    assert [(w.begin, w.end) for w in fin.words] == [(0, 1), (2, 6)]
+    # word spans over extracted text: (idx, token, begin, end) tuples
+    assert [(wb, we) for _i, _t, wb, we in fin.words] == [(0, 1), (2, 6)]
 
 
 def test_content_sniff_fallback():
@@ -396,3 +396,24 @@ def test_paragraph_break_boundary_is_strict_less_than():
     runs = parse_positioned_lines("@0,0:a\n@100,0:b")
     assert len(make_sub_lines(runs, 100.0)) == 2
     assert len(make_sub_lines(runs, 100.5)) == 1
+
+
+def test_word_token_ids_match_python_contract(spark):
+    from deepdoctection_spark.kernels.ids import span_id as py_span_id
+    from deepdoctection_spark.operators.extraction import (
+        extract_transcripts,
+        word_token_ids,
+        word_tokens,
+    )
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    ex = extract_transcripts(
+        build_transcripts(spark, "/root/testdata/sf0.001").limit(20),
+        with_words=True,
+    )
+    rows = word_token_ids(word_tokens(ex)).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["span_id"] == py_span_id(
+            r["conv_id"], r["turn_idx"], "word", r["span_begin"], r["span_end"]
+        )

@@ -43,9 +43,9 @@ def test_extract_turn_total_and_offsets_valid(text, tool):
     # every span's offsets slice to a consistent substring
     for s in fin.blocks:
         assert 0 <= s.begin <= s.end <= len(et)
-    for w in fin.words:
-        assert et[w.begin : w.end] == w.token
-        assert " " not in w.token and "\n" not in w.token
+    for _wi, tok, wb, we in fin.words:
+        assert et[wb:we] == tok
+        assert " " not in tok and "\n" not in tok
     # block texts joined with \n reconstruct extracted_text
     assert "\n".join(et[s.begin : s.end] for s in fin.blocks) == et
     # reading order is dense 0..n-1
