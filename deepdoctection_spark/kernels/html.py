@@ -52,12 +52,29 @@ _BLOCKISH = (
 )
 
 
-@dataclass(slots=True)
+# Shared immutable empty-attrs dict: attrs are only ever read after parse
+# (never mutated), and most nodes — every text node in particular — have
+# none; a per-node default_factory dict allocation showed up in profiles.
+_NO_ATTRS: dict = {}
+
+
 class Node:
-    tag: str  # "" for text nodes
-    text: str = ""
-    attrs: dict = field(default_factory=dict)
-    children: list = field(default_factory=list)
+    __slots__ = ("tag", "text", "attrs", "children")
+
+    def __init__(
+        self,
+        tag: str,  # "" for text nodes
+        text: str = "",
+        attrs: dict | None = None,
+        children: list | None = None,
+    ):
+        self.tag = tag
+        self.text = text
+        self.attrs = _NO_ATTRS if attrs is None else attrs
+        self.children = [] if children is None else children
+
+    def __repr__(self) -> str:  # debugging parity with the old dataclass
+        return f"Node(tag={self.tag!r}, text={self.text!r}, children={len(self.children)})"
 
 
 # Depth cap: browsers flatten pathological nesting too; this bounds every
@@ -101,7 +118,7 @@ def parse_html(html: str) -> Node:
         attrs = (
             {k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(rawattrs)}
             if rawattrs and "=" in rawattrs
-            else {}
+            else None  # shared empty dict inside Node — no per-node alloc
         )
         node = Node(tag, attrs=attrs)
         if tag in _SKIP_CONTENT:

@@ -32,7 +32,7 @@ def word_spans(extracted_text: str) -> list[tuple[int, str, int, int]]:
     length sum — the DuckDB oracle reproduces offsets that way.
     """
     return [
-        (i, m.group(0), m.start(), m.end())
+        (i, m[0], *m.span())
         for i, m in enumerate(_TOKEN_RE.finditer(extracted_text))
     ]
 

@@ -208,12 +208,14 @@ def _extract_batches(
                         }
                         for s in fin.cells
                     ]
-                    if with_words:
-                        for wi, tok, wb, we in fin.words:
-                            w_tok.append(tok)
-                            w_begin.append(wb)
-                            w_end.append(we)
-                            w_idx.append(wi)
+                    if with_words and fin.words:
+                        # zip(*tuples) + extend: C-level column transpose —
+                        # per-word .append() calls measurably dominate here
+                        wi, tok, wb, we = zip(*fin.words)
+                        w_idx.extend(wi)
+                        w_tok.extend(tok)
+                        w_begin.extend(wb)
+                        w_end.extend(we)
                     # every table's HTML, in block order (a turn can carry
                     # several tables; keeping only the first silently
                     # contradicts the cells output)
