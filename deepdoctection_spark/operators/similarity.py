@@ -143,10 +143,10 @@ def _l2sq(a: Column, b: Column, round_to: int = 6) -> Column:
 
 
 def ivf_centroids(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
-    """Coarse quantizer: the first k vectors ARE the centroids (deterministic
-    sampling — standard IVF practice uses a trained or sampled quantizer; a
-    sampled one keeps the structure exactly reproducible in any SQL engine,
-    where iterative k-means would drift on float summation order)."""
+    """Coarse quantizer SEED: the first k vectors (deterministic sampling).
+    ivf_kmeans_step below runs actual Lloyd iterations on top of this seed
+    with DECIMAL-accumulated (order-independent) means, so the trained path
+    is available without losing cross-engine reproducibility."""
     return embeddings.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cluster"),
         as_double(F.col("embedding")).alias("cemb"),
@@ -223,4 +223,39 @@ def ivf_search(
         .select(
             "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
         )
+    )
+
+
+def ivf_kmeans_step(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+    """One Lloyd iteration of the coarse quantizer: assign every vector to
+    its nearest seed centroid (ivf_assign), then recompute each centroid as
+    the element-wise mean of its members — (cluster, dim, centroid_val) rows.
+
+    This is the TRAINED-quantizer upgrade over the sampled seed
+    (ivf_centroids): the docstring there notes plain k-means drifts across
+    engines on float summation order, so the mean uses DECIMAL(30,10)
+    accumulation (order-independent exact sum, same policy as
+    rel_pricing_summary) divided as a double — bit-reproducible in any SQL
+    engine. Output is flattened per dimension (posexplode) so the oracle
+    compares scalars, and downstream re-assembly is one
+    collect_list(sorted by dim).
+
+    Scale shape: one broadcast-assign pass + one (cluster, dim) hash
+    aggregation over |corpus| × dim rows — both map-side combinable; more
+    Lloyd rounds repeat the same two steps with the new centroids.
+    """
+    assign = ivf_assign(embeddings, k)
+    dims = (
+        embeddings.join(assign, "vec_id")
+        .select("cluster", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"))
+    )
+    return dims.groupBy(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dim").cast("int").alias("dim"),
+    ).agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("centroid_val"),
+        F.count("*").cast("long").alias("n_members"),
     )

@@ -527,6 +527,26 @@ def q_ann_ivf_search(spark, sf_dir):
 
 
 @register(
+    "ann_ivf_kmeans_step",
+    f"""
+WITH {_EMB_BASE},
+{_IVF_ASSIGN_CTE},
+dims AS (
+  SELECT a.cluster, (t.i - 1)::INT AS dim, b.emb[t.i] AS val
+  FROM assign a JOIN base b ON b.vec_id = a.vec_id,
+       unnest(range(1, len(b.emb) + 1)) AS t(i)
+)
+SELECT cluster, dim,
+       sum(val::DECIMAL(30,10))::DOUBLE / count(*) AS centroid_val,
+       count(*)::BIGINT AS n_members
+FROM dims GROUP BY 1, 2
+""",
+)
+def q_ann_ivf_kmeans_step(spark, sf_dir):
+    return similarity.ivf_kmeans_step(_embs(spark, sf_dir))
+
+
+@register(
     "doc_rolling_hash",
     f"""
 SELECT doc_id,
