@@ -69,6 +69,35 @@ class Analyzer:
         turns (view.py:660-678 + the north-rule turn window)."""
         return reassemble_conversations(extracted)
 
+    # --- round-2 component surfaces (same lazy-DataFrame contract) --------
+
+    def refined_tables(self, extracted: DataFrame) -> DataFrame:
+        """Cell-merge refinement over noisy proposals —
+        TableSegmentationRefinementService (pipe/refine.py:44-296)."""
+        from deepdoctection_spark.operators.refineop import refined_tables
+
+        return refined_tables(extracted)
+
+    def nms_candidates(self, extracted: DataFrame) -> DataFrame:
+        """Greedy NMS verdicts over synthesized proposals —
+        AnnotationNmsService (pipe/common.py:239-301)."""
+        from deepdoctection_spark.operators.matchnms import noisy_candidates
+
+        return noisy_candidates(extracted)
+
+    def match_assignments(self, extracted: DataFrame) -> DataFrame:
+        """IoA-argmax child→parent matching — MatchingService
+        (pipe/common.py:76-168)."""
+        from deepdoctection_spark.operators.matchnms import noisy_assignments
+
+        return noisy_assignments(extracted)
+
+    def coco_map(self, spark: SparkSession, gt: DataFrame) -> DataFrame:
+        """COCO mAP over gt block spans — eval/cocometric.py."""
+        from deepdoctection_spark.operators.cocomap import eval_coco_map
+
+        return eval_coco_map(spark, gt)
+
 
 def get_analyzer(
     config_overwrite: dict | None = None, with_words: bool = True
