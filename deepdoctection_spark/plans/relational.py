@@ -174,6 +174,34 @@ def q_union_distinct(spark, sf_dir):
     )
 
 
+# --- exact percentiles --------------------------------------------------------
+
+
+@register(
+    "rel_percentile",
+    """
+SELECT event_type,
+       floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+       floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1
+""",
+)
+def q_percentile(spark, sf_dir):
+    """Exact linear-interpolated percentiles (Spark `percentile` vs DuckDB
+    `quantile_cont` — probed bit-identical on this data; the floor-round4
+    guard covers interpolation-formula ulp differences). A distributed exact
+    percentile sorts within hash-agg groups — fine per group; corpus-scale
+    single-key percentiles would switch to approx_percentile (t-digest)."""
+    e = _t(spark, sf_dir, "events")
+    r4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return e.groupBy("event_type").agg(
+        r4(F.percentile("value", 0.5)).alias("p50"),
+        r4(F.percentile("value", 0.9)).alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
 # --- repeat (RepeatedData) ----------------------------------------------------
 
 
