@@ -60,6 +60,30 @@ def lang_id(docs: DataFrame, min_ratio: float = 0.02) -> DataFrame:
 
 
 
+def corpus_vocab(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """Corpus vocabulary table: per token, total count, document frequency,
+    and dense frequency rank — the tokenizer-training / stopword-mining
+    primitive of an LLM data pipeline. One explode + one hash aggregation
+    (map-side combinable) + a single all-to-one window for the global rank
+    (rank only over tokens ≥ min_count, which bounds the windowed set; at
+    corpus scale the long tail is cut BEFORE the sort)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_total"), "token")
+    return (
+        counts.where(F.col("n_total") >= min_count)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
 def _round4(col):
     """floor(x*1e4 + 0.5)/1e4 — bit-deterministic across engines. Built-in
     round() differs between Spark (half-up on the double) and DuckDB

@@ -440,6 +440,25 @@ def q_token_counts(spark, sf_dir):
 
 
 @register(
+    "corpus_vocab",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*)::BIGINT AS n_total, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM toks WHERE length(token) > 0 GROUP BY token
+)
+SELECT token, n_total, n_docs,
+       (row_number() OVER (ORDER BY n_total DESC, token))::INT AS rank
+FROM counts WHERE n_total >= 5
+""",
+)
+def q_corpus_vocab(spark, sf_dir):
+    return textstats.corpus_vocab(_docs(spark, sf_dir), min_count=5)
+
+
+@register(
     "doc_fingerprints",
     f"""
 SELECT doc_id, md5({_NORM}) AS md5_fp,
