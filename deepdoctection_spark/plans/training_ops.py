@@ -622,3 +622,72 @@ def q_dedup_embedding_cosine(spark, sf_dir):
             F.col("db.source").alias("source_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation: the fused keep/drop decision layer
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    """quality + lang-id + dedup-cluster keep flags fused into one per-doc
+    decision; drop reasons are prioritized duplicate > low_quality >
+    unknown_lang (a duplicate is dropped regardless of quality)."""
+    lang_sql = _lang_oracle().strip()
+    cluster_sql = _cluster_oracle().strip()
+    return f"""
+WITH lang AS ({lang_sql}),
+clusters AS ({cluster_sql}),
+q AS (
+  SELECT doc_id,
+         floor((0.4 * least(len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0)) / 50.0, 1.0)
+               + 0.3 * (len(list_distinct(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0)))
+                        / greatest(len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0)), 1))
+               + 0.3 * (CASE WHEN ((length({_NORM}) - (len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0)) - 1))
+                              / greatest(len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0)), 1)) BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5) / 10000 AS quality
+  FROM documents
+)
+SELECT q.doc_id, l.pred_lang, q.quality, c.cluster_id, c.cluster_size,
+       (c.is_kept AND q.quality >= 0.5 AND l.pred_lang <> 'und') AS keep,
+       CASE WHEN NOT c.is_kept THEN 'duplicate'
+            WHEN q.quality < 0.5 THEN 'low_quality'
+            WHEN l.pred_lang = 'und' THEN 'unknown_lang'
+            ELSE '' END AS drop_reason
+FROM q JOIN lang l USING (doc_id) JOIN clusters c USING (doc_id)
+"""
+
+
+@register("curation_decisions", _curation_oracle())
+def q_curation_decisions(spark, sf_dir):
+    """The capstone training-data query: per document, the fused keep/drop
+    decision from near-dup clustering (keep the representative), quality
+    scoring (threshold 0.5) and language id ('und' dropped) — three hash
+    joins on doc_id over operators the gate already checks individually, so
+    this row checks the decision fusion itself."""
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.operators.dedupclusters import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=3, threshold=0.8)
+    clusters = dup_clusters(docs, pairs)
+    q = textstats.quality_scores(docs).select("doc_id", "quality")
+    lang = textstats.lang_id(docs).select("doc_id", "pred_lang")
+    keep = (
+        F.col("is_kept") & (F.col("quality") >= 0.5) & (F.col("pred_lang") != "und")
+    )
+    reason = (
+        F.when(~F.col("is_kept"), "duplicate")
+        .when(F.col("quality") < 0.5, "low_quality")
+        .when(F.col("pred_lang") == "und", "unknown_lang")
+        .otherwise("")
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id", "pred_lang", "quality", "cluster_id", "cluster_size",
+            keep.alias("keep"), reason.alias("drop_reason"),
+        )
+    )
