@@ -109,6 +109,59 @@ def q_stream_reassemble_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_stream_dedup() -> str:
+    """The un-duplicated transcript table with per-turn payload length
+    (payload length derives from the template pieces per family)."""
+    from deepdoctection_spark.sources.transcripts import (
+        HTML_PAYLOAD,
+        PDFISH_PAYLOAD,
+        TRANSCRIPT_BASE_SQL,
+        sql_len,
+    )
+
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL})
+SELECT conv_id, turn_idx, role, tool,
+       (CASE (doc_id % 3)
+          WHEN 0 THEN length(text)
+          WHEN 1 THEN {sql_len(HTML_PAYLOAD)}
+          ELSE {sql_len(PDFISH_PAYLOAD)} END)::INT AS n_chars
+FROM base
+"""
+
+
+@register("stream_dedup_ingest", _oracle_stream_dedup())
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once ingest dedup, driven with REAL duplicate
+    deliveries: the input directory is written TWICE (two copies of every
+    file — the re-delivery an at-least-once source produces);
+    dropDuplicatesWithinWatermark must collapse them back to exactly one row
+    per (conv_id, turn_idx, payload-fingerprint). The oracle is simply the
+    original (un-duplicated) transcript table."""
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.streaming import stream_dedup_turns
+
+    path = tempfile.mkdtemp(prefix="ddspark_stream_dup_")
+    t = build_transcripts(spark, sf_dir).repartition(4)
+    t.write.mode("overwrite").parquet(path)
+    t.write.mode("append").parquet(path)  # the duplicate delivery
+    name = f"stream_dup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup_turns(stream_transcripts(spark, path))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
 @register("stream_session_assembly")  # no oracle: stateful, non-SQL-expressible
 def q_stream_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoctection_spark.streaming.sessionize import sessionize_conversations
