@@ -131,24 +131,31 @@ def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 8, k: int = 3) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): min over shingles of the j-th hash family."""
-    return _signatures_from_sets(shingle_sets(docs, k), num_perm).drop(
-        "sh", "n_shingles"
+    return _sets_with_signatures(docs, num_perm, k).drop("sh", "n_shingles")
+
+
+def _sets_with_signatures(docs: DataFrame, num_perm: int, k: int) -> DataFrame:
+    """(doc_id, sh, n_shingles, sig_0..sig_{n-1}) in ONE aggregation: the
+    per-shingle hash families are computed on the FLAT exploded rows
+    (whole-stage-codegen md5/conv column expressions) and min-aggregated
+    alongside collect_list — still a single shuffle, but no interpreted
+    per-element `F.transform` over the collected arrays (the measured trap:
+    JVM transform over array<string> evaluates per element with full array
+    copies; see BENCH.md §3)."""
+    sh = shingles(docs, k)
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        *[
+            _md5_hash64(F.col("shingle"), str(j)).alias(f"h_{j}")
+            for j in range(num_perm)
+        ],
     )
-
-
-def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
-    """Signatures as NARROW array expressions over the per-doc shingle set:
-    sig_j = array_min(transform(sh, s -> hash_j(s))). No second explode, no
-    second shuffle — the shingle stream is aggregated exactly once."""
-    out = sets
-    for j in range(num_perm):
-        out = out.withColumn(
-            f"sig_{j}",
-            F.array_min(
-                F.transform(F.col("sh"), lambda s, j=j: _md5_hash64(s, str(j)))
-            ),
-        )
-    return out
+    return hashed.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("sh"),
+        F.count("*").alias("n_shingles"),
+        *[F.min(f"h_{j}").alias(f"sig_{j}") for j in range(num_perm)],
+    )
 
 
 def minhash_lsh_pairs(
@@ -170,8 +177,8 @@ def minhash_lsh_pairs(
             "recall profile differs from the configured one"
         )
     rows_per_band = num_perm // bands
-    sets = shingle_sets(docs, k)
-    sigs = _signatures_from_sets(sets, num_perm)
+    sets = _sets_with_signatures(docs, num_perm, k)
+    sigs = sets
     band_structs = F.array(
         *[
             F.struct(
