@@ -36,6 +36,7 @@ from deepdoctection_spark.kernels.noisy import (
     candidate_proposals,
     probe_children,
 )
+from deepdoctection_spark.operators.quarantine import row_guard
 
 _CAND_SCHEMA = pa.schema(
     [
@@ -98,21 +99,22 @@ def noisy_candidates(extracted: DataFrame) -> DataFrame:
             blks = rb.column(2).to_pylist()
             cols: list[list] = [[] for _ in range(8)]
             for i in range(rb.num_rows):
-                cands = _turn_candidates(blks[i])
-                if not cands:
-                    continue
-                spans = np.array([[c[2], c[3]] for c in cands], dtype=np.float64)
-                scores = np.array([c[4] for c in cands], dtype=np.float64)
-                keep = set(nms_spans(spans, scores, NMS_IOU_THRESHOLD))
-                for j, (bno, cid, cb, ce, score) in enumerate(cands):
-                    cols[0].append(conv[i])
-                    cols[1].append(tix[i])
-                    cols[2].append(bno)
-                    cols[3].append(cid)
-                    cols[4].append(cb)
-                    cols[5].append(ce)
-                    cols[6].append(score)
-                    cols[7].append(j in keep)
+                with row_guard(cols, (conv[i], tix[i])):
+                    cands = _turn_candidates(blks[i])
+                    if not cands:
+                        continue
+                    spans = np.array([[c[2], c[3]] for c in cands], dtype=np.float64)
+                    scores = np.array([c[4] for c in cands], dtype=np.float64)
+                    keep = set(nms_spans(spans, scores, NMS_IOU_THRESHOLD))
+                    for j, (bno, cid, cb, ce, score) in enumerate(cands):
+                        cols[0].append(conv[i])
+                        cols[1].append(tix[i])
+                        cols[2].append(bno)
+                        cols[3].append(cid)
+                        cols[4].append(cb)
+                        cols[5].append(ce)
+                        cols[6].append(score)
+                        cols[7].append(j in keep)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _CAND_SCHEMA)],
                 schema=_CAND_SCHEMA,
@@ -146,43 +148,44 @@ def noisy_assignments(extracted: DataFrame) -> DataFrame:
             blks = rb.column(2).to_pylist()
             cols: list[list] = [[] for _ in range(9)]
             for i in range(rb.num_rows):
-                cands = _turn_candidates(blks[i])
-                if not cands:
-                    continue
-                spans = np.array([[c[2], c[3]] for c in cands], dtype=np.float64)
-                scores = np.array([c[4] for c in cands], dtype=np.float64)
-                keep = nms_spans(spans, scores, NMS_IOU_THRESHOLD)
-                survivors = [cands[j] for j in sorted(keep)]  # (bno,cid) order
-                parents = np.array(
-                    [[s[2], s[3]] for s in survivors], dtype=np.float64
-                )
-                children: list[tuple[int, int, int, int]] = []
-                for blk in blks[i]:
-                    for cid, cb, ce in probe_children(
-                        blk["span_begin"], blk["span_end"]
-                    ):
-                        children.append((blk["reading_order"], cid, cb, ce))
-                children.append((-1, 0, *TURN_PROBE))
-                carr = np.array([[c[2], c[3]] for c in children], dtype=np.float64)
-                assigned = dict(
-                    (ci, pi)
-                    for pi, ci in match_children(
-                        parents, carr, MATCH_IOA_THRESHOLD, max_parent_only=True
+                with row_guard(cols, (conv[i], tix[i])):
+                    cands = _turn_candidates(blks[i])
+                    if not cands:
+                        continue
+                    spans = np.array([[c[2], c[3]] for c in cands], dtype=np.float64)
+                    scores = np.array([c[4] for c in cands], dtype=np.float64)
+                    keep = nms_spans(spans, scores, NMS_IOU_THRESHOLD)
+                    survivors = [cands[j] for j in sorted(keep)]  # (bno,cid) order
+                    parents = np.array(
+                        [[s[2], s[3]] for s in survivors], dtype=np.float64
                     )
-                )
-                m = interval_ioa(parents, carr)
-                best = m.max(axis=0) if len(parents) else np.zeros(len(children))
-                for ci, (bno, cid, cb, ce) in enumerate(children):
-                    pi = assigned.get(ci)
-                    cols[0].append(conv[i])
-                    cols[1].append(tix[i])
-                    cols[2].append(bno)
-                    cols[3].append(cid)
-                    cols[4].append(cb)
-                    cols[5].append(ce)
-                    cols[6].append(survivors[pi][0] if pi is not None else -1)
-                    cols[7].append(survivors[pi][1] if pi is not None else -1)
-                    cols[8].append(_round4(float(best[ci])))
+                    children: list[tuple[int, int, int, int]] = []
+                    for blk in blks[i]:
+                        for cid, cb, ce in probe_children(
+                            blk["span_begin"], blk["span_end"]
+                        ):
+                            children.append((blk["reading_order"], cid, cb, ce))
+                    children.append((-1, 0, *TURN_PROBE))
+                    carr = np.array([[c[2], c[3]] for c in children], dtype=np.float64)
+                    assigned = dict(
+                        (ci, pi)
+                        for pi, ci in match_children(
+                            parents, carr, MATCH_IOA_THRESHOLD, max_parent_only=True
+                        )
+                    )
+                    m = interval_ioa(parents, carr)
+                    best = m.max(axis=0) if len(parents) else np.zeros(len(children))
+                    for ci, (bno, cid, cb, ce) in enumerate(children):
+                        pi = assigned.get(ci)
+                        cols[0].append(conv[i])
+                        cols[1].append(tix[i])
+                        cols[2].append(bno)
+                        cols[3].append(cid)
+                        cols[4].append(cb)
+                        cols[5].append(ce)
+                        cols[6].append(survivors[pi][0] if pi is not None else -1)
+                        cols[7].append(survivors[pi][1] if pi is not None else -1)
+                        cols[8].append(_round4(float(best[ci])))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _ASSIGN_SCHEMA)],
                 schema=_ASSIGN_SCHEMA,

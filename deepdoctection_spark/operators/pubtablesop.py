@@ -26,6 +26,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from deepdoctection_spark.kernels.pubtables import Box, segment_pubtables_grid
+from deepdoctection_spark.operators.quarantine import row_guard
 
 _SCHEMA = pa.schema(
     [
@@ -66,17 +67,18 @@ def pubtables_grids(transcripts: DataFrame) -> DataFrame:
             tix = rb.column(1).to_pylist()
             cols: list[list] = [[] for _ in range(8)]
             for i in range(rb.num_rows):
-                t = int(tix[i])
-                rows_s, cols_s, span_s = stripe_geometry(t)
-                res = segment_pubtables_grid(rows_s, cols_s, span_s)
-                cols[0].append(conv[i])
-                cols[1].append(t)
-                cols[2].append(res.n_rows)
-                cols[3].append(res.n_cols)
-                cols[4].append(len(res.cells))
-                cols[5].append(res.max_row_span)
-                cols[6].append(res.max_col_span)
-                cols[7].append(res.html)
+                with row_guard(cols, (conv[i], tix[i])):
+                    t = int(tix[i])
+                    rows_s, cols_s, span_s = stripe_geometry(t)
+                    res = segment_pubtables_grid(rows_s, cols_s, span_s)
+                    cols[0].append(conv[i])
+                    cols[1].append(t)
+                    cols[2].append(res.n_rows)
+                    cols[3].append(res.n_cols)
+                    cols[4].append(len(res.cells))
+                    cols[5].append(res.max_row_span)
+                    cols[6].append(res.max_col_span)
+                    cols[7].append(res.html)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _SCHEMA)],
                 schema=_SCHEMA,

@@ -32,6 +32,7 @@ from deepdoctection_spark.kernels.refine import (
     refine_cells,
     refined_cells_to_html,
 )
+from deepdoctection_spark.operators.quarantine import row_guard
 
 _SCHEMA = pa.schema(
     [
@@ -67,16 +68,17 @@ def refined_tables(extracted: DataFrame) -> DataFrame:
             cells = rb.column(2).to_pylist()
             cols: list[list] = [[] for _ in range(5)]
             for i in range(rb.num_rows):
-                if not cells[i]:
-                    continue
-                variant = int(tix[i]) % 3
-                refined = refine_cells(_proposals(cells[i], variant))
-                n_rows = max(c.row_number + c.row_span - 1 for c in refined)
-                cols[0].append(conv[i])
-                cols[1].append(tix[i])
-                cols[2].append(variant)
-                cols[3].append(len(refined))
-                cols[4].append(refined_cells_to_html(refined, n_rows))
+                with row_guard(cols, (conv[i], tix[i])):
+                    if not cells[i]:
+                        continue
+                    variant = int(tix[i]) % 3
+                    refined = refine_cells(_proposals(cells[i], variant))
+                    n_rows = max(c.row_number + c.row_span - 1 for c in refined)
+                    cols[0].append(conv[i])
+                    cols[1].append(tix[i])
+                    cols[2].append(variant)
+                    cols[3].append(len(refined))
+                    cols[4].append(refined_cells_to_html(refined, n_rows))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _SCHEMA)],
                 schema=_SCHEMA,
@@ -122,18 +124,19 @@ def refined_csv_rows(extracted: DataFrame) -> DataFrame:
             cells = rb.column(2).to_pylist()
             cols: list[list] = [[] for _ in range(5)]
             for i in range(rb.num_rows):
-                if not cells[i]:
-                    continue
-                variant = int(tix[i]) % 3
-                refined = refine_cells(_proposals(cells[i], variant))
-                n_rows = max(c.row_number + c.row_span - 1 for c in refined)
-                n_cols = max(c.column_number + c.column_span - 1 for c in refined)
-                for r, row in enumerate(cells_to_csv(refined, n_rows, n_cols), 1):
-                    cols[0].append(conv[i])
-                    cols[1].append(tix[i])
-                    cols[2].append(variant)
-                    cols[3].append(r)
-                    cols[4].append(row)
+                with row_guard(cols, (conv[i], tix[i])):
+                    if not cells[i]:
+                        continue
+                    variant = int(tix[i]) % 3
+                    refined = refine_cells(_proposals(cells[i], variant))
+                    n_rows = max(c.row_number + c.row_span - 1 for c in refined)
+                    n_cols = max(c.column_number + c.column_span - 1 for c in refined)
+                    for r, row in enumerate(cells_to_csv(refined, n_rows, n_cols), 1):
+                        cols[0].append(conv[i])
+                        cols[1].append(tix[i])
+                        cols[2].append(variant)
+                        cols[3].append(r)
+                        cols[4].append(row)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _CSV_SCHEMA)],
                 schema=_CSV_SCHEMA,

@@ -97,3 +97,22 @@ def test_spark_operator_shapes(spark):
     # kept flags: c0 always kept, c1 never
     assert cand.where("cand_id = 0 AND NOT kept").count() == 0
     assert cand.where("cand_id = 1 AND kept").count() == 0
+
+
+def test_poison_turn_dropped_not_fatal(spark):
+    # a malformed blocks payload (negative spans of inconsistent types) must
+    # be quarantined (dropped), not fail the task
+    import pandas as pd
+
+    from deepdoctection_spark.operators.matchnms import noisy_candidates
+
+    good = {"span_id": "s", "category": "text", "span_begin": 0,
+            "span_end": 40, "reading_order": 0, "parent_id": None, "score": 1.0}
+    bad = dict(good, span_begin=None, span_end=None)  # None begin/end → TypeError
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a", "b"], "turn_idx": [0, 1],
+                      "blocks": [[good], [bad]]})
+    )
+    out = noisy_candidates(df).collect()
+    convs = {r["conv_id"] for r in out}
+    assert convs == {"a"}  # poison turn dropped, good turn processed
