@@ -16,6 +16,7 @@ title | text | list | table (+ cell sub-structures from kernels/table.py).
 from __future__ import annotations
 
 import re
+import types
 from dataclasses import dataclass, field
 
 from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
@@ -52,10 +53,11 @@ _BLOCKISH = (
 )
 
 
-# Shared immutable empty-attrs dict: attrs are only ever read after parse
-# (never mutated), and most nodes — every text node in particular — have
-# none; a per-node default_factory dict allocation showed up in profiles.
-_NO_ATTRS: dict = {}
+# Shared empty-attrs mapping: attrs are only ever read after parse, and most
+# nodes — every text node in particular — have none; a per-node
+# default_factory dict allocation showed up in profiles. MappingProxyType so
+# accidental mutation raises instead of silently aliasing every node.
+_NO_ATTRS: types.MappingProxyType = types.MappingProxyType({})
 
 
 class Node:

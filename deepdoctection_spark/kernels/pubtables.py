@@ -43,6 +43,7 @@ class PubtablesResult:
     max_row_span: int
     max_col_span: int
     html: str
+    n_unmatched: int = 0  # spanning boxes matching no stripe (dropped, flagged)
 
 
 def _box_ioa(items: np.ndarray, cells: np.ndarray) -> np.ndarray:
@@ -98,6 +99,7 @@ def segment_pubtables_grid(
             simple[(r, c)] = RefinedCell(r, c, 1, 1, f"r{r}c{c}", [])
 
     placed: list[RefinedCell] = []
+    n_unmatched = 0
     if spanning:
         sp = np.array(spanning, dtype=np.float64)
         row_ext = _matched_extent(
@@ -107,6 +109,15 @@ def segment_pubtables_grid(
             np.array(cols, dtype=np.float64), sp, threshold_cols
         )
         for k, ((rn, rs), (cn, cs)) in enumerate(zip(row_ext, col_ext), start=1):
+            if rn == 0 or cn == 0:
+                # Spanning box matched no stripe on some axis: a row-0 cell
+                # would be counted in n_cells/max-spans but silently omitted
+                # from the 1..n_rows HTML walk (and IndexError in the CSV
+                # grid). The reference quarantines the whole table
+                # (segment.py fallback); we drop the cell and surface the
+                # count so callers can flag the table.
+                n_unmatched += 1
+                continue
             placed.append(RefinedCell(rn, cn, rs, cs, f"s{k}", []))
             for dr in range(rs):
                 for dc in range(cs):
@@ -127,4 +138,5 @@ def segment_pubtables_grid(
         max_row_span=max((c.row_span for c in cells), default=0),
         max_col_span=max((c.column_span for c in cells), default=0),
         html=refined_cells_to_html(cells, n_rows),
+        n_unmatched=n_unmatched,
     )

@@ -54,6 +54,7 @@ def connected_components(
             F.least(F.col("a"), F.col("min_nb")).alias("label"),
         )
     )
+    converged = False
     for _ in range(max_iter):
         # candidate labels: own label ∪ neighbors' labels
         neigh = (
@@ -76,7 +77,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are WRONG (split clusters → wrong is_kept →
+        # wrong curation keep/drop). High-diameter chains are plausible at
+        # 10^9-doc near-dup scale, so fail loudly instead of returning them.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -11,7 +11,8 @@ Geometry per turn (t = turn_idx):
            REVERSED order (center-sort must restore numbering)
   columns: 3 stripes of width 30, full height — also reversed
   spanning (v = t % 3):
-    v0  none
+    v0  box (200, 200, 210, 210): intersects NO stripe → dropped and counted
+        in n_unmatched (the quarantine path, oracle-checked)
     v1  box (2, 3, 28, 37): covers rows 1-2 at IoA 0.5 each (weighted ×2 =
         1.0 > thr) and column 1 fully → placed (1,1) rowspan 2
     v2  box (33, 2, 87, 18): covers row 1 fully, columns 2-3 at IoA 0.5
@@ -38,6 +39,7 @@ _SCHEMA = pa.schema(
         ("max_row_span", pa.int32()),
         ("max_col_span", pa.int32()),
         ("table_html", pa.string()),
+        ("n_unmatched", pa.int32()),
     ]
 )
 
@@ -50,24 +52,27 @@ def stripe_geometry(turn_idx: int) -> tuple[list[Box], list[Box], list[Box]]:
     rows = [(0.0, 20.0 * i, 90.0, 20.0 * (i + 1)) for i in range(n_rows)]
     cols = [(30.0 * j, 0.0, 30.0 * (j + 1), height) for j in range(3)]
     variant = turn_idx % 3
-    spanning: list[Box] = []
     if variant == 1:
-        spanning = [(2.0, 3.0, 28.0, 37.0)]
+        spanning: list[Box] = [(2.0, 3.0, 28.0, 37.0)]
     elif variant == 2:
         spanning = [(33.0, 2.0, 87.0, 18.0)]
+    else:
+        # intersects no stripe: must be dropped + counted, never placed at
+        # the (0, *) sentinel position
+        spanning = [(200.0, 200.0, 210.0, 210.0)]
     return rows[::-1], cols[::-1], spanning
 
 
-def pubtables_grids(transcripts: DataFrame) -> DataFrame:
+def pubtables_grids(transcripts: DataFrame, counter=None) -> DataFrame:
     """One segmented grid per turn (flat columns, narrow stage)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             conv = rb.column(0).to_pylist()
             tix = rb.column(1).to_pylist()
-            cols: list[list] = [[] for _ in range(8)]
+            cols: list[list] = [[] for _ in range(9)]
             for i in range(rb.num_rows):
-                with row_guard(cols, (conv[i], tix[i])):
+                with row_guard(cols, (conv[i], tix[i]), counter=counter):
                     t = int(tix[i])
                     rows_s, cols_s, span_s = stripe_geometry(t)
                     res = segment_pubtables_grid(rows_s, cols_s, span_s)
@@ -79,6 +84,7 @@ def pubtables_grids(transcripts: DataFrame) -> DataFrame:
                     cols[5].append(res.max_row_span)
                     cols[6].append(res.max_col_span)
                     cols[7].append(res.html)
+                    cols[8].append(res.n_unmatched)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(c, t.type) for c, t in zip(cols, _SCHEMA)],
                 schema=_SCHEMA,
@@ -96,6 +102,7 @@ def pubtables_grids(transcripts: DataFrame) -> DataFrame:
             T.StructField("max_row_span", T.IntegerType()),
             T.StructField("max_col_span", T.IntegerType()),
             T.StructField("table_html", T.StringType()),
+            T.StructField("n_unmatched", T.IntegerType()),
         ]
     )
     return transcripts.select("conv_id", "turn_idx").mapInArrow(fn, schema=schema)

@@ -26,19 +26,20 @@ from deepdoctection_spark.sources.transcripts import (
 )
 
 
-# One persisted gt per (session, sf_dir): each metric query self-joins gt
+# One persisted gt per (application, sf_dir): each metric query self-joins gt
 # against a perturbation of gt with different projections, so Catalyst cannot
 # reuse the exchange — without a persist the full extraction stage (the
 # dominant cost) would execute twice per metric. The cache is module-level so
 # REPEATED query invocations in one session reuse the same persisted frame
-# instead of leaking a new cached DataFrame per call (executor memory held
-# for the session lifetime). At design scale the equivalent is materializing
-# gt once as a table.
-_GT_CACHE: dict[tuple[int, str], DataFrame] = {}
+# instead of leaking a new cached DataFrame per call. Keyed by applicationId
+# (stable, never reused the way id(spark) can be after GC of a stopped
+# session) + sf_dir; clear_gt_cache() releases the blocks after a sweep. At
+# design scale the equivalent is materializing gt once as a table.
+_GT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _GT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -47,6 +48,18 @@ def _gt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     _GT_CACHE[key] = gt
     return gt
+
+
+def clear_gt_cache() -> None:
+    """Unpersist every cached gt frame (call after a full query sweep so a
+    long-lived driver session does not accumulate MEMORY_AND_DISK blocks).
+    Frames bound to already-stopped sessions are dropped silently."""
+    for df in _GT_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    _GT_CACHE.clear()
 
 
 _PRED_SQL = """

@@ -60,7 +60,8 @@ e AS (SELECT conv_id, turn_idx, {case} AS x FROM base)
 SELECT conv_id, turn_idx,
        (x.n_rows)::INT AS n_rows, 3::INT AS n_cols, (x.n_cells)::INT AS n_cells,
        (x.mrs)::INT AS max_row_span, (x.mcs)::INT AS max_col_span,
-       x.html AS table_html
+       x.html AS table_html,
+       (CASE WHEN turn_idx % 3 = 0 THEN 1 ELSE 0 END)::INT AS n_unmatched
 FROM e
 """
 

@@ -18,6 +18,7 @@ batch stand-in.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -37,20 +38,35 @@ def _bounded_stream_run(
     selects complete output mode (whole-result aggregations: append would
     correctly hold back windows the watermark hasn't closed)."""
     path = tempfile.mkdtemp(prefix="ddspark_stream_q_")
-    build_transcripts(spark, sf_dir).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(path)
-    name = f"stream_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        stage_fn(stream_transcripts(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete" if complete else "append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return spark.table(name)
+    try:
+        build_transcripts(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(path)
+        name = f"stream_q_{uuid.uuid4().hex[:8]}"
+        q = (
+            stage_fn(stream_transcripts(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete" if complete else "append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        return spark.table(name)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _await_bounded(q, timeout: int = 600) -> None:
+    """availableNow runs are bounded; a timeout means the sink is partial —
+    raise instead of silently returning a partial memory table (which the
+    parity gate would misreport as a data mismatch)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"bounded streaming query {q.name} still running after "
+            f"{timeout}s; memory sink would be partial"
+        )
 
 
 @register("stream_extract_text", oracles.oracle_extract_text())
@@ -143,20 +159,24 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoctection_spark.streaming import stream_dedup_turns
 
     path = tempfile.mkdtemp(prefix="ddspark_stream_dup_")
-    t = build_transcripts(spark, sf_dir).repartition(4)
-    t.write.mode("overwrite").parquet(path)
-    t.write.mode("append").parquet(path)  # the duplicate delivery
-    name = f"stream_dup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_dedup_turns(stream_transcripts(spark, path))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return spark.table(name).select(
+    try:
+        t = build_transcripts(spark, sf_dir).repartition(4)
+        t.write.mode("overwrite").parquet(path)
+        t.write.mode("append").parquet(path)  # the duplicate delivery
+        name = f"stream_dup_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream_dedup_turns(stream_transcripts(spark, path))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        out = spark.table(name)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out.select(
         "conv_id", "turn_idx", "role", "tool",
         F.length("text").cast("int").alias("n_chars"),
     )

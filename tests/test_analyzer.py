@@ -49,3 +49,17 @@ def test_config_changes_behavior(spark, sf_small):
         .collect()[0][0]
     )
     assert loose > strict
+
+
+def test_gt_cache_clear_releases_blocks(spark, sf_small):
+    """After a metric query + clear_gt_cache(), no persisted RDD blocks
+    remain (the driver-sweep cache-leak guard, VERDICT r2 #8)."""
+    from deepdoctection_spark.plans import evaluation
+
+    n_persisted = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    n0 = n_persisted()  # other suites' localCheckpoint blocks may linger
+    evaluation._gt(spark, sf_small).count()
+    assert n_persisted() > n0
+    evaluation.clear_gt_cache()
+    assert n_persisted() == n0
+    assert evaluation._GT_CACHE == {}

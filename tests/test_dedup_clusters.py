@@ -29,3 +29,15 @@ def test_dup_clusters_keep_flags_and_singletons(spark):
     # singletons are their own kept cluster
     assert rows[4]["cluster_id"] == 4 and rows[4]["cluster_size"] == 1 and rows[4]["is_kept"]
     assert rows[5]["cluster_size"] == 2 and rows[6]["cluster_id"] == 5
+
+
+def test_nonconvergence_raises(spark):
+    # long path graph with max_iter too small: unconverged labels are wrong
+    # (split clusters → wrong keep/drop), so the operator must fail loudly
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()

@@ -41,13 +41,25 @@ def test_weighted_ioa_places_rowspan_cell():
 
 
 def test_unweighted_ioa_below_threshold_not_matched():
-    # same box but threshold 0.6: weighted ioa = 1.0 > 0.6 still matches rows;
-    # threshold 1.5 cannot be exceeded → unmatched → default (0, 1) placement
+    # same box but threshold 1.5 cannot be exceeded → unmatched → the cell is
+    # dropped and counted, never placed at the (0, *) sentinel (a row-0 cell
+    # would be invisible to the 1..n_rows HTML walk yet counted in summaries)
     res = segment_pubtables_grid(
         ROWS2, COLS3, [(2.0, 3.0, 28.0, 37.0)], threshold_rows=1.5
     )
-    s = [c for c in res.cells if c.text == "s1"][0]
-    assert (s.row_number, s.row_span) == (0, 1)
+    assert not [c for c in res.cells if c.text == "s1"]
+    assert res.n_unmatched == 1
+    assert len(res.cells) == 6  # full simple grid intact
+    assert res.max_row_span == res.max_col_span == 1
+
+
+def test_unmatched_spanning_box_far_outside():
+    res = segment_pubtables_grid(ROWS2, COLS3, [(200.0, 200.0, 210.0, 210.0)])
+    assert res.n_unmatched == 1 and len(res.cells) == 6
+    # CSV/HTML stay internally consistent (the old sentinel IndexError'd here)
+    from deepdoctection_spark.kernels.refine import cells_to_csv
+
+    assert len(cells_to_csv(res.cells, res.n_rows, res.n_cols)) == 2
 
 
 def test_colspan_cell_html():
@@ -61,4 +73,6 @@ def test_stripe_geometry_variants():
         rows, cols, span = stripe_geometry(t)
         assert len(rows) == 2 + t % 2
         assert len(cols) == 3
-        assert len(span) == (0 if t % 3 == 0 else 1)
+        assert len(span) == 1  # v0's box is the no-match quarantine probe
+        res = segment_pubtables_grid(rows, cols, span)
+        assert res.n_unmatched == (1 if t % 3 == 0 else 0)
