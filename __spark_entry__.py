@@ -41,8 +41,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["extract_text"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's per-round sweep is capped (r02 checked exactly the first 50 of
+# 67 registered queries), so ordering is the coverage lever: queries a driver
+# round has never checked come first, then those last checked in r01, then the
+# long-green remainder. scripts/self_correctness.py additionally runs the FULL
+# registry every round (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
+_CHECKED_R02 = frozenset({
+    "eval_span_prf", "eval_teds", "eval_confusion", "eval_coco_map",
+    "lm_token_tags", "lm_sequence_labels", "match_nms_candidates",
+    "match_assignments", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pruned", "dedup_clusters", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "knn_bruteforce", "ann_buckets",
+    "ann_lsh_pairs", "ann_lsh_pairs_t03", "lang_id", "quality_scores",
+    "token_counts", "corpus_vocab", "doc_fingerprints", "ann_ivf_assign",
+    "ann_ivf_search", "ann_ivf_kmeans_step", "doc_rolling_hash",
+    "dedup_embedding_cosine", "curation_decisions", "media_image_stats",
+    "media_audio_rms", "media_frame_sample", "media_catalog", "extract_text",
+    "extract_spans", "table_cells", "word_tokens", "conversation_text",
+    "dataset_build", "table_html", "pubtables_cells", "table_refined",
+    "table_refined_csv", "rel_topk_orders", "rel_filter_project",
+    "rel_pricing_summary", "rel_join_revenue", "rel_union_distinct",
+    "rel_percentile",
+})
+_CHECKED_R01 = frozenset({
+    "events_json_extract", "events_sessionize", "events_tumbling_stats",
+    "rel_anti_join", "rel_cube_volume", "rel_explode_words",
+    "rel_intersect_except", "rel_label_histogram", "rel_mean_std",
+    "rel_rollup", "rel_semi_join", "rel_window_topk",
+})
+
+
+def _priority(name: str) -> int:
+    if name not in _CHECKED_R01 | _CHECKED_R02:
+        return 0  # never driver-checked (new + stream_*)
+    if name not in _CHECKED_R02:
+        return 1  # last checked two rounds ago
+    return 2
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    names = sorted(QUERIES, key=lambda n: (_priority(n), list(QUERIES).index(n)))
+    return {n: QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:
