@@ -9,7 +9,9 @@ the registry, which dispatches on the payload's leading magic bytes:
 
 - built-in fake codecs (FIMG/FPCM/FVID) — always available, fully
   oracle-checked (the sandbox path);
-- real codecs gated behind import-try: PNG/JPEG via Pillow, PDF text via
+- PNG via a pure-stdlib decoder/encoder (zlib + struct + numpy unfilter) —
+  a REAL image codec on the oracle-checked path, no Pillow needed;
+- real codecs gated behind import-try: JPEG via Pillow, PDF text via
   pypdf, positioned PDF runs via pdfplumber (none ship in this container —
   their contract tests are skip-marked, the dispatch plumbing is not);
 - WAV via the stdlib ``wave`` module — a REAL codec that works everywhere,
@@ -28,6 +30,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Callable
 
 import numpy as np
@@ -69,10 +72,151 @@ def _fimg_decode(raw: bytes) -> np.ndarray:
     return fimg_decode(raw)
 
 
+# ---------------------------------------------------------------------------
+# stdlib PNG codec: a REAL image codec with zero external dependencies.
+#
+# Non-interlaced, bit-depth-8 gray/RGB/RGBA PNG per the W3C spec (chunk
+# layout + CRC32, zlib-inflated scanlines, the five scanline filters). The
+# reference consumes real pixels everywhere (datapoint/convert.py:78-166 via
+# Pillow/cv2); this puts one real pixel path on the oracle-checked sandbox
+# path instead of gating everything behind absent libraries.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunks(raw: bytes):
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos = 8
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack(">I", raw[pos : pos + 4])
+        tag = raw[pos + 4 : pos + 8]
+        payload = raw[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        yield tag, payload
+        pos += 12 + length
+        if tag == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def png_decode(raw: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, channels) uint8. Supports bit depth 8, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), interlace 0 — the overwhelmingly
+    common shapes; everything else raises ValueError (→ row quarantine)."""
+    ihdr = None
+    idat = bytearray()
+    for tag, payload in _png_chunks(raw):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">II5B", payload)
+        elif tag == b"IDAT":
+            idat += payload
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={ctype} interlace={interlace}"
+        )
+    bpp = _PNG_CHANNELS[ctype]
+    stride = w * bpp
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = data[pos]
+        cur = np.frombuffer(data, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += stride + 1
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-channel-lane prefix sum mod 256
+            rec = (np.cumsum(cur.reshape(w, bpp), axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (cur + prior) % 256
+        elif f in (3, 4):  # Average / Paeth: left-dependency → per-pixel walk
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            upleft = np.zeros(bpp, dtype=np.int32)
+            for x in range(0, stride, bpp):
+                up = prior[x : x + bpp]
+                if f == 3:
+                    v = (cur[x : x + bpp] + (left + up) // 2) % 256
+                else:
+                    v = (cur[x : x + bpp] + _paeth(left, up, upleft)) % 256
+                rec[x : x + bpp] = v
+                left = v
+                upleft = up
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(h, w, bpp)
+
+
+def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w[, c]) uint8 → PNG bytes. The scanline filter cycles y % 5 so a
+    round-trip exercises every filter type (None/Sub/Up/Average/Paeth) —
+    deliberately NOT the smallest output, but a deterministic one."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    rows = a.reshape(h, w * c).astype(np.int32)
+    left = np.zeros_like(rows)
+    left[:, c:] = rows[:, :-c]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    upleft = np.zeros_like(rows)
+    upleft[1:, c:] = rows[:-1, :-c]
+    filtered = {
+        0: rows,
+        1: rows - left,
+        2: rows - up,
+        3: rows - (left + up) // 2,
+        4: rows - _paeth(left, up, upleft),
+    }
+    scan = bytearray()
+    for y in range(h):
+        f = y % 5
+        scan.append(f)
+        scan += (filtered[f][y] % 256).astype(np.uint8).tobytes()
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan), level))
+        + chunk(b"IEND", b"")
+    )
+
+
 IMAGE_DECODERS: dict[bytes, Callable[[bytes], np.ndarray]] = {
     b"FIMG": _fimg_decode,
-    b"\x89PNG": _pil_decode,
-    b"\xff\xd8\xff": _pil_decode,
+    b"\x89PNG": png_decode,  # stdlib — real codec, always available
+    b"\xff\xd8\xff": _pil_decode,  # JPEG still needs Pillow
 }
 
 

@@ -141,6 +141,39 @@ def synth_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
 
 
+def _png_dims(mid: int) -> tuple[int, int, int]:
+    # h ≥ 5 so the encoder's y % 5 filter cycle exercises every PNG filter
+    # (None/Sub/Up/Average/Paeth) in every payload
+    return 8 + mid % 9, 5 + mid % 6, 3
+
+
+def synth_png_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL PNG payload table (stdlib codec): pixel stream is the
+    same closed-form (seed + 7i) % 256 contract as FIMG, so the DuckDB oracle
+    recomputes every statistic while Spark decodes genuine PNG bytes
+    (chunk CRCs, zlib inflate, all five scanline filters)."""
+    from deepdoctection_spark.operators.codecs import png_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                w, h, c = _png_dims(mid)
+                px = ((mid % 256 + 7 * np.arange(w * h * c, dtype=np.int64))
+                      % 256).astype(np.uint8).reshape(h, w, c)
+                rows.append((mid, "image/png", w, h, c, png_encode(px)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
 def synth_audio(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

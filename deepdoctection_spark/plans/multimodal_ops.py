@@ -49,6 +49,36 @@ def q_media_image_stats(spark, sf_dir):
 
 
 @register(
+    "media_png_stats",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (8 + doc_id % 9)::INT AS width, (5 + doc_id % 6)::INT AS height,
+         3::INT AS channels,
+         ((8 + doc_id % 9) * (5 + doc_id % 6) * 3)::INT AS n_pixels
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, channels, n_pixels,
+         ((seed + 7 * i) % 256) AS v, (i % 3) AS ch
+  FROM dims, unnest(range(n_pixels)) AS t(i)
+)
+SELECT media_id, width, height, channels, n_pixels,
+       round(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round(avg(v) FILTER (ch = 0), 4) AS mean_c0,
+       NULL::VARCHAR AS error
+FROM px GROUP BY media_id, width, height, channels, n_pixels
+""",
+)
+def q_media_png_stats(spark, sf_dir):
+    """REAL PNG path: Spark inflates/unfilters genuine PNG bytes (stdlib
+    codec, operators/codecs.png_decode) through the same registry-dispatched
+    image_stats stage; the oracle recomputes from the pixel formula."""
+    return mm.image_stats(mm.synth_png_images(_docs(spark, sf_dir)))
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

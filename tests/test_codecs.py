@@ -23,11 +23,100 @@ def test_dispatch_unknown_magic():
         codecs.decode_image(b"XXXX....")
 
 
-def test_png_without_pillow_raises_not_implemented():
+def test_jpeg_without_pillow_raises_not_implemented():
     if codecs._PILImage is not None:
         pytest.skip("Pillow installed — real decode covered by test_pil_roundtrip")
     with pytest.raises(NotImplementedError, match="Pillow"):
-        codecs.decode_image(b"\x89PNG\r\n\x1a\n....")
+        codecs.decode_image(b"\xff\xd8\xff....")
+
+
+# --- stdlib PNG codec (real, no Pillow) -------------------------------------
+
+
+def _test_img(h, w, c, seed=7):
+    return ((seed + 7 * np.arange(h * w * c, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).reshape(h, w, c)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_roundtrip_all_color_types(c):
+    # h=7 ≥ 5 → the y % 5 encoder cycle hits every scanline filter
+    a = _test_img(7, 5, c)
+    out = codecs.png_decode(codecs.png_encode(a))
+    assert out.shape == (7, 5, c)
+    np.testing.assert_array_equal(out, a)
+
+
+def test_png_roundtrip_noise_image():
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 256, size=(11, 9, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(codecs.png_decode(codecs.png_encode(a)), a)
+
+
+def test_png_registry_dispatch():
+    a = _test_img(6, 4, 3)
+    np.testing.assert_array_equal(codecs.decode_image(codecs.png_encode(a)), a)
+
+
+def test_png_golden_stored_block():
+    """Hand-built PNG (spec-derived, zlib stored block): 2×2 gray, filter 0
+    rows [[1,2],[3,4]] — independent of our encoder."""
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    scan = bytes([0, 1, 2, 0, 3, 4])
+    # raw deflate stored block: final=1 type=00, LEN, ~LEN, data; zlib wrapper
+    deflate = bytes([0x01, 6, 0, 249, 255]) + scan
+    adler = struct.pack(">I", zlib.adler32(scan))
+    idat = bytes([0x78, 0x01]) + deflate + adler
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II5B", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(
+        codecs.png_decode(raw), np.array([[[1], [2]], [[3], [4]]], np.uint8)
+    )
+
+
+def test_png_crc_corruption_raises():
+    raw = bytearray(codecs.png_encode(_test_img(5, 5, 3)))
+    raw[20] ^= 0xFF  # inside IHDR payload → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.png_decode(bytes(raw))
+
+
+def test_png_truncated_raises():
+    raw = codecs.png_encode(_test_img(5, 5, 3))
+    with pytest.raises(ValueError):
+        codecs.png_decode(raw[: len(raw) // 2])
+
+
+def test_png_unsupported_depth_raises():
+    import struct
+    import zlib
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload))
+        )
+
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II5B", 2, 2, 16, 0, 0, 0, 0))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.png_decode(raw)
 
 
 def test_wav_roundtrip_real_codec():
