@@ -153,15 +153,19 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
     )
 
 
-def ivf_assign(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame, k: int = IVF_K, centroids: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, cluster, dist2): nearest coarse centroid per vector.
 
     The centroid table is k rows → broadcast; assignment is one narrow pass
-    over the corpus + a per-vector argmin window (tie-break cluster id)."""
+    over the corpus + a per-vector argmin window (tie-break cluster id).
+    ``centroids`` (cluster, cemb) overrides the sampled seed — pass the
+    output of train_ivf_centroids for the trained quantizer."""
     from pyspark.sql.window import Window
 
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    cents = ivf_centroids(embeddings, k)
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, k)
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cluster", _l2sq(F.col("emb"), F.col("cemb")).alias("dist2")
     )
@@ -173,6 +177,83 @@ def ivf_assign(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
     )
 
 
+def _recompute_centroids(embeddings: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cluster, cemb): element-wise member mean with DECIMAL(30,10)
+    accumulation (order-independent sum → bit-reproducible across engines,
+    same policy as ivf_kmeans_step) reassembled into an array ordered by
+    dimension."""
+    dims = embeddings.join(assign, "vec_id").select(
+        "cluster",
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "val"),
+    )
+    per_dim = dims.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(30,10)")).cast("double")
+            / F.count("*")
+        ).alias("cv")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cemb")
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    rounds: int | None = None,
+    max_rounds: int = 50,
+    tol: float = 0.0,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Lloyd-trained coarse quantizer (the reference's trained-predictor slot,
+    /root/reference/deepdoctection/extern/base.py:118-439: a model artifact
+    produced by training, then served).
+
+    Driver-side control loop over fully distributed rounds (assign =
+    broadcast-join argmin; recompute = map-side-combinable hash agg). Between
+    rounds only the MODEL (k × dim doubles ≈ KBs) is collected — the same
+    driver-resident-parameters pattern as Spark MLlib KMeans — so lineage
+    stays flat without checkpoints and the next round's centroids re-enter
+    the plan as a literal broadcast table.
+
+    rounds=N runs exactly N Lloyd iterations (cross-engine-reproducible: the
+    oracle chains the same CTE N times). rounds=None iterates until the max
+    centroid shift ≤ tol, up to max_rounds. ``stats`` (optional dict) is
+    filled with {'rounds', 'converged', 'max_shift'}.
+    """
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(embeddings, k)
+    n_rounds = 0
+    converged = False
+    shift = float("inf")
+    prev: dict[int, np.ndarray] | None = None
+    limit = rounds if rounds is not None else max_rounds
+    while n_rounds < limit:
+        assign = ivf_assign(embeddings, k, centroids=cents)
+        new = _recompute_centroids(embeddings, assign)
+        rows = new.collect()  # model-sized: k × dim doubles
+        cur = {r["cluster"]: np.asarray(r["cemb"], dtype=np.float64) for r in rows}
+        cents = spark.createDataFrame(
+            [(int(c), [float(v) for v in emb]) for c, emb in sorted(cur.items())],
+            "cluster int, cemb array<double>",
+        )
+        n_rounds += 1
+        if prev is not None and set(prev) == set(cur):
+            shift = max(
+                float(np.abs(prev[c] - cur[c]).max()) for c in cur
+            ) if cur else 0.0
+            if rounds is None and shift <= tol:
+                converged = True
+                break
+        prev = cur
+    if stats is not None:
+        stats.update(rounds=n_rounds, converged=converged or rounds is not None,
+                     max_shift=None if shift == float("inf") else shift)
+    return cents
+
+
 def ivf_search(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -180,17 +261,23 @@ def ivf_search(
     probes: int = IVF_PROBES,
     n_clusters: int = IVF_K,
     round_to: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe the `probes` nearest inverted lists per query, exact
     cosine only within them. At 10^9 vectors this replaces the full cross
     product with (corpus/n_clusters)·probes candidates per query — the scan
     prunes to probed clusters (partition the corpus table by `cluster` on
-    write and the pruning is physical)."""
+    write and the pruning is physical).
+
+    ``centroids`` plugs in the TRAINED quantizer (train_ivf_centroids);
+    default is the sampled seed."""
     from pyspark.sql.window import Window
 
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
-    cents = ivf_centroids(embeddings, n_clusters)
-    assign = ivf_assign(embeddings, n_clusters)
+    cents = (
+        centroids if centroids is not None else ivf_centroids(embeddings, n_clusters)
+    )
+    assign = ivf_assign(embeddings, n_clusters, centroids=cents)
 
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")

@@ -545,6 +545,78 @@ def q_ann_ivf_search(spark, sf_dir):
     return similarity.ivf_search(_embs(spark, sf_dir), n_queries=10, k=5)
 
 
+def _ivf_lloyd_round(a: str, cents: str, next_cents: str) -> str:
+    """One Lloyd round as chained CTEs: assign `a` against `cents`, then
+    DECIMAL-mean member centroids into `next_cents` (cluster, cemb) with the
+    list ordered by dimension — mirrors similarity.train_ivf_centroids."""
+    return f"""
+{a} AS (
+  SELECT vec_id, cluster::INT AS cluster FROM (
+    SELECT b.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {_IVF_DIST}, c.cluster) AS rn
+    FROM base b, {cents} c
+  ) WHERE rn = 1
+),
+{next_cents} AS (
+  SELECT cluster, list(cv ORDER BY dim) AS cemb FROM (
+    SELECT a.cluster, (t.i - 1)::INT AS dim,
+           sum(b.emb[t.i]::DECIMAL(30,10))::DOUBLE / count(*) AS cv
+    FROM {a} a JOIN base b ON b.vec_id = a.vec_id,
+         unnest(range(1, len(b.emb) + 1)) AS t(i)
+    GROUP BY 1, 2
+  ) GROUP BY cluster
+)"""
+
+
+@register(
+    "ann_ivf_search_trained",
+    f"""
+WITH {_EMB_BASE},
+cents0 AS (SELECT vec_id AS cluster, emb AS cemb FROM base WHERE vec_id < {similarity.IVF_K}),
+{_ivf_lloyd_round("a0", "cents0", "cents1")},
+{_ivf_lloyd_round("a1", "cents1", "cents2")},
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT b.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY {_IVF_DIST}, c.cluster) AS rn
+    FROM base b, cents2 c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 10),
+probed AS (
+  SELECT query_id, qemb, cluster FROM (
+    SELECT q.query_id, q.qemb, c.cluster, {_IVF_QDIST} AS qdist2,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {_IVF_QDIST}, c.cluster) AS rn
+    FROM q, cents2 c
+  ) WHERE rn <= {similarity.IVF_PROBES}
+),
+cand AS (
+  SELECT p.query_id, p.qemb, a.vec_id
+  FROM probed p JOIN a2 a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+),
+qscored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(c.qemb, b.emb) /
+               (sqrt(list_dot_product(c.qemb, c.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM qscored
+) WHERE rank <= 5
+""",
+)
+def q_ann_ivf_search_trained(spark, sf_dir):
+    """IVF search over the TRAINED coarse quantizer: two full Lloyd rounds
+    (driver-side loop, DECIMAL-accumulated means) feed ivf_search — closing
+    the r2 gap where the trained step existed but search probed the seed.
+    The oracle chains the identical rounds as CTEs."""
+    embs = _embs(spark, sf_dir)
+    cents = similarity.train_ivf_centroids(embs, rounds=2)
+    return similarity.ivf_search(embs, n_queries=10, k=5, centroids=cents)
+
+
 @register(
     "ann_ivf_kmeans_step",
     f"""

@@ -1,0 +1,69 @@
+"""Trained IVF quantizer: Lloyd-loop convergence + trained-search wiring
+(end-to-end is the ann_ivf_search_trained row of the parity gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepdoctection_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    # two well-separated blobs around ±1 on alternating dims → k=2 k-means
+    # has an obvious fixpoint
+    rng = np.random.default_rng(3)
+    rows = []
+    for vid in range(40):
+        center = 1.0 if vid % 2 == 0 else -1.0
+        v = center + rng.normal(0, 0.05, 8)
+        rows.append((vid, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lloyd_converges_and_assignments_stable(embs):
+    stats: dict = {}
+    cents = similarity.train_ivf_centroids(
+        embs, k=2, rounds=None, max_rounds=20, stats=stats
+    )
+    assert stats["converged"] and stats["rounds"] <= 20
+    assert stats["max_shift"] == 0.0
+    # fixpoint: one more assign+recompute round leaves centroids unchanged
+    assign = similarity.ivf_assign(embs, k=2, centroids=cents)
+    again = similarity._recompute_centroids(embs, assign)
+    a = {r["cluster"]: r["cemb"] for r in cents.collect()}
+    b = {r["cluster"]: r["cemb"] for r in again.collect()}
+    assert a.keys() == b.keys()
+    for c in a:
+        np.testing.assert_array_equal(a[c], b[c])
+
+
+def test_trained_centroids_are_blob_means(embs):
+    cents = similarity.train_ivf_centroids(embs, k=2, rounds=None, max_rounds=20)
+    rows = {r["cluster"]: np.array(r["cemb"]) for r in cents.collect()}
+    assert len(rows) == 2
+    signs = sorted(np.sign(v).sum() for v in rows.values())
+    assert signs == [-8, 8]  # one centroid per blob, all dims same sign
+
+
+def test_fixed_rounds_runs_exactly_n(embs):
+    stats: dict = {}
+    similarity.train_ivf_centroids(embs, k=2, rounds=3, stats=stats)
+    assert stats["rounds"] == 3
+
+
+def test_trained_search_shape(embs):
+    cents = similarity.train_ivf_centroids(embs, k=2, rounds=2)
+    out = similarity.ivf_search(
+        embs, n_queries=4, k=3, n_clusters=2, probes=1, centroids=cents
+    ).collect()
+    assert len(out) == 12  # 4 queries × top-3
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3]
+        # with probes=1 on separated blobs, neighbors share the query's parity
+        for r in rs:
+            assert r["vec_id"] % 2 == q % 2
