@@ -83,6 +83,7 @@ class ResumableResult:
     processed_buckets: list[int] = field(default_factory=list)
     skipped_buckets: int = 0
     rows_written: int = 0
+    rows_quarantined: int = 0
     waves: int = 0
 
 
@@ -149,16 +150,24 @@ def run_resumable_extract(
             .parquet(data_dir)
         )
         wall_ms = int((time.time() - t0) * 1000)
-        # Per-bucket row counts for the metrics feed: read back the committed
-        # wave partitions (scan pruned to just-written dirs, counts only).
-        counts = {
-            r[BUCKET_COL]: r["cnt"]
-            for r in spark.read.parquet(data_dir)
+        # Per-bucket row + quarantined counts for the metrics feed: read back
+        # the committed wave partitions (scan pruned to just-written dirs,
+        # counts only). `quarantined` = rows the extraction stage error-
+        # columned instead of failing — surfaced per bucket so a silent drop
+        # rate is visible in ops, not just executor logs (the reference logs
+        # AND counts, mapper/maputils.py:41-110).
+        stats_rows = (
+            spark.read.parquet(data_dir)
             .where(F.col(BUCKET_COL).isin(wave))
             .groupBy(BUCKET_COL)
-            .agg(F.count("*").alias("cnt"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.col("error").isNotNull().cast("long")).alias("quar"),
+            )
             .collect()
-        }
+        )
+        counts = {r[BUCKET_COL]: r["cnt"] for r in stats_rows}
+        quarantined = {r[BUCKET_COL]: int(r["quar"] or 0) for r in stats_rows}
         # Step 2: manifest commit (atomic rename — readers never see a torn
         # manifest file).
         # per-bucket wall: the wave's wall apportioned by row share — the
@@ -171,6 +180,7 @@ def run_resumable_extract(
                 "bucket": int(b),
                 "status": "done",
                 "rows": int(counts.get(b, 0)),
+                "quarantined": quarantined.get(b, 0),
                 "wall_ms": int(wall_ms * counts.get(b, 0) / total_rows),
                 "wave_wall_ms": wall_ms,
                 "wave": res.waves,
@@ -188,6 +198,7 @@ def run_resumable_extract(
 
         res.processed_buckets.extend(int(b) for b in wave)
         res.rows_written += sum(counts.values())
+        res.rows_quarantined += sum(quarantined.values())
         res.waves += 1
         if fail_after_waves is not None and res.waves >= fail_after_waves:
             bucketed.unpersist()

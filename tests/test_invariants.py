@@ -263,3 +263,17 @@ def test_simhash_pairs_plan_has_no_cross_join(spark, sf_parity):
         simhash_near_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_row_guard_counter_counts_drops(spark):
+    """Quarantine observability: dropped rows are counted on the accumulator
+    (log-and-COUNT, the reference's maputils contract), visible driver-side."""
+    from deepdoctection_spark.operators.pubtablesop import pubtables_grids
+    from deepdoctection_spark.operators.quarantine import quarantine_counter
+
+    rows = [("c1", 0, ""), ("c1", None, ""), ("c2", None, ""), ("c2", 3, "")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    counter = quarantine_counter(spark)
+    out = pubtables_grids(df, counter=counter).collect()
+    assert len(out) == 2  # poison rows dropped
+    assert counter.value == 2  # ...and counted

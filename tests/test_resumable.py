@@ -110,3 +110,26 @@ def test_load_extracted_empty_before_first_commit(spark, tmp_path):
     df = load_extracted(spark, str(tmp_path / "never_ran"))
     assert df.count() == 0
     assert "extracted_text" in df.columns
+
+
+def test_manifest_records_quarantined_counts(spark, tmp_path):
+    """A poison turn's error-column quarantine is visible in the manifest
+    (per-bucket `quarantined`) and on the result — not just executor logs."""
+    from deepdoctection_spark.jobs.resumable import read_manifest, run_resumable_extract
+
+    rows = [
+        ("c1", 0, "user", "good text", "", None),
+        ("c1", None, "user", "poison: null turn_idx", "", None),
+        ("c2", 1, "user", "more text", "", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path / "quar_job")
+    res = run_resumable_extract(spark, df, out, n_buckets=4, wave_size=4)
+    assert res.rows_written == 3
+    assert res.rows_quarantined == 1
+    entries = read_manifest(out)
+    assert sum(e["quarantined"] for e in entries) == 1
+    assert all("quarantined" in e for e in entries)
