@@ -736,30 +736,31 @@ def q_curation_decisions(spark, sf_dir):
     decision from near-dup clustering (keep the representative), quality
     scoring (threshold 0.5) and language id ('und' dropped) — three hash
     joins on doc_id over operators the gate already checks individually, so
-    this row checks the decision fusion itself."""
-    from pyspark.sql import functions as F
+    this row checks the decision fusion itself. Logic lives in
+    jobs/curate.curation_decisions (shared with the production curation
+    job)."""
+    from deepdoctection_spark.jobs.curate import curation_decisions
 
-    from deepdoctection_spark.operators.dedupclusters import dup_clusters
+    return curation_decisions(_docs(spark, sf_dir))
+
+
+@register(
+    "curated_corpus",
+    f"""
+WITH d AS ({_curation_oracle()})
+SELECT doc.doc_id, doc.text, d.pred_lang, d.quality
+FROM documents doc JOIN d ON doc.doc_id = d.doc_id
+WHERE d.keep
+""",
+)
+def q_curated_corpus(spark, sf_dir):
+    """The materialized training set: documents that survive curation, with
+    their verdict metadata — the SELECT the resumable curation job
+    (jobs/curate.run_resumable_curation) writes to parquet."""
+    from deepdoctection_spark.jobs.curate import curation_decisions
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=3, threshold=0.8)
-    clusters = dup_clusters(docs, pairs)
-    q = textstats.quality_scores(docs).select("doc_id", "quality")
-    lang = textstats.lang_id(docs).select("doc_id", "pred_lang")
-    keep = (
-        F.col("is_kept") & (F.col("quality") >= 0.5) & (F.col("pred_lang") != "und")
+    dec = curation_decisions(docs).where("keep").select(
+        "doc_id", "pred_lang", "quality"
     )
-    reason = (
-        F.when(~F.col("is_kept"), "duplicate")
-        .when(F.col("quality") < 0.5, "low_quality")
-        .when(F.col("pred_lang") == "und", "unknown_lang")
-        .otherwise("")
-    )
-    return (
-        q.join(lang, "doc_id")
-        .join(clusters, "doc_id")
-        .select(
-            "doc_id", "pred_lang", "quality", "cluster_id", "cluster_size",
-            keep.alias("keep"), reason.alias("drop_reason"),
-        )
-    )
+    return docs.select("doc_id", "text").join(dec, "doc_id")
