@@ -1,0 +1,512 @@
+"""Pure-stdlib PDF codec: writer + text extractor (zlib + re, no pypdf).
+
+The reference's PDF surface is ``PdfMiner.predict(bytes) -> positioned words``
+(/root/reference/deepdoctection/extern/pdftext.py and
+utils/pdf_utils.py:121-227, which shells out to pdfplumber/poppler). This
+module puts a REAL PDF codec on the in-sandbox oracle-checked path, the same
+move as the stdlib PNG codec (operators/codecs.py:76-213):
+
+- :func:`pdf_encode` writes genuine PDF 1.4 bytes — object table, page tree,
+  FlateDecode content streams, classic xref + trailer — from positioned text
+  runs. The content streams deliberately rotate across the text-showing
+  operator surface (``Tj``, ``TJ`` arrays with kerning numbers, ``'`` with
+  ``T*``/``TL``) and across positioning forms (``Td``, ``TD``, ``Tm``) so a
+  round trip exercises the whole text machine, not one happy path.
+- :func:`pdf_decode` parses PDF bytes back to per-page positioned runs:
+  object scan, indirect-/Length resolution, FlateDecode, page-tree walk
+  (/Root → /Pages → /Kids, recursive), and a content-stream tokenizer +
+  text-object interpreter (BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ', ").
+- :func:`pdf_page_text` flattens runs to reading-order plain text (y-down
+  line sort, x within line) — the SerializerPdfDoc page-per-row contract.
+
+Scope (declared, quarantine-on-miss like png_decode): classic xref documents,
+FlateDecode or plain streams, simple fonts with latin-1-ish byte strings.
+Encrypted PDFs, xref streams / object streams, and CID fonts raise
+ValueError → the callers' row quarantine turns that into an `error` column.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+_ESC = {ord("("): b"\\(", ord(")"): b"\\)", ord("\\"): b"\\\\",
+        10: b"\\n", 13: b"\\r", 9: b"\\t", 8: b"\\b", 12: b"\\f"}
+
+
+def _pdf_string(s: str) -> bytes:
+    """Literal PDF string with escapes; bytes outside printable ASCII get
+    octal escapes of their latin-1 encoding (chars outside latin-1 are
+    replaced — the declared simple-font scope)."""
+    out = bytearray(b"(")
+    for b in s.encode("latin-1", errors="replace"):
+        esc = _ESC.get(b)
+        if esc is not None:
+            out += esc
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    out += b")"
+    return bytes(out)
+
+
+def _run_ops(i: int, x: float, y: float, size: float, text: str) -> bytes:
+    """One text run, rotating operator forms by run index so every encoded
+    page exercises Td/Tm/TD positioning and Tj/TJ/' showing."""
+    form = i % 3
+    if form == 0:  # absolute matrix + plain Tj
+        return b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm %s Tj ET" % (
+            size, x, y, _pdf_string(text))
+    if form == 1:  # TD positioning + TJ array split with kerning numbers
+        mid = max(1, len(text) // 2)
+        return (b"BT /F1 %.2f Tf %.2f %.2f TD [%s -20 %s] TJ ET" % (
+            size, x, y, _pdf_string(text[:mid]), _pdf_string(text[mid:])))
+    # TL + Td one line up, then ' (T* + show) — the next-line-show operator
+    return (b"BT /F1 %.2f Tf %.2f TL %.2f %.2f Td %s ' ET" % (
+        size, size, x, y + size, _pdf_string(text)))
+
+
+def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
+               compress: bool = True) -> bytes:
+    """pages = list of pages; each page = list of (x, y, size, text) runs
+    (PDF user space, y-up). Returns a complete classic-xref PDF."""
+    objs: dict[int, bytes] = {}
+    n_pages = len(pages)
+    font_id = 3 + 2 * n_pages
+    kid_ids = [3 + 2 * i for i in range(n_pages)]
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Count %d /Kids [%s] >>" % (
+        n_pages, b" ".join(b"%d 0 R" % k for k in kid_ids)))
+    for i, runs in enumerate(pages):
+        pid, cid = kid_ids[i], kid_ids[i] + 1
+        body = b"\n".join(
+            _run_ops(j, x, y, size, text)
+            for j, (x, y, size, text) in enumerate(runs))
+        if compress:
+            data = zlib.compress(body)
+            # /Length as an INDIRECT reference (a length object after the
+            # stream) — the shape real writers emit, so the parser's
+            # indirect-length resolution is exercised by every payload.
+            len_id = font_id + 1 + i
+            stream = (b"<< /Length %d 0 R /Filter /FlateDecode >>\nstream\n"
+                      % len_id) + data + b"\nendstream"
+            objs[len_id] = b"%d" % len(data)
+        else:
+            stream = (b"<< /Length %d >>\nstream\n" % len(body)
+                      ) + body + b"\nendstream"
+        objs[cid] = stream
+        objs[pid] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                     b"/Resources << /Font << /F1 %d 0 R >> >> "
+                     b"/Contents %d 0 R >>" % (font_id, cid))
+    objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
+                     b"/BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_pos = len(out)
+    max_id = max(objs)
+    out += b"xref\n0 %d\n" % (max_id + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_id + 1):
+        out += b"%010d 00000 n \n" % offsets.get(num, 0)
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, xref_pos))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser: object model
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]+)")
+_NUM_RE = re.compile(rb"[+-]?\d*\.?\d+")
+_WS = b"\x00\t\n\x0c\r "
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and buf[i] not in (10, 13):
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_value(buf: bytes, i: int):
+    """Parse one PDF object value at i → (value, next_i)."""
+    i = _skip_ws(buf, i)
+    c = buf[i:i + 1]
+    if buf[i:i + 2] == b"<<":
+        d = {}
+        i += 2
+        while True:
+            i = _skip_ws(buf, i)
+            if buf[i:i + 2] == b">>":
+                return d, i + 2
+            m = _NAME_RE.match(buf, i)
+            if not m:
+                raise ValueError(f"bad dict key at {i}")
+            key = m.group(1).decode("latin-1")
+            v, i = _parse_value(buf, m.end())
+            d[key] = v
+    if c == b"[":
+        arr = []
+        i += 1
+        while True:
+            i = _skip_ws(buf, i)
+            if buf[i:i + 1] == b"]":
+                return arr, i + 1
+            v, i = _parse_value(buf, i)
+            arr.append(v)
+    if c == b"/":
+        m = _NAME_RE.match(buf, i)
+        return "/" + m.group(1).decode("latin-1"), m.end()
+    if c == b"(":
+        return _parse_literal_string(buf, i)
+    if c == b"<":
+        j = buf.index(b">", i)
+        hx = re.sub(rb"\s", b"", buf[i + 1:j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), j + 1
+    # number, or "N 0 R" indirect reference
+    m = _NUM_RE.match(buf, i)
+    if m:
+        ref = re.match(rb"(\d+)\s+\d+\s+R\b", buf[i:i + 32])
+        if ref:
+            return _Ref(int(ref.group(1))), i + ref.end()
+        tok = m.group(0)
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    for lit, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if buf.startswith(lit, i):
+            return val, i + len(lit)
+    raise ValueError(f"unparseable PDF value at offset {i}: {buf[i:i+20]!r}")
+
+
+def _parse_literal_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    """(…) literal with \\-escapes, octal, and balanced nested parens."""
+    assert buf[i:i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            nxt = buf[i + 1]
+            if 0x30 <= nxt <= 0x37:  # octal, 1-3 digits
+                j = i + 1
+                oct_digits = bytearray()
+                while j < n and len(oct_digits) < 3 and 0x30 <= buf[j] <= 0x37:
+                    oct_digits.append(buf[j])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                      0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}.get(nxt)
+            if mapped is not None:
+                out.append(mapped)
+                i += 2
+                continue
+            if nxt in (10, 13):  # line continuation
+                i += 2
+                if nxt == 13 and i < n and buf[i] == 10:
+                    i += 1
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError("unterminated PDF string")
+
+
+def _scan_objects(raw: bytes) -> dict[int, tuple[object, bytes | None]]:
+    """All `N G obj` bodies → {num: (value, raw_stream_bytes_or_None)}.
+    Offset-scan rather than xref-walk: robust to incremental updates and
+    mild corruption (later definitions win, matching xref-update semantics)."""
+    objs: dict[int, tuple[object, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(raw):
+        num = int(m.group(1))
+        try:
+            val, i = _parse_value(raw, m.end())
+        except (ValueError, IndexError, AssertionError):
+            continue
+        stream = None
+        i = _skip_ws(raw, i)
+        if raw.startswith(b"stream", i):
+            i += 6
+            if raw[i:i + 2] == b"\r\n":
+                i += 2
+            elif raw[i:i + 1] == b"\n":
+                i += 1
+            # /Length may be an indirect ref (resolved later); grab the
+            # conservative extent now, trim after resolution.
+            end = raw.find(b"endstream", i)
+            if end < 0:
+                raise ValueError(f"obj {num}: stream without endstream")
+            stream = raw[i:end]
+        objs[num] = (val, stream)
+    if not objs:
+        raise ValueError("no PDF objects found (encrypted or xref-stream-only?)")
+    return objs
+
+
+class _Doc:
+    def __init__(self, raw: bytes) -> None:
+        if not raw.lstrip()[:5].startswith(b"%PDF-"):
+            raise ValueError("missing %PDF header")
+        self.objs = _scan_objects(raw)
+
+    def resolve(self, v):
+        seen = 0
+        while isinstance(v, _Ref):
+            v = self.objs.get(v.num, (None, None))[0]
+            seen += 1
+            if seen > 32:
+                raise ValueError("indirect reference loop")
+        return v
+
+    def stream_data(self, num: int) -> bytes:
+        val, stream = self.objs[num]
+        if stream is None:
+            raise ValueError(f"obj {num} has no stream")
+        length = self.resolve(val.get("Length")) if isinstance(val, dict) else None
+        if isinstance(length, int) and 0 <= length <= len(stream):
+            data = stream[:length]
+        else:
+            data = stream.rstrip(b"\r\n")
+        filt = self.resolve(val.get("Filter")) if isinstance(val, dict) else None
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            f = self.resolve(f)
+            if f == "/FlateDecode":
+                data = zlib.decompress(data)
+            elif f is None:
+                continue
+            else:
+                raise ValueError(f"unsupported stream filter {f}")
+        return data
+
+    def catalog_pages(self) -> list[int]:
+        root = None
+        for num, (val, _) in self.objs.items():
+            if isinstance(val, dict) and val.get("Type") == "/Catalog":
+                root = val
+                break
+        if root is None:
+            raise ValueError("no /Catalog object")
+        page_ids: list[int] = []
+
+        def walk(node_ref) -> None:
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                return
+            t = node.get("Type")
+            if t == "/Page":
+                page_ids.append(node_ref.num if isinstance(node_ref, _Ref)
+                                else -1)
+            elif t == "/Pages":
+                for kid in self.resolve(node.get("Kids")) or []:
+                    walk(kid)
+
+        walk(root.get("Pages"))
+        if not page_ids:
+            raise ValueError("page tree has no /Page leaves")
+        return page_ids
+
+    def page_content(self, page_num: int) -> bytes:
+        page, _ = self.objs[page_num]
+        contents = page.get("Contents")
+        refs = contents if isinstance(contents, list) else [contents]
+        parts = []
+        for r in refs:
+            if isinstance(r, _Ref):
+                parts.append(self.stream_data(r.num))
+        return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter (the text machine)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)|<<|>>|<[0-9A-Fa-f\s]*>|/[^\s/<>\[\]()]*"
+    rb"|[+-]?\d*\.?\d+|\[|\]|[A-Za-z'\"*]+", re.S)
+
+
+def _tokenize_content(data: bytes):
+    for m in _TOKEN_RE.finditer(data):
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            s, _ = _parse_literal_string(tok, 0)
+            yield ("str", s)
+        elif tok.startswith(b"<") and tok not in (b"<<", b">>"):
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode("ascii")))
+        elif tok[0:1] in b"+-0123456789." and tok not in (b"[", b"]"):
+            yield ("num", float(tok))
+        elif tok == b"[":
+            yield ("arr_open", None)
+        elif tok == b"]":
+            yield ("arr_close", None)
+        elif tok.startswith(b"/"):
+            yield ("name", tok.decode("latin-1"))
+        else:
+            yield ("op", tok.decode("latin-1"))
+
+
+def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
+    """Interpret a page content stream → [(x, y, size, text)] runs. Supports
+    the full simple-font text-positioning/showing surface: BT ET Tf TL Td TD
+    Tm T* Tj TJ ' \" (word/char-spacing operands of \" are consumed, text is
+    shown). Graphics operators are ignored (no-op), matching a text miner."""
+    runs: list[tuple[float, float, float, str]] = []
+    stack: list = []
+    size = 12.0
+    leading = 0.0
+    # text-line matrix origin; simple translation-only model (rotation-free
+    # Tm is the declared scope — the writer only emits 1 0 0 1 tx ty)
+    lx = ly = 0.0   # line start
+    cx = cy = 0.0   # current point
+    in_text = False
+    arr: list | None = None
+
+    def show(s: bytes) -> None:
+        nonlocal cx
+        text = s.decode("latin-1")
+        if text:
+            runs.append((cx, cy, size, text))
+            cx += 0.5 * size * len(text)  # Helvetica-ish advance
+
+    for kind, val in _tokenize_content(content):
+        if kind == "arr_open":
+            arr = []
+            continue
+        if kind == "arr_close":
+            stack.append(arr)
+            arr = None
+            continue
+        if kind in ("num", "str", "name"):
+            (arr if arr is not None else stack).append(val)
+            continue
+        op = val
+        try:
+            if op == "BT":
+                in_text = True
+                lx = ly = cx = cy = 0.0
+            elif op == "ET":
+                in_text = False
+            elif op == "Tf":
+                size = float(stack[-1])
+            elif op == "TL":
+                leading = float(stack[-1])
+            elif op == "Td" and in_text:
+                lx += float(stack[-2]); ly += float(stack[-1])
+                cx, cy = lx, ly
+            elif op == "TD" and in_text:
+                leading = -float(stack[-1])
+                lx += float(stack[-2]); ly += float(stack[-1])
+                cx, cy = lx, ly
+            elif op == "Tm" and in_text:
+                lx, ly = float(stack[-2]), float(stack[-1])
+                cx, cy = lx, ly
+            elif op == "T*" and in_text:
+                ly -= leading
+                cx, cy = lx, ly
+            elif op == "Tj" and in_text:
+                show(stack[-1])
+            elif op == "TJ" and in_text:
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        show(el)
+                    # numeric kerning adjustments shift cx; sub-point moves
+                    # don't change reading order in the declared scope
+            elif op == "'" and in_text:
+                ly -= leading
+                cx, cy = lx, ly
+                show(stack[-1])
+            elif op == '"' and in_text:
+                ly -= leading
+                cx, cy = lx, ly
+                show(stack[-1])
+        except (IndexError, TypeError, AttributeError) as exc:
+            raise ValueError(f"malformed content stream at op {op}: {exc}")
+        stack.clear()
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# public API (the PdfMiner.predict-shaped slots)
+# ---------------------------------------------------------------------------
+
+
+def pdf_decode(raw: bytes) -> list[list[tuple[float, float, float, str]]]:
+    """PDF bytes → per-page [(x, y, size, text)] runs, page-tree order."""
+    doc = _Doc(raw)
+    return [extract_runs(doc.page_content(p)) for p in doc.catalog_pages()]
+
+
+def pdf_page_text(runs: list[tuple[float, float, float, str]],
+                  line_tol: float = 2.0) -> str:
+    """Runs → plain text: lines by descending y (PDF y-up → reading order),
+    runs within a line by x, concatenated; lines joined with newlines."""
+    if not runs:
+        return ""
+    lines: list[tuple[float, list[tuple[float, str]]]] = []
+    for x, y, _size, text in sorted(runs, key=lambda r: (-r[1], r[0])):
+        if lines and abs(lines[-1][0] - y) <= line_tol:
+            lines[-1][1].append((x, text))
+        else:
+            lines.append((y, [(x, text)]))
+    return "\n".join(
+        "".join(t for _x, t in sorted(parts)) for _y, parts in lines)
+
+
+def pdf_texts(raw: bytes) -> list[str]:
+    """PDF bytes → per-page plain text (stdlib; the in-sandbox realization of
+    codecs.pdf_page_texts' pypdf slot)."""
+    return [pdf_page_text(runs) for runs in pdf_decode(raw)]
+
+
+def pdf_positioned_pages(raw: bytes) -> list[str]:
+    """PDF bytes → per-page '@x,y:text' line payloads — the engine's
+    pdf_reader wire format (kernels/layout.py input), so real PDFs feed the
+    existing layout/sub-line kernels with zero engine changes."""
+    pages = []
+    for runs in pdf_decode(raw):
+        pages.append("\n".join(
+            f"@{x:.0f},{792 - y:.0f}:{t}"  # flip to y-down reader coords
+            for x, y, _s, t in sorted(runs, key=lambda r: (-r[1], r[0]))))
+    return pages

@@ -11,9 +11,13 @@ the registry, which dispatches on the payload's leading magic bytes:
   oracle-checked (the sandbox path);
 - PNG via a pure-stdlib decoder/encoder (zlib + struct + numpy unfilter) —
   a REAL image codec on the oracle-checked path, no Pillow needed;
-- real codecs gated behind import-try: JPEG via Pillow, PDF text via
-  pypdf, positioned PDF runs via pdfplumber (none ship in this container —
-  their contract tests are skip-marked, the dispatch plumbing is not);
+- PDF text + positioned runs via a pure-stdlib parser (kernels/pdf.py:
+  object scan, FlateDecode, page tree, BT/ET text machine) — a REAL
+  document codec on the oracle-checked path; pypdf/pdfplumber, when
+  installed, override it for shapes outside the stdlib scope;
+- real codecs gated behind import-try: JPEG via Pillow (absent in this
+  container — its contract test is skip-marked, the dispatch plumbing
+  is not);
 - WAV via the stdlib ``wave`` module — a REAL codec that works everywhere,
   exercised unskipped;
 - user plug-ins via register_image_decoder / register_audio_decoder — the
@@ -295,34 +299,38 @@ def wav_encode(sr: int, samples: np.ndarray) -> bytes:
 
 
 def pdf_page_texts(raw: bytes) -> list[str]:
-    """Per-page plain text from PDF bytes (pypdf backend). The returned pages
-    feed the engine as one transcript turn each (SerializerPdfDoc.load
-    semantics, custom_serialize.py:514-559)."""
-    if _pypdf is None:
-        raise NotImplementedError(
-            "PDF text extraction needs pypdf — `pip install pypdf` outside "
-            "the sandbox"
-        )
-    reader = _pypdf.PdfReader(io.BytesIO(raw))
-    return [page.extract_text() or "" for page in reader.pages]
+    """Per-page plain text from PDF bytes. Default backend is the REAL
+    pure-stdlib parser (kernels/pdf.py: object scan, FlateDecode, page-tree
+    walk, BT/ET text-machine interpreter) — always available, oracle-checked
+    via ``media_pdf_texts``. pypdf, when installed, overrides it for the
+    long-tail shapes (xref streams, CID fonts) outside the stdlib parser's
+    declared scope. The returned pages feed the engine as one transcript
+    turn each (SerializerPdfDoc.load semantics, custom_serialize.py:514-559)."""
+    if _pypdf is not None:  # pragma: no cover - absent in the build container
+        reader = _pypdf.PdfReader(io.BytesIO(raw))
+        return [page.extract_text() or "" for page in reader.pages]
+    from deepdoctection_spark.kernels.pdf import pdf_texts
+
+    return pdf_texts(raw)
 
 
 def pdf_positioned_lines(raw: bytes) -> list[str]:
     """Per-page positioned payloads ('@x,y:content' lines — the engine's
-    pdf_reader wire format) from PDF bytes (pdfplumber backend). Plugging
-    this in turns real PDFs into inputs for kernels/layout.py with zero
-    engine changes: the column/sub-line geometry kernels are the same."""
-    if _pdfplumber is None:
-        raise NotImplementedError(
-            "positioned PDF extraction needs pdfplumber — `pip install "
-            "pdfplumber` outside the sandbox"
-        )
-    pages = []
-    with _pdfplumber.open(io.BytesIO(raw)) as pdf:
-        for page in pdf.pages:
-            lines = [
-                f"@{w['x0']:.0f},{w['top']:.0f}:{w['text']}"
-                for w in page.extract_words()
-            ]
-            pages.append("\n".join(lines))
-    return pages
+    pdf_reader wire format). Default backend is the stdlib parser
+    (kernels/pdf.pdf_positioned_pages); pdfplumber, when installed,
+    overrides it. Plugging either in turns real PDFs into inputs for
+    kernels/layout.py with zero engine changes: the column/sub-line geometry
+    kernels are the same."""
+    if _pdfplumber is not None:  # pragma: no cover - absent in the container
+        pages = []
+        with _pdfplumber.open(io.BytesIO(raw)) as pdf:
+            for page in pdf.pages:
+                lines = [
+                    f"@{w['x0']:.0f},{w['top']:.0f}:{w['text']}"
+                    for w in page.extract_words()
+                ]
+                pages.append("\n".join(lines))
+        return pages
+    from deepdoctection_spark.kernels.pdf import pdf_positioned_pages
+
+    return pdf_positioned_pages(raw)

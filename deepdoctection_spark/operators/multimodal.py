@@ -401,3 +401,96 @@ def media_catalog(images: DataFrame, audio: DataFrame, video: DataFrame) -> Data
         F.length("content").cast("long").alias("n_bytes"),
     )
     return i.unionByName(a).unionByName(v)
+
+
+# ---------------------------------------------------------------------------
+# PDF: synthesize REAL PDF payloads from transcripts, extract text back
+# (the SerializerPdfDoc / PdfMiner.predict slot, realized with the stdlib
+# codec in kernels/pdf.py — reference utils/pdf_utils.py:121-227)
+# ---------------------------------------------------------------------------
+
+PDF_SCHEMA = "media_id long, media_type string, n_pages int, content binary"
+PDF_WORDS_PER_LINE = 6
+PDF_LINES_PER_PAGE = 4
+
+
+def _paginate_words(text: str) -> list[list[str]]:
+    """Deterministic pagination contract shared with the DuckDB oracle:
+    single-space word split, 6 words per line, 4 lines per page."""
+    words = text.split(" ")
+    lines = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    return [
+        lines[i : i + PDF_LINES_PER_PAGE]
+        for i in range(0, len(lines), PDF_LINES_PER_PAGE)
+    ]
+
+
+def synth_pdfs(docs: DataFrame) -> DataFrame:
+    """documents → genuine PDF payload table (stdlib writer): each doc's
+    text is paginated by the shared contract and laid out one line per
+    text run (x=72, y descending 18pt steps, 12pt), so the extractor's
+    positioned-run → line → page reassembly is what the oracle checks."""
+    from deepdoctection_spark.kernels.pdf import pdf_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, text in zip(pdf["doc_id"].tolist(), pdf["text"].tolist()):
+                pages = [
+                    [(72.0, 720.0 - 18.0 * j, 12.0, line)
+                     for j, line in enumerate(page_lines)]
+                    for page_lines in _paginate_words(text or "")
+                ]
+                rows.append(
+                    (int(mid), "application/pdf", len(pages), pdf_encode(pages))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "n_pages", "content"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=PDF_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = (
+    "media_id long, page_idx int, page_text string, n_lines int, "
+    "n_chars long, error string"
+)
+
+
+def pdf_texts_stage(media: DataFrame) -> DataFrame:
+    """PDF decode + per-page text rows: full stdlib parse (xref-free object
+    scan, FlateDecode inflate, page-tree walk, BT/ET text machine), one
+    output row per page. Poison payloads quarantine to a single error row."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoctection_spark.operators.codecs import pdf_page_texts
+
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
+                try:  # row quarantine
+                    for pi, ptext in enumerate(pdf_page_texts(bytes(raw))):
+                        rows.append(
+                            (int(mid), pi, ptext,
+                             ptext.count("\n") + 1 if ptext else 0,
+                             len(ptext), None)
+                        )
+                except Exception as exc:
+                    rows.append(
+                        (int(mid), None, None, None, None,
+                         f"{type(exc).__name__}: {exc}"[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "page_idx", "page_text", "n_lines",
+                    "n_chars", "error",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        extract, schema=PDF_TEXT_SCHEMA
+    )

@@ -79,6 +79,36 @@ def q_media_png_stats(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts(spark, sf_dir):
+    """REAL PDF path, end to end: Spark writes genuine PDF bytes per doc
+    (stdlib writer — FlateDecode streams, rotating Tj/TJ/' operators), then
+    parses them back (stdlib text machine) to per-page text; the oracle
+    recomputes the expected pages from documents.text via the shared
+    pagination contract (6 words/line, 4 lines/page). Agreement proves
+    writer + parser + positioned-run reassembly, byte-for-byte on text."""
+    return mm.pdf_texts_stage(mm.synth_pdfs(_docs(spark, sf_dir)))
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

@@ -1,0 +1,134 @@
+"""Stdlib PDF codec (kernels/pdf.py): writer/parser round trip across the
+text-operator surface, page-tree order, stream filters, string escapes,
+poison-payload quarantine, and the Spark synth→extract pipeline contract
+(the PdfMiner.predict slot, reference utils/pdf_utils.py:121-227)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from deepdoctection_spark.kernels.pdf import (
+    extract_runs,
+    pdf_decode,
+    pdf_encode,
+    pdf_page_text,
+    pdf_positioned_pages,
+    pdf_texts,
+)
+
+PAGES = [
+    [(72, 720, 12, "hello world line one"),
+     (72, 700, 12, "second (line) with \\ escapes"),
+     (72, 680, 10, "third line rotated ops")],
+    [(50, 730, 11, "page two begins"),
+     (50, 710, 11, "left half"),
+     (200, 710, 11, " right half same line")],
+]
+EXPECT = [
+    "hello world line one\nsecond (line) with \\ escapes\nthird line rotated ops",
+    "page two begins\nleft half right half same line",
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_roundtrip_text(compress):
+    assert pdf_texts(pdf_encode(PAGES, compress=compress)) == EXPECT
+
+
+def test_roundtrip_runs_positions():
+    runs = pdf_decode(pdf_encode(PAGES))[0]
+    # every input line present at its written y; x starts at the written x
+    ys = sorted({round(y) for _x, y, _s, _t in runs}, reverse=True)
+    assert ys == [720, 700, 680]
+    assert all(round(x) >= 72 for x, *_ in runs)
+
+
+def test_operator_forms_cover_tj_tjarray_quote():
+    # the writer rotates forms by run index: 0→Tm+Tj, 1→TD+TJ, 2→TL+Td+'
+    raw = pdf_encode([[(10, 500 - 20 * i, 9, f"run number {i}") for i in range(3)]],
+                     compress=False)
+    assert b" Tj ET" in raw and b"] TJ ET" in raw and b"' ET" in raw
+    page = pdf_texts(raw)[0]
+    assert page.splitlines() == [f"run number {i}" for i in range(3)]
+
+
+def test_string_escapes_and_latin1():
+    pages = [[(72, 700, 12, "parens () and \\ and tab\tchar"),
+              (72, 680, 12, "caf\xe9 na\xefve")]]
+    assert pdf_texts(pdf_encode(pages))[0] == (
+        "parens () and \\ and tab\tchar\ncaf\xe9 na\xefve")
+
+
+def test_empty_page_and_empty_doc():
+    assert pdf_texts(pdf_encode([[]])) == [""]
+    with pytest.raises(ValueError):
+        pdf_decode(b"not a pdf at all")
+
+
+def test_truncated_and_corrupt_quarantine():
+    raw = pdf_encode(PAGES)
+    with pytest.raises(ValueError):
+        pdf_decode(raw[: len(raw) // 3])
+    # corrupt the Flate stream body → zlib error surfaces as an exception
+    i = raw.index(b"stream\n") + 7
+    bad = raw[:i] + bytes([raw[i] ^ 0xFF]) + raw[i + 1:]
+    with pytest.raises(Exception):
+        pdf_texts(bad)
+
+
+def test_indirect_length_resolution():
+    # the compressed writer emits /Length as an indirect reference
+    raw = pdf_encode(PAGES)
+    assert b"/Length" in raw and b"0 R /Filter" in raw
+    assert pdf_texts(raw) == EXPECT
+
+
+def test_interpreter_ignores_graphics_ops():
+    body = (b"q 1 0 0 1 5 5 cm 0.5 g\n"
+            b"BT /F1 12 Tf 72 700 Td (visible text) Tj ET\n"
+            b"0 0 100 100 re f Q")
+    runs = extract_runs(body)
+    assert [t for *_xy, t in runs] == ["visible text"]
+    assert pdf_page_text(runs) == "visible text"
+
+
+def test_hex_string_show():
+    runs = extract_runs(b"BT /F1 12 Tf 10 10 Td <68656C6C6F> Tj ET")
+    assert runs[0][3] == "hello"
+
+
+def test_positioned_pages_wire_format():
+    lines = pdf_positioned_pages(pdf_encode(PAGES))[0].splitlines()
+    assert lines[0].startswith("@72,72:")  # 792 - 720 → y-down reader coords
+    assert all(l.startswith("@") and ":" in l for l in lines)
+
+
+def test_spark_synth_extract_matches_contract(spark):
+    from deepdoctection_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mm.pdf_texts_stage(mm.synth_pdfs(docs)).cache()
+    assert out.filter("error is not null").count() == 0
+    row = out.filter("media_id = 1 and page_idx = 0").first()
+    text = docs.filter("doc_id = 1").first()["text"]
+    words = text.split(" ")
+    expect_lines = [" ".join(words[i:i + 6]) for i in range(0, len(words), 6)]
+    assert row["page_text"] == "\n".join(expect_lines[:4])
+    out.unpersist()
+
+
+def test_spark_poison_pdf_quarantines(spark):
+    import pandas as pd
+
+    from deepdoctection_spark.operators.multimodal import pdf_texts_stage
+
+    good = pdf_encode([[(72, 700, 12, "good page")]])
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2],
+                      "content": [good, b"%PDF-1.4 then garbage" + b"\x00" * 40]})
+    )
+    rows = {r["media_id"]: r for r in pdf_texts_stage(media).collect()}
+    assert rows[1]["page_text"] == "good page" and rows[1]["error"] is None
+    assert rows[2]["error"] is not None and rows[2]["page_text"] is None
