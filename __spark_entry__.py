@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import deepdoctection_spark.plans.coco_ops  # noqa: F401 — registers COCO mAP query
 import deepdoctection_spark.plans.evaluation  # noqa: F401 — registers eval metrics (Evaluator analogue)
+import deepdoctection_spark.plans.ice_ops  # noqa: F401 — registers IceTable snapshot/time-travel queries
 import deepdoctection_spark.plans.lm_ops  # noqa: F401 — registers LM-service (stub model) queries
 import deepdoctection_spark.plans.matchnms_ops  # noqa: F401 — registers matching+NMS queries
 import deepdoctection_spark.plans.multimodal_ops  # noqa: F401 — registers media decode/feature queries

@@ -1,0 +1,130 @@
+"""IceTable queries with DuckDB oracles.
+
+Each query BUILDS a real IceTable in a temp dir from the events table with a
+deterministic commit sequence, then exercises an Iceberg-semantics read path
+(time travel / incremental consumption / stats-pruned scan). The oracle
+never sees the table — it recomputes the expected result from the same
+deterministic commit definitions over the raw events view, so agreement
+proves the snapshot machinery end-to-end (commit → manifest → file planning
+→ read), the same philosophy as the codec oracles.
+
+Results are localCheckpoint-materialized before the temp table dir is
+removed — the returned DataFrame carries no reference to deleted files."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.plans.registry import register
+from deepdoctection_spark.sources.icetable import IceTable
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _summarize(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _materialize_then_rm(df: DataFrame, tmp: str) -> DataFrame:
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_SUMMARY_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 3) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM slice GROUP BY event_type
+"""
+
+
+@register(
+    "ice_time_travel",
+    f"""
+WITH slice AS (
+  SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_time_travel(spark, sf_dir):
+    """Three commits (append ⅓, append ⅓, OVERWRITE ⅓); read at seq=2 —
+    the pre-overwrite snapshot. The oracle sees only the first two thirds:
+    agreement proves overwrite isolation + historical file-list replay."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_tt_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0"))
+    t.append(ev.where("event_id % 3 = 1"))
+    t.overwrite(ev.where("event_id % 3 = 2"))
+    return _materialize_then_rm(_summarize(t.read(spark, seq=2)), tmp)
+
+
+@register(
+    "ice_incremental_read",
+    f"""
+WITH slice AS (
+  SELECT * FROM events WHERE event_id % 3 IN (1, 2)
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_incremental_read(spark, sf_dir):
+    """Incremental consumption: rows added strictly after snapshot 1 —
+    the streaming-backfill pattern (process only new files per poll)."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_inc_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0"))
+    t.append(ev.where("event_id % 3 = 1"))
+    t.append(ev.where("event_id % 3 = 2"))
+    inc = t.read_incremental(spark, after_seq=1)
+    return _materialize_then_rm(_summarize(inc), tmp)
+
+
+@register(
+    "ice_pruned_scan",
+    f"""
+WITH bounds AS (
+  SELECT (max(user_id) * 3) // 4 AS cut FROM events
+),
+slice AS (
+  SELECT e.* FROM events e, bounds b WHERE e.user_id >= b.cut
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_pruned_scan(spark, sf_dir):
+    """Manifest min/max pruning: four commits over disjoint user_id quarters
+    (one file each), scan with user_id >= 3rd-quartile cut — the planner
+    must drop the three low-range files from footer stats alone, and the
+    re-applied filter keeps the result exact on the boundary file."""
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("user_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_prune_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            ev.where(
+                (F.col("user_id") >= k * qsize)
+                & (F.col("user_id") < (k + 1) * qsize)
+            ).coalesce(1)
+        )
+    cut = (hi * 3) // 4
+    keep, pruned = t.plan_files(("user_id", ">=", cut))
+    assert pruned >= 2, f"stats pruning inert: pruned={pruned}"
+    return _materialize_then_rm(
+        _summarize(t.scan(spark, ("user_id", ">=", cut))), tmp
+    )

@@ -1,0 +1,323 @@
+"""IceTable: a minimal Iceberg-semantics table format over plain parquet.
+
+The north-rule contract is "checkpoint manifests written to Iceberg" with
+lineage and time travel; this sandbox ships no Iceberg runtime, so this
+module implements the load-bearing subset of the spec's semantics from
+scratch (no copied code — the layout mirrors the PUBLIC Iceberg spec's
+concepts: snapshot log, manifest file lists, stats-based scan pruning):
+
+Layout::
+
+    table/
+      data/<commit-uuid>-<n>.parquet        immutable data files
+      metadata/snap-<seq 10 digits>.json    snapshot: parent, operation,
+                                            FULL file list + per-file
+                                            per-column min/max/null stats
+      metadata/version-hint.text            current sequence (atomic rename)
+
+Semantics carried over from Iceberg:
+
+- **Atomic commits, snapshot isolation**: data files land first; the
+  snapshot JSON is written with EXCLUSIVE CREATE (``open(..., "x")``) so two
+  concurrent committers racing for the same sequence number conflict
+  explicitly, and the loser retries on top of the winner (optimistic
+  concurrency, like Iceberg's metadata-pointer CAS). Readers resolve the
+  current snapshot via version-hint but fall back to the highest committed
+  snap file, so a torn hint is harmless. Uncommitted data files are
+  invisible (never listed in any snapshot).
+- **Time travel**: ``read(spark, snapshot_id=...)`` reconstructs any
+  historical file list; ``history()`` is the lineage (snapshot → parent).
+- **Incremental reads**: ``read_incremental(s1, s2)`` = files added by
+  snapshots in (s1, s2] — the streaming-backfill pattern.
+- **Scan pruning**: every commit records per-file column min/max/null-count
+  harvested from the parquet FOOTERS (pyarrow row-group statistics — real
+  stats, not recomputed by a second scan); ``scan`` drops files whose
+  stats exclude a predicate before Spark ever opens them. At 100 TB this is
+  the difference between listing 10^6 files and reading 10^2.
+- **Schema pinning**: the first commit records the schema DDL; later commits
+  must match or explicitly evolve via ``allow_schema_change=True`` (adding
+  columns only) — resuming a job with a drifted schema fails loudly.
+- **Rollback**: ``rollback(snapshot_id)`` commits a NEW snapshot whose file
+  list is the old one (history is append-only, like Iceberg — no snapshot
+  is ever destroyed).
+
+jobs/resumable.py keeps its wave-level manifest (per-bucket throughput
+metrics feed); IceTable is the table-level commit/lineage layer underneath
+the same two-step protocol. scripts/curate_job.py composes both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+_STATS_KINDS = ("long", "int", "short", "byte", "double", "float", "string",
+                "date", "timestamp")
+
+
+def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
+    """Row count + per-column {min,max,nulls} from the parquet footer
+    (merged across row groups). Columns without footer stats (nested types,
+    binary) simply get no entry → never pruned on."""
+    meta = pq.ParquetFile(path).metadata
+    stats: dict[str, dict] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            name = col.path_in_schema
+            if "." in name or s is None or not s.has_min_max:
+                continue
+            mn, mx = s.min, s.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            elif hasattr(mn, "isoformat"):
+                # datetime/date → ISO strings: JSON-safe, and lexicographic
+                # order equals chronological order so pruning comparisons
+                # hold (predicate literals must be same-format strings)
+                mn, mx = mn.isoformat(), mx.isoformat()
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": mn, "max": mx,
+                               "nulls": int(s.null_count or 0)}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["nulls"] += int(s.null_count or 0)
+    return meta.num_rows, stats
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same sequence first (and retries ran out)."""
+
+
+class IceTable:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.meta_dir = os.path.join(path, "metadata")
+
+    # -- snapshot resolution --------------------------------------------
+
+    def _snap_path(self, seq: int) -> str:
+        return os.path.join(self.meta_dir, f"snap-{seq:010d}.json")
+
+    def _committed_seqs(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        return sorted(
+            int(fn[5:15]) for fn in os.listdir(self.meta_dir)
+            if fn.startswith("snap-") and fn.endswith(".json")
+        )
+
+    def current_seq(self) -> int:
+        """0 = empty table. Version-hint is advisory; the snap files are the
+        source of truth (a torn/stale hint self-heals)."""
+        seqs = self._committed_seqs()
+        return seqs[-1] if seqs else 0
+
+    def snapshot(self, seq: int | None = None) -> dict:
+        seq = self.current_seq() if seq is None else seq
+        if seq == 0:
+            return {"sequence": 0, "parent": None, "operation": "create",
+                    "files": [], "schema": None, "snapshot_id": None}
+        with open(self._snap_path(seq)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Lineage, oldest first: [{sequence, snapshot_id, parent, operation,
+        added_files, total_files, total_rows, ts_ms}]."""
+        out = []
+        for seq in self._committed_seqs():
+            s = self.snapshot(seq)
+            out.append({
+                "sequence": s["sequence"], "snapshot_id": s["snapshot_id"],
+                "parent": s["parent"], "operation": s["operation"],
+                "added_files": len(s.get("added", [])),
+                "total_files": len(s["files"]),
+                "total_rows": sum(f["rows"] for f in s["files"]),
+                "ts_ms": s.get("ts_ms"),
+            })
+        return out
+
+    # -- commits ---------------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[dict]:
+        """Stage df as immutable parquet files under data/ (commit-uuid
+        prefix — never visible until a snapshot lists them), harvest footer
+        stats per file."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        commit = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f"_staging-{commit}")
+        df.write.mode("overwrite").parquet(staging)
+        entries = []
+        n = 0
+        for fn in sorted(os.listdir(staging)):
+            if not fn.endswith(".parquet"):
+                continue
+            final = f"{commit}-{n:05d}.parquet"
+            os.rename(os.path.join(staging, fn),
+                      os.path.join(self.data_dir, final))
+            rows, stats = _file_stats(os.path.join(self.data_dir, final))
+            entries.append({"path": final, "rows": rows, "stats": stats})
+            n += 1
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+        return entries
+
+    def _check_schema(self, prev: dict, ddl: str, allow_change: bool) -> str:
+        if prev["schema"] is None or prev["schema"] == ddl:
+            return ddl
+        if not allow_change:
+            raise ValueError(
+                f"schema drift: table has [{prev['schema']}], commit brings "
+                f"[{ddl}]; pass allow_schema_change=True to evolve (add-only)"
+            )
+        prev_cols = dict(c.split(" ", 1) for c in prev["schema"].split(","))
+        new_cols = dict(c.split(" ", 1) for c in ddl.split(","))
+        for name, typ in prev_cols.items():
+            if new_cols.get(name) != typ:
+                raise ValueError(
+                    f"schema evolution may only ADD columns: existing column "
+                    f"{name.strip()} changed or dropped"
+                )
+        return ddl
+
+    def _commit(self, operation: str, added: list[dict],
+                files: list[dict], schema: str, retries: int = 5) -> dict:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        for _ in range(retries):
+            seq = self.current_seq() + 1
+            snap = {
+                "sequence": seq,
+                "snapshot_id": uuid.uuid4().hex[:16],
+                "parent": self.snapshot(seq - 1)["snapshot_id"],
+                "operation": operation,
+                "schema": schema,
+                "added": [f["path"] for f in added],
+                "files": files,
+                "ts_ms": int(time.time() * 1000),
+            }
+            try:
+                # exclusive create = the CAS: exactly one writer wins seq
+                with open(self._snap_path(seq), "x") as f:
+                    json.dump(snap, f)
+            except FileExistsError:
+                continue  # lost the race — re-resolve parent and retry
+            hint_tmp = os.path.join(self.meta_dir, "version-hint.tmp")
+            with open(hint_tmp, "w") as f:
+                f.write(str(seq))
+            os.rename(hint_tmp,
+                      os.path.join(self.meta_dir, "version-hint.text"))
+            return snap
+        raise CommitConflict(
+            f"lost {retries} commit races on {self.path}; concurrent writer storm"
+        )
+
+    def append(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
+        """Append-files commit (Iceberg ``append``): new snapshot = parent's
+        files + this df's files."""
+        prev = self.snapshot()
+        ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
+        added = self._write_data_files(df)
+        return self._commit("append", added, prev["files"] + added, ddl)
+
+    def overwrite(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
+        """Replace-all commit (Iceberg ``overwrite``): new snapshot lists
+        ONLY this df's files. Old files stay on disk for time travel."""
+        prev = self.snapshot()
+        ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
+        added = self._write_data_files(df)
+        return self._commit("overwrite", added, added, ddl)
+
+    def rollback(self, seq: int) -> dict:
+        """Commit a new snapshot replaying an ancestor's file list (history
+        stays append-only; nothing is deleted)."""
+        target = self.snapshot(seq)
+        return self._commit("rollback", [], target["files"], target["schema"])
+
+    # -- reads -----------------------------------------------------------
+
+    def _paths(self, files: list[dict]) -> list[str]:
+        return [os.path.join(self.data_dir, f["path"]) for f in files]
+
+    def read(self, spark: SparkSession, seq: int | None = None) -> DataFrame:
+        """Snapshot read (current, or time travel to ``seq``)."""
+        snap = self.snapshot(seq)
+        if not snap["files"]:
+            return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
+        return spark.read.schema(snap["schema"]).parquet(
+            *self._paths(snap["files"]))
+
+    def read_incremental(self, spark: SparkSession, after_seq: int,
+                         until_seq: int | None = None) -> DataFrame:
+        """Rows in files ADDED by snapshots in (after_seq, until_seq] — the
+        incremental-consumption pattern (overwrite/rollback snapshots
+        contribute only their newly added files)."""
+        until_seq = self.current_seq() if until_seq is None else until_seq
+        snap = self.snapshot(until_seq)
+        added: list[dict] = []
+        for seq in range(after_seq + 1, until_seq + 1):
+            s = self.snapshot(seq)
+            by_path = {f["path"]: f for f in s["files"]}
+            added += [by_path[p] for p in s.get("added", []) if p in by_path]
+        if not added:
+            return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
+        return spark.read.schema(snap["schema"]).parquet(*self._paths(added))
+
+    def plan_files(self, predicate: tuple[str, str, object] | None = None,
+                   seq: int | None = None) -> tuple[list[dict], int]:
+        """Manifest-level scan planning: (surviving files, pruned count).
+        ``predicate`` = (column, op, literal) with op in =, <, <=, >, >=.
+        Conservative: a file with no stats for the column always survives."""
+        files = self.snapshot(seq)["files"]
+        if predicate is None:
+            return files, 0
+        col, op, lit = predicate
+        keep = []
+        for f in files:
+            s = f["stats"].get(col)
+            if s is None:
+                keep.append(f)
+                continue
+            mn, mx = s["min"], s["max"]
+            alive = {
+                "=": mn <= lit <= mx,
+                "<": mn < lit, "<=": mn <= lit,
+                ">": mx > lit, ">=": mx >= lit,
+            }[op]
+            if alive:
+                keep.append(f)
+        return keep, len(files) - len(keep)
+
+    def scan(self, spark: SparkSession,
+             predicate: tuple[str, str, object] | None = None,
+             seq: int | None = None) -> DataFrame:
+        """Pruned snapshot read: files excluded by footer stats are never
+        given to Spark (manifest pruning ABOVE the engine's own row-group
+        pushdown). The predicate is re-applied as a real filter so results
+        are exact, and Catalyst still pushes it into the surviving scans."""
+        keep, _pruned = self.plan_files(predicate, seq)
+        snap = self.snapshot(seq)
+        if not keep:
+            return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
+        df = spark.read.schema(snap["schema"]).parquet(*self._paths(keep))
+        if predicate is not None:
+            col, op, lit = predicate
+            df = df.where(f"{col} {'==' if op == '=' else op} {lit!r}")
+        return df
+
+
+def _ddl(df: DataFrame) -> str:
+    return ",".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in df.schema.fields)

@@ -1,0 +1,151 @@
+"""IceTable (sources/icetable.py): snapshot isolation, time travel,
+incremental reads, manifest min/max pruning, optimistic-commit conflicts,
+rollback lineage, and schema pinning — the Iceberg-semantics subset the
+north rule's checkpoint/lineage contract needs, over plain parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from deepdoctection_spark.sources.icetable import CommitConflict, IceTable
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{tag}' AS tag", "id * 2 AS val")
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return IceTable(str(tmp_path / "tbl"))
+
+
+def test_append_and_snapshot_read(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.append(_df(spark, 100, 150, tag="b"))
+    assert tbl.read(spark).count() == 150
+    assert tbl.current_seq() == 2
+    h = tbl.history()
+    assert [e["operation"] for e in h] == ["append", "append"]
+    assert h[1]["parent"] == h[0]["snapshot_id"]
+    assert h[1]["total_rows"] == 150
+
+
+def test_time_travel_and_overwrite(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.overwrite(_df(spark, 0, 10, tag="ow"))
+    assert tbl.read(spark).count() == 10
+    assert tbl.read(spark, seq=1).count() == 100  # old snapshot intact
+    assert {r["tag"] for r in tbl.read(spark, seq=2).collect()} == {"ow"}
+
+
+def test_incremental_read_is_exactly_the_delta(spark, tbl):
+    tbl.append(_df(spark, 0, 50))
+    tbl.append(_df(spark, 50, 80))
+    tbl.append(_df(spark, 80, 90))
+    inc = tbl.read_incremental(spark, after_seq=1, until_seq=3)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(50, 90))
+
+
+def test_uncommitted_files_invisible(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    # simulate a torn commit: data file landed, snapshot never written
+    orphan = os.path.join(tbl.data_dir, "deadbeef-00000.parquet")
+    _df(spark, 900, 910).coalesce(1).write.parquet(orphan + ".dir")
+    part = [f for f in os.listdir(orphan + ".dir") if f.endswith(".parquet")][0]
+    os.rename(os.path.join(orphan + ".dir", part), orphan)
+    assert tbl.read(spark).count() == 10  # snapshot lists only committed files
+
+
+def test_stale_version_hint_self_heals(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    tbl.append(_df(spark, 10, 20))
+    with open(os.path.join(tbl.meta_dir, "version-hint.text"), "w") as f:
+        f.write("1")  # stale/torn hint
+    assert tbl.current_seq() == 2  # snap files are the source of truth
+    assert tbl.read(spark).count() == 20
+
+
+def test_manifest_pruning_skips_files(spark, tbl):
+    # three disjoint id ranges → three commits → distinct file stats
+    for lo in (0, 1000, 2000):
+        tbl.append(_df(spark, lo, lo + 100).coalesce(1))
+    keep, pruned = tbl.plan_files(("id", ">=", 2000))
+    assert pruned >= 2  # the 0- and 1000- range files never reach Spark
+    got = tbl.scan(spark, ("id", ">=", 2000))
+    assert sorted(r["id"] for r in got.collect()) == list(range(2000, 2100))
+    # conservative on unknown columns: no stats → no pruning, still exact
+    keep_all, pruned_none = tbl.plan_files(("nonexistent", "=", 1))
+    assert pruned_none == 0
+
+
+def test_string_stats_pruning(spark, tbl):
+    tbl.append(_df(spark, 0, 10, tag="aaa").coalesce(1))
+    tbl.append(_df(spark, 0, 10, tag="zzz").coalesce(1))
+    keep, pruned = tbl.plan_files(("tag", "=", "zzz"))
+    assert pruned == 1
+    assert tbl.scan(spark, ("tag", "=", "zzz")).count() == 10
+
+
+def test_commit_conflict_retries_then_raises(spark, tbl, monkeypatch):
+    tbl.append(_df(spark, 0, 10))
+    real_current_seq = tbl.current_seq
+
+    # a writer with a permanently stale view: every retry targets seq 2,
+    # which a concurrent winner already committed → exclusive create loses
+    # 5 times → CommitConflict
+    blocker = {"sequence": 2, "snapshot_id": "x", "parent": None,
+               "operation": "append",
+               "schema": "id bigint,tag string,val bigint",
+               "added": [], "files": [], "ts_ms": 0}
+    with open(tbl._snap_path(2), "w") as f:
+        json.dump(blocker, f)
+    monkeypatch.setattr(tbl, "current_seq", lambda: 1)
+    with pytest.raises(CommitConflict):
+        tbl.append(_df(spark, 10, 20))
+
+    # loser-retries-and-wins path: first resolution is stale (sees 1, loses
+    # the race for 2), the retry re-resolves and lands on 3
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real_current_seq()
+
+    monkeypatch.setattr(tbl, "current_seq", stale_once)
+    snap = tbl.append(_df(spark, 10, 20))
+    assert snap["sequence"] == 3
+    assert snap["parent"] == "x"  # lineage re-resolved on retry
+
+
+def test_rollback_is_append_only_history(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.overwrite(_df(spark, 0, 5, tag="bad"))
+    tbl.rollback(1)
+    assert tbl.read(spark).count() == 100
+    assert [e["operation"] for e in tbl.history()] == [
+        "append", "overwrite", "rollback"]
+    assert tbl.read(spark, seq=2).count() == 5  # nothing destroyed
+
+
+def test_schema_pinning_and_add_only_evolution(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    with pytest.raises(ValueError, match="schema drift"):
+        tbl.append(spark.range(5).selectExpr("id", "'x' AS other"))
+    # add-only evolution is allowed when explicit
+    wider = _df(spark, 10, 20).selectExpr("*", "CAST(1 AS INT) AS extra")
+    tbl.append(wider, allow_schema_change=True)
+    assert "extra" in tbl.read(spark).columns
+    # type change is rejected even when explicit
+    mutated = _df(spark, 0, 5).selectExpr(
+        "CAST(id AS STRING) AS id", "tag", "val")
+    with pytest.raises(ValueError, match="ADD columns"):
+        tbl.append(mutated, allow_schema_change=True)
+
+
+def test_empty_table_reads_empty(spark, tbl):
+    assert tbl.read(spark).count() == 0
+    assert tbl.current_seq() == 0
