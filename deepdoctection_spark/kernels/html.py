@@ -20,7 +20,7 @@ import types
 from dataclasses import dataclass, field
 
 from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
-from deepdoctection_spark.kernels.textnorm import _WS_RE, normalize_ws
+from deepdoctection_spark.kernels.textnorm import _WS_RE
 
 # Alternatives: element tag | comment | DOCTYPE-style declaration | processing
 # instruction. The last two would otherwise fall through as text nodes and be
@@ -145,35 +145,50 @@ def parse_html(html: str) -> Node:
 
 
 def _gather_text(node: Node) -> tuple[str, int, int]:
-    """(raw_text, total_chars, link_chars) for a subtree — link_chars counts
-    text under <a> descendants (the readability link-density numerator)."""
-    parts: list[str] = []
+    """(normalized_text, total_chars, link_chars) for a subtree — link_chars
+    counts text under <a> descendants (the readability link-density
+    numerator). The text is returned ALREADY whitespace-normalized
+    (normalize_ws semantics, fused into the walk): words accumulate across
+    text-node boundaries when no whitespace separates them ('<b>a</b>x' →
+    'ax'), whitespace runs and blockish-subtree boundaries become single
+    spaces, and the result is stripped. One pass replaces the old
+    gather-raw-then-regex-normalize double scan."""
+    words: list[str] = []
     total = 0
     linked = 0
+    open_word = False  # last emitted chunk ended mid-word (no trailing ws)
 
     def rec(nd: Node, in_link: bool) -> None:
-        nonlocal total, linked
+        nonlocal total, linked, open_word
         if nd.tag == "":
-            t = nd.text
-            parts.append(t)
-            # == len(normalize_ws(t)) exactly: split on the SAME ASCII
-            # whitespace class normalize_ws collapses. str.split() would split
-            # on Unicode whitespace (\xa0,  , …) that _WS_RE keeps, so
-            # consecutive non-ASCII whitespace would skew density totals vs
-            # the emitted text length.
-            ws = [w for w in _WS_RE.split(t) if w]
+            # split on the SAME ASCII whitespace class normalize_ws collapses
+            # (str.split() would also split on Unicode whitespace like \xa0
+            # that _WS_RE deliberately keeps inside words); empty first/last
+            # pieces mark boundary whitespace
+            pieces = _WS_RE.split(nd.text)
+            ws = [w for w in pieces if w]
             stripped = sum(map(len, ws)) + max(0, len(ws) - 1)
             total += stripped
             if in_link:
                 linked += stripped
+            if not ws:
+                if len(pieces) > 1:  # pure-whitespace node: word boundary
+                    open_word = False
+                return
+            start = 0
+            if open_word and pieces[0] and words:
+                words[-1] += ws[0]  # continue the word across the node seam
+                start = 1
+            words.extend(ws[start:])
+            open_word = bool(pieces[-1])
             return
         for c in nd.children:
             rec(c, in_link or nd.tag == "a")
         if nd.tag in _BLOCKISH:
-            parts.append(" ")
+            open_word = False  # blockish subtree edge = word boundary
 
     rec(node, False)
-    return "".join(parts), total, linked
+    return " ".join(words), total, linked
 
 
 def _has_block_child(node: Node) -> bool:
@@ -201,13 +216,13 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
         """One subtree walk serves both the density filter and (when `text`
         is None) the block text itself — the subtree is never gathered
         twice."""
-        raw, total, linked = _gather_text(node)
+        norm, total, linked = _gather_text(node)
         if total == 0:
             return
         if linked / total > link_density_threshold:
             return  # boilerplate: mostly anchor text
         if text is None:
-            text = normalize_ws(raw)
+            text = norm  # _gather_text output is already normalized
         if text:
             out.append(HtmlBlock(category, text, cells or []))
 
@@ -236,7 +251,7 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
                 emit(c, "text")
             elif tag in _LISTS:
                 items = [
-                    normalize_ws(_gather_text(li)[0])
+                    _gather_text(li)[0]
                     for li in c.children
                     if li.tag == "li"
                 ]

@@ -17,7 +17,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
-from deepdoctection_spark.kernels.textnorm import normalize_ws
 
 if TYPE_CHECKING:  # avoid circular import at runtime
     from deepdoctection_spark.kernels.html import Node
@@ -82,7 +81,7 @@ def segment_table_grid(table_node: "Node") -> list[TableCell]:
                     occupied.add((rr, cc))
             cells.append(
                 TableCell(
-                    text=normalize_ws(_gather_text(td)[0]),
+                    text=_gather_text(td)[0],  # already normalized
                     row_number=r,
                     column_number=col,
                     row_span=rs,

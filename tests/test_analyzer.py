@@ -56,10 +56,20 @@ def test_gt_cache_clear_releases_blocks(spark, sf_small):
     remain (the driver-sweep cache-leak guard, VERDICT r2 #8)."""
     from deepdoctection_spark.plans import evaluation
 
-    n_persisted = lambda: spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    n0 = n_persisted()  # other suites' localCheckpoint blocks may linger
+    def persisted_ids() -> set[int]:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # Track the EXACT RDD ids the gt cache adds: other suites' lingering
+    # localCheckpoint blocks can be GC-unpersisted at any moment, so a raw
+    # before/after count comparison is racy.
+    before = persisted_ids()
     evaluation._gt(spark, sf_small).count()
-    assert n_persisted() > n0
+    added = persisted_ids() - before
+    assert added  # the gt persist created block(s)
     evaluation.clear_gt_cache()
-    assert n_persisted() == n0
+    assert not (persisted_ids() & added)  # ...and clear released them all
     assert evaluation._GT_CACHE == {}

@@ -69,3 +69,55 @@ def test_teds_bounded_and_reflexive(a, b):
     assert teds(a, a) == 1.0
     v = teds(a, b)
     assert 0.0 <= v <= 1.0
+
+
+# --- equivalence oracles for the fused/split fast paths ---------------------
+
+
+def _gather_text_reference(node):
+    """The pre-fusion reference implementation: raw subtree text + density
+    counters, normalized afterwards. The fused _gather_text must match it
+    exactly on arbitrary tag soup."""
+    from deepdoctection_spark.kernels.html import _BLOCKISH
+    from deepdoctection_spark.kernels.textnorm import _WS_RE
+
+    parts, total, linked = [], 0, 0
+
+    def rec(nd, in_link):
+        nonlocal total, linked
+        if nd.tag == "":
+            parts.append(nd.text)
+            ws = [w for w in _WS_RE.split(nd.text) if w]
+            stripped = sum(map(len, ws)) + max(0, len(ws) - 1)
+            total += stripped
+            if in_link:
+                linked += stripped
+            return
+        for c in nd.children:
+            rec(c, in_link or nd.tag == "a")
+        if nd.tag in _BLOCKISH:
+            parts.append(" ")
+
+    rec(node, False)
+    return "".join(parts), total, linked
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(_soup)
+def test_fused_gather_matches_reference(s):
+    from deepdoctection_spark.kernels.html import _gather_text
+
+    root = parse_html(s)
+    norm, total, linked = _gather_text(root)
+    raw, rtotal, rlinked = _gather_text_reference(root)
+    assert (norm, total, linked) == (normalize_ws(raw), rtotal, rlinked)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.text(alphabet=list("ab \n\tx\xa0é"), max_size=120))
+def test_word_spans_matches_finditer(s):
+    import re
+
+    ref = [(i, m[0], *m.span())
+           for i, m in enumerate(re.finditer(r"[^ \n]+", s))]
+    assert word_spans(s) == ref
