@@ -192,3 +192,37 @@ def q_stream_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _bounded_stream_run(spark, sf_dir, stage)
+
+
+@register("stream_ice_sink", oracles.oracle_extract_text())
+def q_stream_ice_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming extraction committed through the IceTable foreachBatch sink
+    (exactly-once over retried epochs, one snapshot per micro-batch), read
+    back from the table's current snapshot. The oracle is the same template
+    ground truth as stream_extract_text / extract_text: agreement proves the
+    stream → snapshot-commit → snapshot-read loop loses and duplicates
+    nothing."""
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    path = tempfile.mkdtemp(prefix="ddspark_stream_ice_")
+    try:
+        build_transcripts(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/src")
+        tbl = IceTable(f"{path}/tbl")
+        q = (
+            stream_extract(
+                stream_transcripts(spark, f"{path}/src", max_files_per_trigger=2)
+            )
+            .select("conv_id", "turn_idx", "role", "tool",
+                    "extracted_text", "n_blocks")
+            .writeStream.foreachBatch(tbl.streaming_sink("extract"))
+            .option("checkpointLocation", f"{path}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        out = tbl.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

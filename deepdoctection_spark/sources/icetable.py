@@ -194,7 +194,8 @@ class IceTable:
         return ddl
 
     def _commit(self, operation: str, added: list[dict],
-                files: list[dict], schema: str, retries: int = 5) -> dict:
+                files: list[dict], schema: str, retries: int = 5,
+                extra: dict | None = None) -> dict:
         os.makedirs(self.meta_dir, exist_ok=True)
         for _ in range(retries):
             seq = self.current_seq() + 1
@@ -207,6 +208,7 @@ class IceTable:
                 "added": [f["path"] for f in added],
                 "files": files,
                 "ts_ms": int(time.time() * 1000),
+                **(extra or {}),
             }
             try:
                 # exclusive create = the CAS: exactly one writer wins seq
@@ -224,13 +226,15 @@ class IceTable:
             f"lost {retries} commit races on {self.path}; concurrent writer storm"
         )
 
-    def append(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
+    def append(self, df: DataFrame, allow_schema_change: bool = False,
+               extra: dict | None = None) -> dict:
         """Append-files commit (Iceberg ``append``): new snapshot = parent's
         files + this df's files."""
         prev = self.snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
         added = self._write_data_files(df)
-        return self._commit("append", added, prev["files"] + added, ddl)
+        return self._commit("append", added, prev["files"] + added, ddl,
+                            extra=extra)
 
     def overwrite(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
         """Replace-all commit (Iceberg ``overwrite``): new snapshot lists
@@ -239,6 +243,44 @@ class IceTable:
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
         added = self._write_data_files(df)
         return self._commit("overwrite", added, added, ddl)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the CURRENT file list into ``target_files`` files in one replace
+        commit. Data is bit-identical; old files stay for time travel. At
+        100 TB a streaming ingest lands thousands of per-trigger files —
+        without periodic compaction, scan planning and footer reads dominate
+        query latency long before the data does."""
+        prev = self.snapshot()
+        if not prev["files"]:
+            return prev
+        df = spark.read.schema(prev["schema"]).parquet(
+            *self._paths(prev["files"])).coalesce(target_files)
+        added = self._write_data_files(df)
+        return self._commit("replace", added, added, prev["schema"])
+
+    def streaming_sink(self, query_tag: str = "stream"):
+        """foreachBatch sink with exactly-once semantics over retried
+        micro-batches: each commit records (query_tag, epoch_id); a retried
+        epoch (Structured Streaming re-runs a batch after failure BEFORE the
+        checkpoint advances) is detected against the snapshot log and
+        skipped, so rows land exactly once even though foreachBatch itself
+        is at-least-once. Usage::
+
+            stream.writeStream.foreachBatch(tbl.streaming_sink("extract"))
+        """
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            for seq in reversed(self._committed_seqs()):
+                s = self.snapshot(seq)
+                if s.get("stream_query") == query_tag:
+                    if int(s["stream_epoch"]) >= int(epoch_id):
+                        return  # retried epoch: already committed
+                    break
+            self.append(batch_df, extra={"stream_query": query_tag,
+                                         "stream_epoch": int(epoch_id)})
+
+        return sink
 
     def rollback(self, seq: int) -> dict:
         """Commit a new snapshot replaying an ancestor's file list (history
@@ -269,6 +311,9 @@ class IceTable:
         added: list[dict] = []
         for seq in range(after_seq + 1, until_seq + 1):
             s = self.snapshot(seq)
+            if s["operation"] == "replace":
+                continue  # compaction rewrites carry no new rows — skipping
+                # them keeps incremental consumers exactly-once
             by_path = {f["path"]: f for f in s["files"]}
             added += [by_path[p] for p in s.get("added", []) if p in by_path]
         if not added:

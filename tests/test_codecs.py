@@ -192,8 +192,17 @@ def test_pdfplumber_positioned_lines_contract():
     from deepdoctection_spark.kernels.layout import looks_like_layout  # noqa: F401
 
 
-def test_pdf_without_pypdf_raises_not_implemented():
+def test_pdf_stdlib_backend_is_default():
+    """Without pypdf, pdf_page_texts runs the REAL stdlib parser
+    (kernels/pdf.py) — genuine PDF bytes decode in-sandbox; junk PDF bytes
+    quarantine as ValueError (→ error column), never NotImplementedError."""
     if codecs._pypdf is not None:
-        pytest.skip("pypdf installed")
-    with pytest.raises(NotImplementedError, match="pypdf"):
-        codecs.pdf_page_texts(b"%PDF-1.4 ...")
+        pytest.skip("pypdf installed — override path covered above")
+    from deepdoctection_spark.kernels.pdf import pdf_encode
+
+    raw = pdf_encode([[(72, 700, 12, "stdlib backend works")]])
+    assert codecs.pdf_page_texts(raw) == ["stdlib backend works"]
+    lines = codecs.pdf_positioned_lines(raw)
+    assert lines[0].startswith("@72,")
+    with pytest.raises(ValueError):
+        codecs.pdf_page_texts(b"%PDF-1.4 junk that is not parseable")

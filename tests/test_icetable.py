@@ -149,3 +149,34 @@ def test_schema_pinning_and_add_only_evolution(spark, tbl):
 def test_empty_table_reads_empty(spark, tbl):
     assert tbl.read(spark).count() == 0
     assert tbl.current_seq() == 0
+
+
+def test_compaction_rewrites_without_changing_data(spark, tbl):
+    for lo in (0, 100, 200, 300):
+        tbl.append(_df(spark, lo, lo + 100).repartition(4))
+    n_before = len(tbl.snapshot()["files"])
+    assert n_before >= 8
+    tbl.compact(spark, target_files=2)
+    snap = tbl.snapshot()
+    assert snap["operation"] == "replace"
+    assert len(snap["files"]) <= 2
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == list(range(400))
+    # time travel still sees the pre-compaction layout
+    assert len(tbl.snapshot(4)["files"]) == n_before
+    # incremental consumers never re-see compacted rows
+    assert tbl.read_incremental(spark, after_seq=4).count() == 0
+
+
+def test_streaming_sink_epoch_idempotence(spark, tbl):
+    sink = tbl.streaming_sink("q1")
+    sink(_df(spark, 0, 50), 0)
+    sink(_df(spark, 50, 90), 1)
+    sink(_df(spark, 50, 90), 1)  # retried epoch: must be a no-op
+    sink(_df(spark, 0, 50), 0)   # late replay of an old epoch: no-op
+    assert tbl.read(spark).count() == 90
+    assert tbl.current_seq() == 2
+    ops = [(e["operation"]) for e in tbl.history()]
+    assert ops == ["append", "append"]
+    # a different query tag keeps its own epoch sequence
+    tbl.streaming_sink("q2")(_df(spark, 900, 910), 0)
+    assert tbl.read(spark).count() == 100
