@@ -448,11 +448,11 @@ def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
             elif op == "Tj" and in_text:
                 show(stack[-1])
             elif op == "TJ" and in_text:
-                for el in stack[-1]:
-                    if isinstance(el, bytes):
-                        show(el)
-                    # numeric kerning adjustments shift cx; sub-point moves
-                    # don't change reading order in the declared scope
+                # one show per array: kerning numbers are sub-glyph moves,
+                # so the segments form ONE visual run — emitting them
+                # separately would fabricate phantom line fragments whose
+                # estimated x collides with real columns downstream
+                show(b"".join(el for el in stack[-1] if isinstance(el, bytes)))
             elif op == "'" and in_text:
                 ly -= leading
                 cx, cy = lx, ly

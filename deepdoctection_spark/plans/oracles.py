@@ -182,3 +182,31 @@ WITH base AS ({TRANSCRIPT_BASE_SQL})
 SELECT conv_id, turn_idx, {sql_concat(cells_html)} AS table_html
 FROM base WHERE (doc_id % 3) = 1
 """
+
+
+def oracle_pdf_layout_spans() -> str:
+    """Expected spans for the REAL-PDF layout path: every document gets one
+    pdf_reader turn (conv_id = 'pdfconv-%06d', turn_idx = 0) whose payload
+    is the PDFISH template rendered → encoded as genuine PDF bytes → parsed
+    back by the stdlib codec → segmented by the layout kernels. The expected
+    spans are therefore exactly the pdf_reader branch of
+    oracle_extract_spans over the all-docs base."""
+    base = """
+  SELECT doc_id, text, lang, source,
+         printf('pdfconv-%06d', doc_id) AS conv_id, 0::INT AS turn_idx
+  FROM documents
+"""
+    selects = []
+    prefix: list[Lit] = []
+    for k, (cat, bp) in enumerate(EXPECTED_BLOCKS["pdf_reader"]):
+        begin = sql_len(prefix) + (f" + {k}" if k else "")
+        end = f"({begin}) + ({sql_len(bp)})"
+        selects.append(
+            f"SELECT conv_id, turn_idx, "
+            f"{_span_id_sql(repr(cat), begin, end)} AS span_id, "
+            f"'{cat}' AS category, ({begin})::INT AS span_begin, "
+            f"({end})::INT AS span_end, {k}::INT AS reading_order FROM base"
+        )
+        prefix = prefix + bp
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS ({base})\n{union}"

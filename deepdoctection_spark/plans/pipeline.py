@@ -89,3 +89,62 @@ def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.filter(F.col("table_html").isNotNull()).select(
         "conv_id", "turn_idx", "table_html"
     )
+
+
+@register("pdf_layout_spans", oracles.oracle_pdf_layout_spans())
+def q_pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF bytes through the layout path, end to end: the PDFISH
+    template renders to positioned runs, the stdlib writer encodes them as
+    genuine PDFs (FlateDecode streams, rotating text operators), the stdlib
+    parser recovers '@x,y:content' wire payloads, and the UNCHANGED
+    extraction stage segments them into spans. The oracle recomputes the
+    expected spans from the template pieces — agreement proves codec
+    round-trip + positioned-layout segmentation agree on real documents
+    (reference: pdfplumber-fed analyzer, extern/pdftext.py +
+    utils/pdf_utils.py:121-227)."""
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from deepdoctection_spark.kernels.pdf import pdf_encode
+    from deepdoctection_spark.operators.codecs import pdf_positioned_lines
+    from deepdoctection_spark.sources.transcripts import (
+        PDFISH_PAYLOAD,
+        _spark_concat,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = {
+        "d": F.col("doc_id").cast("string"),
+        "t": F.col("text"),
+        "l": F.col("lang"),
+        "s": F.col("source"),
+    }
+    wire = docs.select(
+        F.format_string("pdfconv-%06d", F.col("doc_id")).alias("conv_id"),
+        _spark_concat(PDFISH_PAYLOAD, cols).alias("wire"),
+    )
+    line_re = re.compile(r"^@(\d+),(\d+):(.*)$")
+
+    def to_pdf_and_back(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for w in pdf["wire"].tolist():
+                runs = []
+                for raw in w.split("\n"):
+                    m = line_re.match(raw)
+                    x, y, content = float(m.group(1)), float(m.group(2)), m.group(3)
+                    runs.append((x, 792.0 - y, 12.0, content))  # y-up user space
+                raw_pdf = pdf_encode([runs])
+                texts.append(pdf_positioned_lines(raw_pdf)[0])
+            yield pd.DataFrame(
+                {"conv_id": pdf["conv_id"], "turn_idx": 0, "role": "tool",
+                 "text": texts, "tool": "pdf_reader"}
+            )
+
+    transcripts = wire.mapInPandas(
+        to_pdf_and_back,
+        schema="conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    return block_spans(extract_transcripts(transcripts, with_words=False))
