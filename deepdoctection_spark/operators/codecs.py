@@ -217,9 +217,16 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     )
 
 
+def _gif_decode(raw: bytes) -> np.ndarray:
+    from deepdoctection_spark.kernels.gif import gif_decode
+
+    return gif_decode(raw)
+
+
 IMAGE_DECODERS: dict[bytes, Callable[[bytes], np.ndarray]] = {
     b"FIMG": _fimg_decode,
     b"\x89PNG": png_decode,  # stdlib — real codec, always available
+    b"GIF8": _gif_decode,  # stdlib — real LZW palette codec (kernels/gif.py)
     b"\xff\xd8\xff": _pil_decode,  # JPEG still needs Pillow
 }
 

@@ -494,3 +494,40 @@ def pdf_texts_stage(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         extract, schema=PDF_TEXT_SCHEMA
     )
+
+
+def _gif_dims(mid: int) -> tuple[int, int, int]:
+    # (w, h, n_palette): non-power-of-two palettes exercise table padding;
+    # n ≤ 17 keeps 3·(n−1)+2 ≤ 255 for the linear palette formula
+    return 7 + mid % 8, 5 + mid % 5, 4 + mid % 13
+
+
+def synth_gif_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL GIF payload table (stdlib LZW codec): index stream
+    is (seed + 7i) % n_palette and palette[j] = (3j, 3j+1, 3j+2), so the
+    DuckDB oracle recomputes every decoded-RGB statistic in closed form
+    while Spark actually LZW-decodes genuine GIF bytes."""
+    from deepdoctection_spark.kernels.gif import gif_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                w, h, n = _gif_dims(mid)
+                idx = ((mid % 256 + 7 * np.arange(w * h, dtype=np.int64)) % n
+                       ).astype(np.uint8).reshape(h, w)
+                pal = np.stack(
+                    [3 * np.arange(n), 3 * np.arange(n) + 1,
+                     3 * np.arange(n) + 2], axis=1
+                ).astype(np.uint8)
+                rows.append((mid, "image/gif", w, h, 3, gif_encode(idx, pal)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)

@@ -79,6 +79,38 @@ def q_media_png_stats(spark, sf_dir):
 
 
 @register(
+    "media_gif_stats",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (7 + doc_id % 8)::INT AS width, (5 + doc_id % 5)::INT AS height,
+         (4 + doc_id % 13) AS n_pal,
+         ((7 + doc_id % 8) * (5 + doc_id % 5) * 3)::INT AS n_pixels
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, n_pixels,
+         (3 * ((seed + 7 * (i // 3)) % n_pal) + (i % 3)) AS v, (i % 3) AS ch
+  FROM dims, unnest(range(n_pixels)) AS t(i)
+)
+SELECT media_id, width, height, 3::INT AS channels, n_pixels,
+       round_even(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round_even(avg(v) FILTER (ch = 0), 4) AS mean_c0,
+       NULL::VARCHAR AS error
+FROM px GROUP BY media_id, width, height, n_pixels
+""",
+)
+def q_media_gif_stats(spark, sf_dir):
+    """REAL GIF path: Spark LZW-decodes genuine GIF bytes (stdlib codec,
+    kernels/gif.py — sub-blocks, code-width growth, palette indirection)
+    through the same registry-dispatched image_stats stage; the oracle
+    recomputes from the index/palette formulas (index = (seed+7i) % n_pal,
+    palette[j] = (3j, 3j+1, 3j+2))."""
+    return mm.image_stats(mm.synth_gif_images(_docs(spark, sf_dir)))
+
+
+@register(
     "media_pdf_texts",
     """
 WITH w2 AS (
