@@ -154,3 +154,43 @@ def rolling_hash(docs: DataFrame, base: int = 131, mod: int = 2147483647) -> Dat
         h.alias("rolling_fp"),
         F.length(norm).cast("int").alias("n_chars_norm"),
     )
+
+
+def token_surprisal(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency surprisal per document — the CCNet/Gopher-style
+    quality signal: rare-token-heavy documents (gibberish, boilerplate
+    explosions, encoding damage) score high, plain prose scores near the
+    corpus entropy. Two passes, both scale-shaped:
+
+    1. token → count hash aggregation (map-side combinable) + a 1-row total;
+    2. explode docs → hash join on token (AQE picks broadcast while the
+       vocab is small; at web scale it stays a shuffle hash join) → per-doc
+       aggregation of −log₂(count/total).
+
+    Determinism contract with the DuckDB oracle: per-token surprisal is
+    quantized to an INTEGER (floor(x·1e6 + 0.5)) BEFORE summing, so the
+    per-doc sum is exact integer arithmetic — no float-summation-order
+    dependence between engines; only the final display division rounds."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(_tokens()).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    per_tok = (
+        toks.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log2(F.col("n").cast("double") / F.col("total")) * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("s6"),
+        )
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.floor(F.sum("s6") / F.count("*") / 100 + F.lit(0.5)) / 10000.0
+         ).alias("avg_surprisal"),
+        (F.max("s6") / 1000000.0).alias("max_surprisal"),
+    )

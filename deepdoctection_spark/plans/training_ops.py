@@ -764,3 +764,31 @@ def q_curated_corpus(spark, sf_dir):
         "doc_id", "pred_lang", "quality"
     )
     return docs.select("doc_id", "text").join(dec, "doc_id")
+
+
+@register(
+    "quality_surprisal",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+counts AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token),
+total AS (SELECT sum(n)::BIGINT AS total FROM counts),
+per_tok AS (
+  SELECT t.doc_id,
+         floor(-log2(c.n / tt.total::DOUBLE) * 1000000 + 0.5)::BIGINT AS s6
+  FROM tok t JOIN counts c USING (token), total tt
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       floor(sum(s6) / count(*) / 100 + 0.5) / 10000.0 AS avg_surprisal,
+       max(s6) / 1000000.0 AS max_surprisal
+FROM per_tok GROUP BY doc_id
+""",
+)
+def q_quality_surprisal(spark, sf_dir):
+    """Corpus-frequency surprisal quality score (CCNet/Gopher-style): the
+    per-token −log₂ p(token) averaged per document, with p from the corpus
+    itself. Per-token values are integer-quantized before summation so the
+    Spark and DuckDB sums are exact and order-independent."""
+    return textstats.token_surprisal(_docs(spark, sf_dir))

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -151,29 +152,69 @@ class IceTable:
 
     # -- commits ---------------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _write_data_files(self, df: DataFrame,
+                          partition_by: str | None = None) -> list[dict]:
         """Stage df as immutable parquet files under data/ (commit-uuid
         prefix — never visible until a snapshot lists them), harvest footer
-        stats per file."""
+        stats per file. With ``partition_by``, files land in Hive-style
+        ``col=value`` subdirs (Iceberg identity partitioning) and each
+        manifest entry records its partition value for exact-match pruning;
+        readers re-derive the column from the path (basePath discovery)."""
         os.makedirs(self.data_dir, exist_ok=True)
         commit = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f"_staging-{commit}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(staging)
         entries = []
         n = 0
-        for fn in sorted(os.listdir(staging)):
-            if not fn.endswith(".parquet"):
-                continue
-            final = f"{commit}-{n:05d}.parquet"
-            os.rename(os.path.join(staging, fn),
-                      os.path.join(self.data_dir, final))
-            rows, stats = _file_stats(os.path.join(self.data_dir, final))
-            entries.append({"path": final, "rows": rows, "stats": stats})
-            n += 1
-        for leftover in os.listdir(staging):
-            os.remove(os.path.join(staging, leftover))
-        os.rmdir(staging)
+        if partition_by:
+            # layout: data/<col>=<value>/<commit>-<n>.parquet — the kv dir
+            # sits DIRECTLY under basePath (Spark's partition discovery
+            # rejects mixed-depth structures), the commit id lives in the
+            # file name; files stay immutable across commits
+            for pdir in sorted(os.listdir(staging)):
+                if not pdir.startswith(f"{partition_by}="):
+                    continue
+                value = pdir.split("=", 1)[1]
+                os.makedirs(os.path.join(self.data_dir, pdir), exist_ok=True)
+                for fn in sorted(os.listdir(os.path.join(staging, pdir))):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = f"{pdir}/{commit}-{n:05d}.parquet"
+                    os.rename(os.path.join(staging, pdir, fn),
+                              os.path.join(self.data_dir, rel))
+                    rows, stats = _file_stats(os.path.join(self.data_dir, rel))
+                    entries.append({"path": rel, "rows": rows, "stats": stats,
+                                    "partition": {partition_by: value}})
+                    n += 1
+        else:
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet"):
+                    continue
+                final = f"{commit}-{n:05d}.parquet"
+                os.rename(os.path.join(staging, fn),
+                          os.path.join(self.data_dir, final))
+                rows, stats = _file_stats(os.path.join(self.data_dir, final))
+                entries.append({"path": final, "rows": rows, "stats": stats})
+                n += 1
+        shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    def _check_partition_spec(self, prev: dict,
+                              partition_by: str | None) -> None:
+        """The partition spec is table metadata (as in Iceberg): every
+        commit must use the spec the table was created with — Spark's
+        partition discovery cannot mix Hive-layout and flat files under one
+        basePath, and a silent mix would corrupt reads."""
+        if prev["files"]:
+            prev_spec = prev.get("partition_by")
+            if prev_spec != partition_by:
+                raise ValueError(
+                    f"partition spec drift: table uses partition_by="
+                    f"{prev_spec!r}, commit brings {partition_by!r}"
+                )
 
     def _check_schema(self, prev: dict, ddl: str, allow_change: bool) -> str:
         if prev["schema"] is None or prev["schema"] == ddl:
@@ -227,22 +268,28 @@ class IceTable:
         )
 
     def append(self, df: DataFrame, allow_schema_change: bool = False,
-               extra: dict | None = None) -> dict:
+               extra: dict | None = None,
+               partition_by: str | None = None) -> dict:
         """Append-files commit (Iceberg ``append``): new snapshot = parent's
-        files + this df's files."""
+        files + this df's files. ``partition_by`` = identity partitioning
+        (Hive-layout files, per-file partition value in the manifest)."""
         prev = self.snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
-        added = self._write_data_files(df)
+        self._check_partition_spec(prev, partition_by)
+        added = self._write_data_files(df, partition_by=partition_by)
         return self._commit("append", added, prev["files"] + added, ddl,
-                            extra=extra)
+                            extra={**(extra or {}),
+                                   "partition_by": partition_by})
 
     def overwrite(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
         """Replace-all commit (Iceberg ``overwrite``): new snapshot lists
         ONLY this df's files. Old files stay on disk for time travel."""
         prev = self.snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
-        added = self._write_data_files(df)
-        return self._commit("overwrite", added, added, ddl)
+        spec = prev.get("partition_by") if prev["files"] else None
+        added = self._write_data_files(df, partition_by=spec)
+        return self._commit("overwrite", added, added, ddl,
+                            extra={"partition_by": spec})
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
@@ -254,10 +301,12 @@ class IceTable:
         prev = self.snapshot()
         if not prev["files"]:
             return prev
-        df = spark.read.schema(prev["schema"]).parquet(
+        spec = prev.get("partition_by")
+        df = self._reader(spark, prev["schema"]).parquet(
             *self._paths(prev["files"])).coalesce(target_files)
-        added = self._write_data_files(df)
-        return self._commit("replace", added, added, prev["schema"])
+        added = self._write_data_files(df, partition_by=spec)
+        return self._commit("replace", added, added, prev["schema"],
+                            extra={"partition_by": spec})
 
     def streaming_sink(self, query_tag: str = "stream"):
         """foreachBatch sink with exactly-once semantics over retried
@@ -286,19 +335,26 @@ class IceTable:
         """Commit a new snapshot replaying an ancestor's file list (history
         stays append-only; nothing is deleted)."""
         target = self.snapshot(seq)
-        return self._commit("rollback", [], target["files"], target["schema"])
+        return self._commit("rollback", [], target["files"], target["schema"],
+                            extra={"partition_by": target.get("partition_by")})
 
     # -- reads -----------------------------------------------------------
 
     def _paths(self, files: list[dict]) -> list[str]:
         return [os.path.join(self.data_dir, f["path"]) for f in files]
 
+    def _reader(self, spark: SparkSession, schema: str):
+        """basePath keeps Hive-partition discovery working on explicit file
+        lists, so identity-partition columns re-derive from the path; it is
+        harmless for unpartitioned files."""
+        return spark.read.schema(schema).option("basePath", self.data_dir)
+
     def read(self, spark: SparkSession, seq: int | None = None) -> DataFrame:
         """Snapshot read (current, or time travel to ``seq``)."""
         snap = self.snapshot(seq)
         if not snap["files"]:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return spark.read.schema(snap["schema"]).parquet(
+        return self._reader(spark, snap["schema"]).parquet(
             *self._paths(snap["files"]))
 
     def read_incremental(self, spark: SparkSession, after_seq: int,
@@ -318,7 +374,7 @@ class IceTable:
             added += [by_path[p] for p in s.get("added", []) if p in by_path]
         if not added:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return spark.read.schema(snap["schema"]).parquet(*self._paths(added))
+        return self._reader(spark, snap["schema"]).parquet(*self._paths(added))
 
     def plan_files(self, predicate: tuple[str, str, object] | None = None,
                    seq: int | None = None) -> tuple[list[dict], int]:
@@ -331,6 +387,15 @@ class IceTable:
         col, op, lit = predicate
         keep = []
         for f in files:
+            part = f.get("partition") or {}
+            if col in part:
+                # identity-partition pruning: exact string match only;
+                # range ops on the dir-string would be lexicographic lies
+                # for numeric values, so they conservatively keep the file
+                if op == "=" and part[col] != str(lit):
+                    continue
+                keep.append(f)
+                continue
             s = f["stats"].get(col)
             if s is None:
                 keep.append(f)
@@ -356,7 +421,7 @@ class IceTable:
         snap = self.snapshot(seq)
         if not keep:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        df = spark.read.schema(snap["schema"]).parquet(*self._paths(keep))
+        df = self._reader(spark, snap["schema"]).parquet(*self._paths(keep))
         if predicate is not None:
             col, op, lit = predicate
             df = df.where(f"{col} {'==' if op == '=' else op} {lit!r}")

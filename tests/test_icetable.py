@@ -180,3 +180,42 @@ def test_streaming_sink_epoch_idempotence(spark, tbl):
     # a different query tag keeps its own epoch sequence
     tbl.streaming_sink("q2")(_df(spark, 900, 910), 0)
     assert tbl.read(spark).count() == 100
+
+
+def test_identity_partitioning_roundtrip_and_pruning(spark, tbl):
+    df = spark.range(0, 300).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part", "id * 2 AS val")
+    tbl.append(df, partition_by="part")
+    # partition column re-derives from the Hive path on read
+    got = tbl.read(spark)
+    assert set(got.columns) == {"id", "part", "val"}
+    assert got.count() == 300
+    assert got.where("part = '1'").count() == 100
+    # manifest prunes sibling partitions without opening them
+    keep, pruned = tbl.plan_files(("part", "=", 1))
+    assert pruned >= 2 and all(
+        f["partition"]["part"] == "1" for f in keep)
+    assert sorted(r["id"] for r in tbl.scan(spark, ("part", "=", 1)).collect()) \
+        == [i for i in range(300) if i % 3 == 1]
+    # range ops on partition strings are conservatively non-pruning
+    _keep_all, pruned_range = tbl.plan_files(("part", ">=", 1))
+    assert pruned_range == 0
+
+
+def test_partition_spec_is_pinned(spark, tbl):
+    """The spec is table metadata (Iceberg semantics): a commit with a
+    different partition_by must fail loudly — Spark cannot read mixed
+    Hive/flat layouts under one basePath."""
+    df = spark.range(0, 60).selectExpr(
+        "id", "CAST(id % 2 AS STRING) AS part", "id * 2 AS val")
+    tbl.append(df, partition_by="part")
+    with pytest.raises(ValueError, match="partition spec drift"):
+        tbl.append(spark.range(60, 80).selectExpr(
+            "id", "'x' AS part", "id * 2 AS val"))  # flat layout
+    # same-spec append is fine; compaction preserves the spec
+    tbl.append(spark.range(60, 80).selectExpr(
+        "id", "'x' AS part", "id * 2 AS val"), partition_by="part")
+    assert tbl.read(spark).count() == 80
+    tbl.compact(spark, target_files=1)
+    got = tbl.read(spark)
+    assert got.count() == 80 and got.where("part = 'x'").count() == 20
