@@ -223,11 +223,25 @@ def _gif_decode(raw: bytes) -> np.ndarray:
     return gif_decode(raw)
 
 
+def _jpeg_decode(raw: bytes) -> np.ndarray:
+    """Baseline grayscale via the stdlib codec (kernels/jpeg.py — real
+    Huffman + IDCT); color/progressive fall through to Pillow when it's
+    installed, else quarantine."""
+    from deepdoctection_spark.kernels.jpeg import jpeg_decode
+
+    try:
+        return jpeg_decode(raw)[:, :, None]  # (h, w, 1)
+    except ValueError:
+        if _PILImage is not None:  # pragma: no cover - absent in container
+            return _pil_decode(raw)
+        raise
+
+
 IMAGE_DECODERS: dict[bytes, Callable[[bytes], np.ndarray]] = {
     b"FIMG": _fimg_decode,
     b"\x89PNG": png_decode,  # stdlib — real codec, always available
     b"GIF8": _gif_decode,  # stdlib — real LZW palette codec (kernels/gif.py)
-    b"\xff\xd8\xff": _pil_decode,  # JPEG still needs Pillow
+    b"\xff\xd8\xff": _jpeg_decode,  # stdlib grayscale baseline; PIL for color
 }
 
 

@@ -531,3 +531,42 @@ def synth_gif_images(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def _jpeg_dims(mid: int) -> tuple[int, int]:
+    # block-grid dims (each block is 8x8 px)
+    return 2 + mid % 3, 2 + mid % 2
+
+
+def synth_jpeg_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL baseline JPEG payload table (stdlib codec): each
+    image is piecewise-flat per 8×8 block with EVEN level-shift deltas
+    (value = 2·((seed + 17·block) % 128)), for which the lossy chain is
+    exactly lossless (DC = Δ/2·Q₀₀ with no rounding boundary) — so the
+    DuckDB oracle recomputes decoded statistics in closed form while Spark
+    actually Huffman-decodes scan bytes and runs the real IDCT
+    (kernels/jpeg.py module docstring derives the algebra)."""
+    from deepdoctection_spark.kernels.jpeg import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                bw, bh = _jpeg_dims(mid)
+                vals = 2 * ((mid % 256 + 17 * np.arange(bh * bw)) % 128)
+                img = np.repeat(
+                    np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1
+                ).astype(np.uint8)
+                rows.append(
+                    (mid, "image/jpeg", bw * 8, bh * 8, 1, jpeg_encode(img))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)

@@ -111,6 +111,36 @@ def q_media_gif_stats(spark, sf_dir):
 
 
 @register(
+    "media_jpeg_stats",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (2 + doc_id % 3) AS bw, (2 + doc_id % 2) AS bh
+  FROM documents
+),
+blocks AS (
+  SELECT media_id, bw, bh, (2 * ((seed + 17 * b) % 128)) AS v
+  FROM dims, unnest(range(bh * bw)) AS t(b)
+)
+SELECT media_id, (bw * 8)::INT AS width, (bh * 8)::INT AS height,
+       1::INT AS channels, (bw * bh * 64)::INT AS n_pixels,
+       round(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round(avg(v), 4) AS mean_c0,
+       NULL::VARCHAR AS error
+FROM blocks GROUP BY media_id, bw, bh
+""",
+)
+def q_media_jpeg_stats(spark, sf_dir):
+    """REAL JPEG path: Spark Huffman-decodes genuine baseline scan bytes
+    and runs the real dequant+IDCT (stdlib codec, kernels/jpeg.py) through
+    the registry-dispatched image_stats stage; the even-delta flat-block
+    construction makes the lossy chain exactly lossless, so the oracle
+    recomputes decoded stats from the block-value formula."""
+    return mm.image_stats(mm.synth_jpeg_images(_docs(spark, sf_dir)))
+
+
+@register(
     "media_pdf_texts",
     """
 WITH w2 AS (

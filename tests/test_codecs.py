@@ -23,10 +23,13 @@ def test_dispatch_unknown_magic():
         codecs.decode_image(b"XXXX....")
 
 
-def test_jpeg_without_pillow_raises_not_implemented():
+def test_jpeg_junk_bytes_quarantine_without_pillow():
+    # JPEG magic now dispatches to the stdlib baseline decoder
+    # (kernels/jpeg.py); junk bytes quarantine as ValueError, never a
+    # NotImplementedError — real grayscale decode is covered by test_jpeg.py
     if codecs._PILImage is not None:
-        pytest.skip("Pillow installed — real decode covered by test_pil_roundtrip")
-    with pytest.raises(NotImplementedError, match="Pillow"):
+        pytest.skip("Pillow installed — fallback path covered by test_pil_roundtrip")
+    with pytest.raises((ValueError, IndexError)):
         codecs.decode_image(b"\xff\xd8\xff....")
 
 
