@@ -94,6 +94,99 @@ def q_ice_incremental_read(spark, sf_dir):
 
 
 @register(
+    "ice_delete_where",
+    f"""
+WITH bounds AS (
+  SELECT max(user_id) // 4 + 1 AS qsize FROM events
+),
+slice AS (
+  SELECT e.* FROM events e, bounds b WHERE NOT (e.user_id < b.qsize)
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_delete_where(spark, sf_dir):
+    """Copy-on-write row-level delete: four single-file commits over
+    disjoint user_id quartiles, then DELETE WHERE user_id < q1-cut. The
+    manifest must rewrite ONLY the bottom-quartile file (asserted:
+    ≥2 files carried over untouched) and the final read must equal the
+    complement — proving file-granular CoW end-to-end."""
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("user_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_del_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            ev.where(
+                (F.col("user_id") >= k * qsize)
+                & (F.col("user_id") < (k + 1) * qsize)
+            ).coalesce(1)
+        )
+    snap = t.delete_where(spark, ("user_id", "<", qsize))
+    assert snap["operation"] == "delete"
+    assert snap["carried_files"] >= 2, (
+        f"delete rewrote the whole table: {snap}"
+    )
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
+    "ice_merge_upsert",
+    f"""
+WITH bounds AS (
+  SELECT max(event_id) AS hi, max(event_id) // 4 + 1 AS qsize FROM events
+),
+slice AS (
+  SELECT e.* FROM events e, bounds b WHERE e.event_id < 3 * b.qsize
+  UNION ALL
+  SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value * 2 AS value,
+         e.props
+  FROM events e, bounds b WHERE e.event_id >= 3 * b.qsize
+  UNION ALL
+  SELECT e.event_id + b.hi + 1, e.ts, e.user_id, e.event_type,
+         e.value * 3 AS value, e.props
+  FROM events e, bounds b WHERE e.event_id < b.qsize // 2
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_merge_upsert(spark, sf_dir):
+    """Copy-on-write MERGE upsert: four single-file event_id-quartile
+    commits; the source UPDATES every top-quartile row (value doubled) and
+    INSERTS brand-new keys above max(event_id) (value tripled). Manifest
+    key-span overlap must leave the three low quartile files untouched
+    (asserted) while the result equals carried ∪ updated ∪ inserted."""
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("event_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_merge_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            ev.where(
+                (F.col("event_id") >= k * qsize)
+                & (F.col("event_id") < (k + 1) * qsize)
+            ).coalesce(1)
+        )
+    updates = ev.where(F.col("event_id") >= 3 * qsize).withColumn(
+        "value", F.col("value") * 2
+    )
+    inserts = ev.where(F.col("event_id") < qsize // 2).select(
+        (F.col("event_id") + hi + 1).alias("event_id"),
+        "ts", "user_id", "event_type",
+        (F.col("value") * 3).alias("value"),
+        "props",
+    )
+    snap = t.merge_upsert(spark, updates.unionByName(inserts), "event_id")
+    assert snap["operation"] == "merge"
+    assert snap["carried_files"] >= 2, (
+        f"merge rewrote non-overlapping files: {snap}"
+    )
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
     "ice_pruned_scan",
     f"""
 WITH bounds AS (

@@ -40,6 +40,13 @@ Semantics carried over from Iceberg:
 - **Rollback**: ``rollback(snapshot_id)`` commits a NEW snapshot whose file
   list is the old one (history is append-only, like Iceberg — no snapshot
   is ever destroyed).
+- **Row-level ops (copy-on-write)**: ``delete_where`` and ``merge_upsert``
+  rewrite ONLY the files whose manifest stats may contain affected rows;
+  all other files carry over by reference — file-granular CoW, the Iceberg
+  ``DELETE FROM`` / ``MERGE INTO`` shape.
+- **Maintenance**: ``expire_snapshots(keep_last=k)`` deletes expired
+  snapshots and the data files only they reference (storage reclamation
+  after overwrite/delete/compaction churn).
 
 jobs/resumable.py keeps its wave-level manifest (per-bucket throughput
 metrics feed); IceTable is the table-level commit/lineage layer underneath
@@ -56,6 +63,7 @@ import uuid
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _STATS_KINDS = ("long", "int", "short", "byte", "double", "float", "string",
                 "date", "timestamp")
@@ -330,6 +338,110 @@ class IceTable:
                                          "stream_epoch": int(epoch_id)})
 
         return sink
+
+    def delete_where(self, spark: SparkSession,
+                     predicate: tuple[str, str, object]) -> dict:
+        """Copy-on-write row-level DELETE (Iceberg ``DELETE FROM … WHERE``
+        with copy-on-write): manifest stats select the candidate files that
+        MAY contain matching rows; ONLY those are read and rewritten with
+        the complement filter, every other file carries over by reference —
+        at 100 TB a targeted delete rewrites a handful of files, not the
+        table. Rows where the predicate is NULL are retained (SQL DELETE
+        semantics: only rows where the condition is TRUE are removed).
+        Old files stay on disk for time travel (expire_snapshots reclaims).
+        """
+        prev = self.snapshot()
+        if not prev["files"]:
+            return prev
+        candidates, _ = self.plan_files(predicate)
+        cand_paths = {f["path"] for f in candidates}
+        carried = [f for f in prev["files"] if f["path"] not in cand_paths]
+        spec = prev.get("partition_by")
+        col, op, lit = predicate
+        added: list[dict] = []
+        if candidates:
+            df = self._reader(spark, prev["schema"]).parquet(
+                *self._paths(candidates))
+            kept = df.where(
+                f"NOT coalesce({col} {'==' if op == '=' else op} {lit!r}, false)"
+            )
+            added = [f for f in self._write_data_files(kept, partition_by=spec)
+                     if f["rows"] > 0]
+        return self._commit(
+            "delete", added, carried + added, prev["schema"],
+            extra={"partition_by": spec, "rewrote_files": len(candidates),
+                   "carried_files": len(carried)})
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key_cols: str | list[str]) -> dict:
+        """Copy-on-write MERGE (Iceberg ``MERGE INTO`` upsert): target rows
+        whose key matches a source row are REPLACED by the source row;
+        source rows with unmatched keys are INSERTED. Candidate files come
+        from manifest stats on the first key column (range overlap with the
+        source's key span); only candidates are read, anti-joined against
+        the source keys, and rewritten together with the source — untouched
+        files carry over by reference. The anti-join is a plain Spark join,
+        so Catalyst broadcasts a small source and sort-merges a big one —
+        the same physical strategy Iceberg's Spark MERGE uses."""
+        prev = self.snapshot()
+        ddl = self._check_schema(prev, _ddl(source), False)
+        spec = prev.get("partition_by") if prev["files"] else None
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        lo, hi = source.agg(F.min(keys[0]), F.max(keys[0])).first()
+        if lo is None:
+            return prev  # empty source: MERGE is a no-op
+        carried, candidates = [], []
+        for f in prev["files"]:
+            s = f["stats"].get(keys[0])
+            if s is not None and (s["max"] < lo or s["min"] > hi):
+                carried.append(f)  # key span can't overlap: file untouched
+            else:
+                candidates.append(f)
+        if candidates:
+            tgt = self._reader(spark, prev["schema"]).parquet(
+                *self._paths(candidates))
+            survivors = tgt.join(
+                source.select(*keys).distinct(), on=keys, how="left_anti")
+            merged = survivors.unionByName(source)
+        else:
+            merged = source
+        added = [f for f in self._write_data_files(merged, partition_by=spec)
+                 if f["rows"] > 0]
+        return self._commit(
+            "merge", added, carried + added, ddl,
+            extra={"partition_by": spec, "rewrote_files": len(candidates),
+                   "carried_files": len(carried)})
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Snapshot expiry (Iceberg ``expire_snapshots``): drop all but the
+        newest ``keep_last`` snapshots and physically delete data files
+        referenced ONLY by expired ones. Time travel to expired sequences is
+        gone afterwards — that is the contract; after overwrite/compaction/
+        delete churn, unreferenced files dominate storage, and at 100 TB
+        expiry IS the storage-reclamation path."""
+        seqs = self._committed_seqs()
+        retain = set(seqs[-keep_last:]) if keep_last > 0 else set()
+        live: set[str] = set()
+        for seq in retain:
+            live.update(f["path"] for f in self.snapshot(seq)["files"])
+        deleted_files = 0
+        if os.path.isdir(self.data_dir):
+            for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.data_dir)
+                    if fn.endswith(".parquet") and rel not in live:
+                        os.remove(full)
+                        deleted_files += 1
+                if not os.listdir(root) and root != self.data_dir:
+                    os.rmdir(root)  # empty partition dir after reclamation
+        expired = 0
+        for seq in seqs:
+            if seq not in retain:
+                os.remove(self._snap_path(seq))
+                expired += 1
+        return {"expired_snapshots": expired, "deleted_files": deleted_files,
+                "retained_seqs": sorted(retain)}
 
     def rollback(self, seq: int) -> dict:
         """Commit a new snapshot replaying an ancestor's file list (history

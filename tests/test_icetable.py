@@ -219,3 +219,106 @@ def test_partition_spec_is_pinned(spark, tbl):
     tbl.compact(spark, target_files=1)
     got = tbl.read(spark)
     assert got.count() == 80 and got.where("part = 'x'").count() == 20
+
+
+# --- row-level ops (copy-on-write) ------------------------------------------
+
+
+def test_delete_where_rewrites_only_candidate_files(spark, tbl):
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.append(_df(spark, 100, 200).coalesce(1))
+    tbl.append(_df(spark, 200, 300).coalesce(1))
+    snap = tbl.delete_where(spark, ("id", "<", 50))
+    assert snap["operation"] == "delete"
+    assert snap["carried_files"] == 2 and snap["rewrote_files"] == 1
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == list(
+        range(50, 300))
+    # time travel: pre-delete snapshot still has the rows
+    assert tbl.read(spark, seq=3).count() == 300
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tbl):
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (CAST(NULL AS BIGINT), 'c')"
+        " AS t(id, tag)")
+    tbl.append(df.coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 2))
+    tags = sorted(
+        r["tag"] for r in tbl.read(spark).collect())
+    # id=1 deleted; NULL id is NOT TRUE under the predicate -> kept
+    assert tags == ["b", "c"]
+
+
+def test_delete_entire_file_leaves_no_empty_entry(spark, tbl):
+    tbl.append(_df(spark, 0, 10).coalesce(1))
+    tbl.append(_df(spark, 100, 110).coalesce(1))
+    snap = tbl.delete_where(spark, ("id", "<", 50))
+    assert len(snap["files"]) == 1  # emptied file not re-listed
+    assert tbl.read(spark).count() == 10
+
+
+def test_merge_upsert_updates_inserts_and_carries(spark, tbl):
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.append(_df(spark, 100, 200).coalesce(1))
+    src = spark.sql(
+        "SELECT id, 'upd' AS tag, id * 10 AS val FROM range(150, 160)"
+        " UNION ALL "
+        "SELECT id, 'new' AS tag, id * 10 AS val FROM range(500, 505)")
+    snap = tbl.merge_upsert(spark, src, "id")
+    assert snap["operation"] == "merge"
+    assert snap["carried_files"] == 1 and snap["rewrote_files"] == 1
+    rows = {r["id"]: r for r in tbl.read(spark).collect()}
+    assert len(rows) == 205
+    assert rows[155]["tag"] == "upd" and rows[155]["val"] == 1550  # replaced
+    assert rows[42]["tag"] == "a" and rows[42]["val"] == 84  # untouched
+    assert rows[502]["tag"] == "new"  # inserted
+    # time travel: pre-merge value intact
+    old = {r["id"]: r for r in tbl.read(spark, seq=2).collect()}
+    assert old[155]["val"] == 310 and 502 not in old
+
+
+def test_merge_upsert_empty_source_is_noop(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    before = tbl.current_seq()
+    tbl.merge_upsert(spark, _df(spark, 0, 0), "id")
+    assert tbl.current_seq() == before
+
+
+def test_merge_upsert_schema_drift_rejected(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    bad = spark.range(0, 5).selectExpr("id", "'x' AS wrong_col")
+    with pytest.raises(ValueError, match="schema drift"):
+        tbl.merge_upsert(spark, bad, "id")
+
+
+def test_expire_snapshots_reclaims_unreferenced_files(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.overwrite(_df(spark, 0, 10, tag="ow"))
+    tbl.compact(spark)
+    n_files_before = sum(
+        fn.endswith(".parquet")
+        for _r, _d, fns in os.walk(tbl.data_dir) for fn in fns)
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == 2
+    assert res["deleted_files"] >= 1
+    n_files_after = sum(
+        fn.endswith(".parquet")
+        for _r, _d, fns in os.walk(tbl.data_dir) for fn in fns)
+    assert n_files_after < n_files_before
+    # current snapshot unaffected and fully readable
+    assert tbl.current_seq() == 3
+    assert {r["tag"] for r in tbl.read(spark).collect()} == {"ow"}
+    # time travel to an expired snapshot is gone — the documented contract
+    with pytest.raises(FileNotFoundError):
+        tbl.snapshot(1)
+
+
+def test_expire_respects_multi_snapshot_retention(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    tbl.append(_df(spark, 10, 20))
+    tbl.overwrite(_df(spark, 50, 55, tag="ow"))
+    res = tbl.expire_snapshots(keep_last=2)
+    assert res["expired_snapshots"] == 1
+    # seq 2's files include seq 1's (append chains) -> nothing deletable
+    assert tbl.read(spark, seq=2).count() == 20
+    assert tbl.read(spark).count() == 5
