@@ -92,6 +92,7 @@ def parse_html(html: str) -> Node:
     nesting beyond MAX_DEPTH flattens into the deepest allowed element."""
     root = Node("#root")
     stack = [root]
+    top = root  # cached stack[-1] — the loop's hottest attribute chain
     pos = 0
     n = len(html)
     search = _TAG_RE.search  # bind hot lookups once per document
@@ -100,23 +101,25 @@ def parse_html(html: str) -> Node:
         if m is None:
             txt = html[pos:]
             if txt:
-                stack[-1].children.append(Node("", text=txt))
+                top.children.append(Node("", text=txt))
             break
-        if m.start() > pos:
+        start = m.start()
+        if start > pos:
             # whitespace-only text nodes are KEPT: '<b>a</b> <i>b</i>' must
             # not merge to 'ab' — normalization collapses them later
-            stack[-1].children.append(Node("", text=html[pos : m.start()]))
+            top.children.append(Node("", text=html[pos:start]))
         pos = m.end()
-        if m.group(2) is None:  # comment / declaration / processing instr.
+        g1, tag, rawattrs = m.group(1, 2, 3)  # one C call, not three
+        if tag is None:  # comment / declaration / processing instr.
             continue
-        closing, tag = m.group(1) == "/", m.group(2).lower()
-        if closing:
+        tag = tag.lower()
+        if g1 == "/":
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
+                    top = stack[-1]
                     break
             continue
-        rawattrs = m.group(3)
         attrs = (
             {k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(rawattrs)}
             if rawattrs and "=" in rawattrs
@@ -133,14 +136,15 @@ def parse_html(html: str) -> Node:
                 # — gt+1 with gt == -1 would rewind pos to 0 and loop forever
                 pos = n if gt < 0 else gt + 1
             continue
-        stack[-1].children.append(node)
+        top.children.append(node)
         if tag == "br":
-            stack[-1].children.append(Node("", text="\n"))
+            top.children.append(Node("", text="\n"))
         # Per HTML5, self-closing syntax ("/>") has no effect on non-void
         # elements — and a trailing "/" may simply belong to an unquoted
         # attribute value (<a href=http://x.com/>). Only _VOID controls it.
         if tag not in _VOID and len(stack) < MAX_DEPTH:
             stack.append(node)
+            top = node
     return root
 
 

@@ -155,11 +155,27 @@ def _extract_batches(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             n = rb.num_rows
-            conv = rb.column(rb.schema.get_field_index("conv_id")).to_pylist()
-            tix = rb.column(rb.schema.get_field_index("turn_idx")).to_pylist()
-            texts = rb.column(rb.schema.get_field_index("text")).to_pylist()
-            tools = rb.column(rb.schema.get_field_index("tool")).to_pylist()
-            roles = rb.column(rb.schema.get_field_index("role")).to_pylist()
+            idx = rb.schema.get_field_index
+            # pass-through columns stay as Arrow arrays end-to-end (zero-copy
+            # into the output batch — no to_pylist + re-encode roundtrip);
+            # only the columns the Python kernels actually read are
+            # materialized. `role` never crosses into Python at all.
+            conv_arr = rb.column(idx("conv_id"))
+            tix_arr = rb.column(idx("turn_idx"))
+            roles_arr = rb.column(idx("role"))
+            tools_arr = rb.column(idx("tool"))
+            if conv_arr.type != pa.string():
+                conv_arr = conv_arr.cast(pa.string())
+            if tix_arr.type != pa.int32():
+                tix_arr = tix_arr.cast(pa.int32())
+            if roles_arr.type != pa.string():
+                roles_arr = roles_arr.cast(pa.string())
+            if tools_arr.type != pa.string():
+                tools_arr = tools_arr.cast(pa.string())
+            conv = conv_arr.to_pylist()
+            tix = tix_arr.to_pylist()
+            texts = rb.column(idx("text")).to_pylist()
+            tools = tools_arr.to_pylist()
             out_text: list[str] = [""] * n
             out_nb: list[int] = [0] * n
             out_blocks: list[list] = [[] for _ in range(n)]
@@ -242,10 +258,10 @@ def _extract_batches(
                 ),
             )
             arrays = [
-                pa.array(conv, pa.string()),
-                pa.array(tix, pa.int32()),
-                pa.array(roles, pa.string()),
-                pa.array(tools, pa.string()),
+                conv_arr,
+                tix_arr,
+                roles_arr,
+                tools_arr,
                 pa.array(out_text, pa.string()),
                 pa.array(out_nb, pa.int32()),
                 pa.array(out_blocks, pa.list_(_PA_SPAN)),
