@@ -113,4 +113,6 @@ def get_analyzer(
         cfg = replace(cfg, **config_overwrite)
     if not 0.0 <= cfg.link_density_threshold <= 1.0:
         raise ValueError("link_density_threshold must be in [0, 1]")
+    if cfg.tag_density_threshold < 0.0:
+        raise ValueError("tag_density_threshold must be >= 0")
     return Analyzer(cfg=cfg, with_words=with_words)

@@ -77,6 +77,10 @@ class PipelineConfig:
     # (readability-style; reference analogue: score/NMS filtering in
     # pipe/layout.py + pipe/common.py:239-301)
     link_density_threshold: float = 0.5
+    # second boilerplate signal: drop a TEXT block with ≥3 descendant
+    # elements and fewer than this many text chars per element (share
+    # widgets / breadcrumbs / icon rows that pass the link-density test)
+    tag_density_threshold: float = 8.0
     # pdfish column clustering: new column when x-gap exceeds this
     column_gap: float = 100.0
     # words-per-shingle etc. for dedup operators

@@ -75,6 +75,7 @@ def extract_turn(
     tool: str,
     link_density_threshold: float = 0.5,
     column_gap: float = 100.0,
+    tag_density_threshold: float = 8.0,
 ) -> list[Block]:
     """Dispatch by payload kind and return ordered content blocks."""
     if text is None:
@@ -82,7 +83,9 @@ def extract_turn(
     if tool == "browser" or (tool not in ("pdf_reader",) and looks_like_html(text)):
         return [
             Block(b.category, b.text, b.cells)
-            for b in extract_blocks(text, link_density_threshold)
+            for b in extract_blocks(
+                text, link_density_threshold, tag_density_threshold
+            )
         ]
     if tool == "pdf_reader" or looks_like_layout(text):
         return [Block(b.category, b.text) for b in extract_layout_blocks(text, column_gap)]

@@ -148,10 +148,12 @@ def parse_html(html: str) -> Node:
     return root
 
 
-def _gather_text(node: Node) -> tuple[str, int, int]:
-    """(normalized_text, total_chars, link_chars) for a subtree — link_chars
-    counts text under <a> descendants (the readability link-density
-    numerator). The text is returned ALREADY whitespace-normalized
+def _gather_text(node: Node) -> tuple[str, int, int, int]:
+    """(normalized_text, total_chars, link_chars, tag_count) for a subtree —
+    link_chars counts text under <a> descendants (the readability
+    link-density numerator) and tag_count counts descendant ELEMENT nodes
+    (the tag-density denominator: markup-heavy/text-poor subtrees are
+    boilerplate). The text is returned ALREADY whitespace-normalized
     (normalize_ws semantics, fused into the walk): words accumulate across
     text-node boundaries when no whitespace separates them ('<b>a</b>x' →
     'ax'), whitespace runs and blockish-subtree boundaries become single
@@ -160,10 +162,11 @@ def _gather_text(node: Node) -> tuple[str, int, int]:
     words: list[str] = []
     total = 0
     linked = 0
+    tags = 0
     open_word = False  # last emitted chunk ended mid-word (no trailing ws)
 
     def rec(nd: Node, in_link: bool) -> None:
-        nonlocal total, linked, open_word
+        nonlocal total, linked, tags, open_word
         if nd.tag == "":
             # split on the SAME ASCII whitespace class normalize_ws collapses
             # (str.split() would also split on Unicode whitespace like \xa0
@@ -186,13 +189,16 @@ def _gather_text(node: Node) -> tuple[str, int, int]:
             words.extend(ws[start:])
             open_word = bool(pieces[-1])
             return
+        tags += 1
         for c in nd.children:
             rec(c, in_link or nd.tag == "a")
         if nd.tag in _BLOCKISH:
             open_word = False  # blockish subtree edge = word boundary
 
     rec(node, False)
-    return " ".join(words), total, linked
+    # rec counted `node` itself; tag_count is DESCENDANT elements only, so a
+    # plain-text <p> scores 0 and can never trip the tag-density filter.
+    return " ".join(words), total, linked, tags - 1
 
 
 def _has_block_child(node: Node) -> bool:
@@ -206,8 +212,26 @@ class HtmlBlock:
     cells: list[TableCell] = field(default_factory=list)  # only for table
 
 
-def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlBlock]:
-    """Document-order main-content blocks after boilerplate stripping."""
+def extract_blocks(
+    html: str,
+    link_density_threshold: float = 0.5,
+    tag_density_threshold: float = 8.0,
+    tag_density_min_tags: int = 3,
+) -> list[HtmlBlock]:
+    """Document-order main-content blocks after boilerplate stripping.
+
+    Two readability-style density filters (reference analogue: score/NMS
+    filtering of proposed layout blocks, pipe/layout.py + pipe/common.py):
+
+    - link density: drop a block whose text is mostly anchor text
+      (`linked/total > link_density_threshold`) — nav / footer / sidebar.
+    - tag density: drop a TEXT block that is markup-heavy and text-poor
+      (≥ `tag_density_min_tags` descendant elements AND fewer than
+      `tag_density_threshold` text chars per element) — share widgets,
+      breadcrumbs, icon rows whose link density alone can sit under 0.5.
+      Scoped to category "text": titles are short by nature, and list/table
+      blocks legitimately spend one element per item/cell.
+    """
     root = parse_html(html)
     out: list[HtmlBlock] = []
 
@@ -217,14 +241,20 @@ def extract_blocks(html: str, link_density_threshold: float = 0.5) -> list[HtmlB
         text: str | None = None,
         cells: list[TableCell] | None = None,
     ) -> None:
-        """One subtree walk serves both the density filter and (when `text`
+        """One subtree walk serves both the density filters and (when `text`
         is None) the block text itself — the subtree is never gathered
         twice."""
-        norm, total, linked = _gather_text(node)
+        norm, total, linked, tags = _gather_text(node)
         if total == 0:
             return
         if linked / total > link_density_threshold:
             return  # boilerplate: mostly anchor text
+        if (
+            category == "text"
+            and tags >= tag_density_min_tags
+            and total / tags < tag_density_threshold
+        ):
+            return  # boilerplate: markup-heavy, text-poor
         if text is None:
             text = norm  # _gather_text output is already normalized
         if text:

@@ -147,7 +147,7 @@ _PA_SCHEMA = pa.schema(
 def _extract_batches(
     cfg: PipelineConfig, with_words: bool, keep_ts: bool = False
 ) -> "callable":
-    ld, gap = cfg.link_density_threshold, cfg.column_gap
+    ld, gap, td = cfg.link_density_threshold, cfg.column_gap, cfg.tag_density_threshold
     schema = (
         _PA_SCHEMA.append(pa.field("ts_us", pa.int64())) if keep_ts else _PA_SCHEMA
     )
@@ -194,7 +194,7 @@ def _extract_batches(
             w_offsets: list[int] = [0]
             for i in range(n):
                 try:
-                    blocks = extract_turn(texts[i], tools[i], ld, gap)
+                    blocks = extract_turn(texts[i], tools[i], ld, gap, td)
                     fin = finalize_turn(conv[i], int(tix[i]), blocks)
                     out_text[i] = fin.extracted_text
                     out_nb[i] = len(fin.blocks)

@@ -38,17 +38,32 @@ def test_config_overwrite_validated():
 
 
 def test_config_changes_behavior(spark, sf_small):
-    """A permissive link-density threshold keeps nav/footer blocks that the
-    default drops — config actually reaches the kernels."""
+    """Permissive density thresholds keep nav/footer blocks that the
+    defaults drop — BOTH boilerplate config knobs actually reach the
+    kernels (nav is held out by link density AND tag density, so each
+    must be relaxed for it to survive)."""
     t = build_transcripts(spark, sf_small).where("tool = 'browser'").limit(16)
     strict = get_analyzer().analyze(t).agg({"n_blocks": "sum"}).collect()[0][0]
     loose = (
-        get_analyzer(config_overwrite={"link_density_threshold": 1.0})
+        get_analyzer(
+            config_overwrite={
+                "link_density_threshold": 1.0,
+                "tag_density_threshold": 0.0,
+            }
+        )
         .analyze(t)
         .agg({"n_blocks": "sum"})
         .collect()[0][0]
     )
     assert loose > strict
+    # relaxing only ONE of the two signals keeps nav/footer dropped
+    link_only = (
+        get_analyzer(config_overwrite={"link_density_threshold": 1.0})
+        .analyze(t)
+        .agg({"n_blocks": "sum"})
+        .collect()[0][0]
+    )
+    assert link_only == strict
 
 
 def test_gt_cache_clear_releases_blocks(spark, sf_small):

@@ -87,6 +87,40 @@ def test_link_density_threshold_boundary():
     assert blocks == []
 
 
+def test_tag_density_drops_markup_heavy_text():
+    # breadcrumb row: link density 8/17 = 0.47 (under 0.5) but 3 descendant
+    # elements for 17 chars → 5.7 chars/tag < 8 → boilerplate
+    html = "<body><div><a href='/'>Home</a> &gt; <a href='/d'>Docs</a> &gt; <span>Page</span></div><p>Real paragraph content here.</p></body>"
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [
+        ("text", "Real paragraph content here."),
+    ]
+
+
+def test_tag_density_keeps_inline_markup_paragraph():
+    # a real paragraph with inline markup: plenty of chars per tag
+    html = "<body><p>Some <b>bold</b> and <i>italic</i> and <a href='/x'>linked</a> words inside one normal sentence.</p></body>"
+    blocks = extract_blocks(html)
+    assert len(blocks) == 1 and blocks[0].category == "text"
+
+
+def test_tag_density_min_tags_guard():
+    # short text + ONE inline tag never trips the filter (tags < min_tags)
+    html = "<body><p><b>Note:</b> ok.</p></body>"
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [("text", "Note: ok.")]
+
+
+def test_tag_density_exempts_lists_and_tables():
+    # list/table blocks legitimately spend one element per item/cell: exempt
+    html = (
+        "<body><ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>"
+        "<table><tr><td>x</td><td>y</td></tr></table></body>"
+    )
+    blocks = extract_blocks(html)
+    assert [b.category for b in blocks] == ["list", "table"]
+
+
 def test_head_script_style_ignored():
     html = (
         "<html><head><title>T</title><style>p{}</style></head>"

@@ -81,10 +81,10 @@ def _gather_text_reference(node):
     from deepdoctection_spark.kernels.html import _BLOCKISH
     from deepdoctection_spark.kernels.textnorm import _WS_RE
 
-    parts, total, linked = [], 0, 0
+    parts, total, linked, tags = [], 0, 0, -1  # -1: don't count `node` itself
 
     def rec(nd, in_link):
-        nonlocal total, linked
+        nonlocal total, linked, tags
         if nd.tag == "":
             parts.append(nd.text)
             ws = [w for w in _WS_RE.split(nd.text) if w]
@@ -93,13 +93,14 @@ def _gather_text_reference(node):
             if in_link:
                 linked += stripped
             return
+        tags += 1
         for c in nd.children:
             rec(c, in_link or nd.tag == "a")
         if nd.tag in _BLOCKISH:
             parts.append(" ")
 
     rec(node, False)
-    return "".join(parts), total, linked
+    return "".join(parts), total, linked, tags
 
 
 @settings(max_examples=200, deadline=None, derandomize=True)
@@ -108,9 +109,9 @@ def test_fused_gather_matches_reference(s):
     from deepdoctection_spark.kernels.html import _gather_text
 
     root = parse_html(s)
-    norm, total, linked = _gather_text(root)
-    raw, rtotal, rlinked = _gather_text_reference(root)
-    assert (norm, total, linked) == (normalize_ws(raw), rtotal, rlinked)
+    norm, total, linked, tags = _gather_text(root)
+    raw, rtotal, rlinked, rtags = _gather_text_reference(root)
+    assert (norm, total, linked, tags) == (normalize_ws(raw), rtotal, rlinked, rtags)
 
 
 @settings(max_examples=200, deadline=None, derandomize=True)
