@@ -93,8 +93,15 @@ def extract_turn(
     return [Block("text", norm)] if norm else []
 
 
-def finalize_turn(conv_id: str, turn_idx: int, blocks: list[Block]) -> TurnExtraction:
-    """Assemble extracted_text and all span levels with deterministic ids."""
+def finalize_turn(
+    conv_id: str, turn_idx: int, blocks: list[Block], with_words: bool = True
+) -> TurnExtraction:
+    """Assemble extracted_text and all span levels with deterministic ids.
+
+    ``with_words=False`` skips per-row word tokenization: the Arrow stage
+    (operators/extraction.py) tokenizes the whole batch in one vectorized
+    pass instead — per-row word_spans was the hottest single kernel
+    (~1/3 of stage CPU at sf0.1)."""
     texts = [b.text for b in blocks]
     extracted = "\n".join(texts)
     spans: list[SpanOut] = []
@@ -142,5 +149,9 @@ def finalize_turn(conv_id: str, turn_idx: int, blocks: list[Block]) -> TurnExtra
                 cursor += 1  # the joining \n (or trailing — harmless)
         offset = end + 1  # block-joining \n
     return TurnExtraction(
-        extracted, spans, cell_spans, word_spans(extracted), table_htmls
+        extracted,
+        spans,
+        cell_spans,
+        word_spans(extracted) if with_words else [],
+        table_htmls,
     )

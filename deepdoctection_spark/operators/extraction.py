@@ -30,7 +30,10 @@ Spark-first design notes
 from __future__ import annotations
 
 from collections.abc import Iterator
+
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -144,6 +147,47 @@ _PA_SCHEMA = pa.schema(
 )
 
 
+def _batch_words(out_text: list[str]) -> pa.ListArray:
+    """Tokenize the WHOLE batch's extracted text in one vectorized pass:
+    one Arrow split (C) + numpy prefix sums replace the per-row
+    kernels.textnorm.word_spans loop (which was ~1/3 of stage CPU).
+
+    Output is bit-identical to per-row word_spans: tokens are maximal runs
+    of non-separator chars (the contract emits exactly ' ' within a block
+    and '\\n' between blocks), begin/end are codepoint offsets into the
+    row's extracted_text, word_idx counts tokens within the row.
+    Equivalence is property-tested against the per-row kernel
+    (tests/test_property.py)."""
+    txt = pa.array(out_text, pa.string())
+    # str.split(' ') semantics: empty fragments mark separator runs, so the
+    # fragment lengths alone reconstruct every offset (fragment k of a row
+    # begins at sum(previous fragment lengths) + k separators)
+    parts = pc.split_pattern(pc.replace_substring(txt, "\n", " "), " ")
+    flat = parts.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = parts.offsets.to_numpy().astype(np.int64)  # n+1 row boundaries
+    counts = np.diff(offs)
+    row_start = np.repeat(offs[:-1], counts)  # first fragment index, per fragment
+    k = np.arange(len(lens))
+    cs = np.concatenate(([0], np.cumsum(lens)))
+    begin = (cs[:-1] - cs[row_start]) + (k - row_start)
+    nonempty = lens > 0
+    nzcs = np.concatenate(([0], np.cumsum(nonempty)))
+    word_idx = nzcs[:-1] - nzcs[row_start]
+    sel = pa.array(nonempty)
+    struct = pa.StructArray.from_arrays(
+        [
+            flat.filter(sel),
+            pa.array(begin[nonempty].astype(np.int32), pa.int32()),
+            pa.array((begin[nonempty] + lens[nonempty]).astype(np.int32), pa.int32()),
+            pa.array(word_idx[nonempty].astype(np.int32), pa.int32()),
+        ],
+        fields=list(_PA_WORD),
+    )
+    w_offsets = nzcs[offs].astype(np.int32)  # words-per-row prefix sums
+    return pa.ListArray.from_arrays(pa.array(w_offsets, pa.int32()), struct)
+
+
 def _extract_batches(
     cfg: PipelineConfig, with_words: bool, keep_ts: bool = False
 ) -> "callable":
@@ -182,20 +226,15 @@ def _extract_batches(
             out_cells: list[list] = [[] for _ in range(n)]
             out_html: list = [None] * n
             out_err: list = [None] * n
-            # words column built FLAT (token/begin/end/idx value lists +
-            # per-row offsets) and assembled with ListArray/StructArray
-            # .from_arrays — the all-C construction path. Words are the
-            # hottest per-row payload (~60/turn); per-word Python dicts
-            # measurably dominate the stage cost at scale.
-            w_tok: list[str] = []
-            w_begin: list[int] = []
-            w_end: list[int] = []
-            w_idx: list[int] = []
-            w_offsets: list[int] = [0]
             for i in range(n):
                 try:
                     blocks = extract_turn(texts[i], tools[i], ld, gap, td)
-                    fin = finalize_turn(conv[i], int(tix[i]), blocks)
+                    # words are NOT built per row: the whole batch's text is
+                    # tokenized in one vectorized pass after the loop
+                    # (_batch_words) — the per-row tokenizer was ~1/3 of
+                    # stage CPU
+                    fin = finalize_turn(conv[i], int(tix[i]), blocks,
+                                        with_words=False)
                     out_text[i] = fin.extracted_text
                     out_nb[i] = len(fin.blocks)
                     out_blocks[i] = [
@@ -224,14 +263,6 @@ def _extract_batches(
                         }
                         for s in fin.cells
                     ]
-                    if with_words and fin.words:
-                        # zip(*tuples) + extend: C-level column transpose —
-                        # per-word .append() calls measurably dominate here
-                        wi, tok, wb, we = zip(*fin.words)
-                        w_idx.extend(wi)
-                        w_tok.extend(tok)
-                        w_begin.extend(wb)
-                        w_end.extend(we)
                     # every table's HTML, in block order (a turn can carry
                     # several tables; keeping only the first silently
                     # contradicts the cells output)
@@ -239,24 +270,25 @@ def _extract_batches(
                         "\n".join(fin.table_htmls) if fin.table_htmls else None
                     )
                 except Exception as exc:  # quarantine, never throw
-                    # roll back any words appended before the failure so the
-                    # quarantined row carries an EMPTY word list
-                    base = w_offsets[-1]
-                    del w_tok[base:], w_begin[base:], w_end[base:], w_idx[base:]
+                    # reset EVERY output (a failure after partial assignment
+                    # must not leave a half-extracted row; also keeps the
+                    # batch tokenizer from emitting words for it)
+                    out_text[i] = ""
+                    out_nb[i] = 0
+                    out_blocks[i] = []
+                    out_cells[i] = []
+                    out_html[i] = None
                     out_err[i] = f"{type(exc).__name__}: {exc}"[:500]
-                w_offsets.append(len(w_tok))
-            words_arr = pa.ListArray.from_arrays(
-                pa.array(w_offsets, pa.int32()),
-                pa.StructArray.from_arrays(
-                    [
-                        pa.array(w_tok, pa.string()),
-                        pa.array(w_begin, pa.int32()),
-                        pa.array(w_end, pa.int32()),
-                        pa.array(w_idx, pa.int32()),
-                    ],
-                    fields=list(_PA_WORD),
-                ),
-            )
+            if with_words:
+                words_arr = _batch_words(out_text)
+            else:
+                words_arr = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [pa.array([], f.type) for f in _PA_WORD],
+                        fields=list(_PA_WORD),
+                    ),
+                )
             arrays = [
                 conv_arr,
                 tix_arr,

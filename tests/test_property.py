@@ -122,3 +122,22 @@ def test_word_spans_matches_finditer(s):
     ref = [(i, m[0], *m.span())
            for i, m in enumerate(re.finditer(r"[^ \n]+", s))]
     assert word_spans(s) == ref
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.lists(st.text(alphabet=list("ab \n\tx\xa0é日"), max_size=60), max_size=12))
+def test_batch_words_matches_per_row(texts):
+    """The Arrow-vectorized batch tokenizer (operators/extraction.py
+    _batch_words) is bit-identical to per-row word_spans on arbitrary text,
+    including unicode, separator runs, and empty rows."""
+    from deepdoctection_spark.operators.extraction import _batch_words
+
+    got = _batch_words(texts).to_pylist()
+    exp = [
+        [
+            {"token": t, "span_begin": b, "span_end": e, "word_idx": i}
+            for (i, t, b, e) in word_spans(s)
+        ]
+        for s in texts
+    ]
+    assert got == exp
