@@ -18,6 +18,7 @@ from __future__ import annotations
 import re
 import types
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 
 from deepdoctection_spark.kernels.table import TableCell, segment_table_grid
 from deepdoctection_spark.kernels.textnorm import _WS_RE
@@ -89,7 +90,14 @@ MAX_DEPTH = 256
 def parse_html(html: str) -> Node:
     """Tolerant tag-soup parser → element tree. Unclosed tags auto-close when
     an ancestor closes; content of script/style/head is skipped entirely;
-    nesting beyond MAX_DEPTH flattens into the deepest allowed element."""
+    nesting beyond MAX_DEPTH flattens into the deepest allowed element.
+
+    Character references (named, decimal, hex — '&amp;', '&#169;',
+    '&#x27;') are decoded in text nodes and attribute values at parse time,
+    AFTER tokenization, so a decoded '<' is data, never markup. Bare '&'
+    and unknown entities pass through verbatim (html.unescape semantics,
+    matching browser error recovery). The decode is gated on '&' so
+    entity-free documents pay one substring scan."""
     root = Node("#root")
     stack = [root]
     top = root  # cached stack[-1] — the loop's hottest attribute chain
@@ -101,13 +109,18 @@ def parse_html(html: str) -> Node:
         if m is None:
             txt = html[pos:]
             if txt:
+                if "&" in txt:
+                    txt = _unescape(txt)
                 top.children.append(Node("", text=txt))
             break
         start = m.start()
         if start > pos:
             # whitespace-only text nodes are KEPT: '<b>a</b> <i>b</i>' must
             # not merge to 'ab' — normalization collapses them later
-            top.children.append(Node("", text=html[pos:start]))
+            txt = html[pos:start]
+            if "&" in txt:
+                txt = _unescape(txt)
+            top.children.append(Node("", text=txt))
         pos = m.end()
         g1, tag, rawattrs = m.group(1, 2, 3)  # one C call, not three
         if tag is None:  # comment / declaration / processing instr.
@@ -121,7 +134,12 @@ def parse_html(html: str) -> Node:
                     break
             continue
         attrs = (
-            {k.lower(): v.strip("\"'") for k, v in _ATTR_RE.findall(rawattrs)}
+            {
+                k.lower(): (
+                    _unescape(sv) if "&" in (sv := v.strip("\"'")) else sv
+                )
+                for k, v in _ATTR_RE.findall(rawattrs)
+            }
             if rawattrs and "=" in rawattrs
             else None  # shared empty dict inside Node — no per-node alloc
         )

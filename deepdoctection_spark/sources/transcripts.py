@@ -44,15 +44,18 @@ HTML_PAYLOAD: list[Lit] = [
      '<a href="/contact">Contact</a></nav><div id="main"><h1>Document '),
     ("col", "d"),
     ("lit", "</h1><p>"), ("col", "t"),
-    ("lit", "</p><p>Source "), ("col", "s"),
+    # character references (named + hex + decimal) sit in the payload so the
+    # parity gate proves the parser DECODES them (expected blocks below carry
+    # the decoded forms): &amp; → &, &#x2d; → -, &#169; → ©
+    ("lit", "</p><p>Source &amp; origin "), ("col", "s"),
     ("lit", " sharing lang "), ("col", "l"),
     ("lit", ".</p><ul><li>alpha "), ("col", "d"),
-    ("lit", "</li><li>beta "), ("col", "l"),
+    ("lit", "</li><li>beta&#x2d;case "), ("col", "l"),
     ("lit", "</li></ul><table><tr><td>r0c0-"), ("col", "d"),
     ("lit", "</td><td>r0c1-"), ("col", "l"),
     ("lit", "</td></tr><tr><td>r1c0-"), ("col", "s"),
     ("lit",
-     '</td><td>r1c1</td></tr></table></div><footer><a href="/p">Privacy</a> '
+     '</td><td>r1c1 &#169;</td></tr></table></div><footer><a href="/p">Privacy</a> '
      '<a href="/t">Terms</a> <a href="/i">Imprint</a></footer></body></html>'),
 ]
 
@@ -78,11 +81,12 @@ EXPECTED_BLOCKS: dict[str, list[tuple[str, list[Lit]]]] = {
     "browser": [
         ("title", [("lit", "Document "), ("col", "d")]),
         ("text", [("col", "t")]),
-        ("text", [("lit", "Source "), ("col", "s"), ("lit", " sharing lang "),
-                  ("col", "l"), ("lit", ".")]),
-        ("list", [("lit", "alpha "), ("col", "d"), ("lit", "\nbeta "), ("col", "l")]),
+        ("text", [("lit", "Source & origin "), ("col", "s"),
+                  ("lit", " sharing lang "), ("col", "l"), ("lit", ".")]),
+        ("list", [("lit", "alpha "), ("col", "d"), ("lit", "\nbeta-case "),
+                  ("col", "l")]),
         ("table", [("lit", "r0c0-"), ("col", "d"), ("lit", " r0c1-"), ("col", "l"),
-                   ("lit", "\nr1c0-"), ("col", "s"), ("lit", " r1c1")]),
+                   ("lit", "\nr1c0-"), ("col", "s"), ("lit", " r1c1 ©")]),
     ],
     "pdf_reader": [
         ("title", [("lit", "Document "), ("col", "d")]),
@@ -98,7 +102,7 @@ EXPECTED_CELLS: list[tuple[int, int, list[Lit]]] = [
     (1, 1, [("lit", "r0c0-"), ("col", "d")]),
     (1, 2, [("lit", "r0c1-"), ("col", "l")]),
     (2, 1, [("lit", "r1c0-"), ("col", "s")]),
-    (2, 2, [("lit", "r1c1")]),
+    (2, 2, [("lit", "r1c1 ©")]),
 ]
 
 TOOL_OF_MOD = {0: "", 1: "browser", 2: "pdf_reader"}

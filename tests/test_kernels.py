@@ -121,6 +121,27 @@ def test_tag_density_exempts_lists_and_tables():
     assert [b.category for b in blocks] == ["list", "table"]
 
 
+def test_entities_decoded_after_tokenization():
+    # named + hex + decimal references decode; a decoded '<' is DATA
+    html = "<body><p>A &amp; B &#x3c;tag&#x3e; &#169; now</p></body>"
+    blocks = extract_blocks(html)
+    assert [(b.category, b.text) for b in blocks] == [("text", "A & B <tag> © now")]
+
+
+def test_bare_ampersand_and_unknown_entity_pass_through():
+    html = "<body><p>AT&T and &notareal; stay</p></body>"
+    blocks = extract_blocks(html)
+    # html.unescape browser semantics: '&notareal;' begins with the known
+    # '&not' reference, so it decodes to '¬areal;'; bare '&' survives as-is
+    assert blocks[0].text == "AT&T and ¬areal; stay"
+
+
+def test_entities_decoded_in_attributes():
+    root = parse_html('<a href="/x?a=1&amp;b=2">t</a>')
+    a = root.children[0]
+    assert a.attrs["href"] == "/x?a=1&b=2"
+
+
 def test_head_script_style_ignored():
     html = (
         "<html><head><title>T</title><style>p{}</style></head>"
