@@ -55,7 +55,10 @@ the same two-step protocol. scripts/curate_job.py composes both.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
+import math
 import os
 import shutil
 import time
@@ -107,6 +110,50 @@ def _file_stats(path: str) -> tuple[int, dict[str, dict]]:
 
 class CommitConflict(RuntimeError):
     """Another writer committed the same sequence first (and retries ran out)."""
+
+
+# ---------------------------------------------------------------------------
+# Per-file Bloom filters (the Iceberg Puffin-sidecar analogue). min/max stats
+# prune range predicates but are USELESS for point lookups on
+# high-cardinality unordered keys (uuid-ish conv_ids: every file's [min,max]
+# spans the whole keyspace). A per-file Bloom answers "could key k be in this
+# file?" with no false negatives — at 10^12 turns it is the difference
+# between reading one file and reading the table for `conv_id = X`.
+# Stored as sidecar files under metadata/puffin/ (like Iceberg's Puffin
+# blobs), NOT inline in the snapshot JSON: manifests stay small, sidecars
+# load lazily and only for the predicate column.
+# ---------------------------------------------------------------------------
+
+_BLOOM_FPP = 0.01
+
+
+def _bloom_hashes(value: str, m: int, k: int) -> list[int]:
+    """k bit indexes via double hashing over the two md5 halves —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1  # odd: full-period stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _build_bloom(values: list[str]) -> dict:
+    n = max(len(values), 1)
+    m = max(64, int(math.ceil(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for v in values:
+        for idx in _bloom_hashes(v, m, k):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": k, "fpp": _BLOOM_FPP, "n_values": len(values),
+            "bits": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_may_contain(bloom: dict, value: str) -> bool:
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[idx >> 3] & (1 << (idx & 7))
+        for idx in _bloom_hashes(value, bloom["m"], bloom["k"])
+    )
 
 
 class IceTable:
@@ -161,16 +208,38 @@ class IceTable:
     # -- commits ---------------------------------------------------------
 
     def _write_data_files(self, df: DataFrame,
-                          partition_by: str | None = None) -> list[dict]:
+                          partition_by: str | None = None,
+                          sort_by: list[str] | None = None,
+                          sort_files: int | None = None,
+                          bloom_cols: list[str] | None = None) -> list[dict]:
         """Stage df as immutable parquet files under data/ (commit-uuid
         prefix — never visible until a snapshot lists them), harvest footer
         stats per file. With ``partition_by``, files land in Hive-style
         ``col=value`` subdirs (Iceberg identity partitioning) and each
         manifest entry records its partition value for exact-match pruning;
-        readers re-derive the column from the path (basePath discovery)."""
+        readers re-derive the column from the path (basePath discovery).
+
+        ``sort_by`` range-clusters the write (Spark's global sort = range
+        partition + local sort, the Iceberg write-order analogue): each file
+        covers a narrow, near-disjoint [min,max] on the sort keys, which is
+        what makes footer-stats pruning actually bite on those columns.
+        ``bloom_cols`` writes a per-file Bloom sidecar (metadata/puffin/)
+        per listed column for point-lookup pruning on keys where min/max
+        can't help."""
         os.makedirs(self.data_dir, exist_ok=True)
         commit = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f"_staging-{commit}")
+        if sort_by:
+            # global sort = range partition + local sort; an explicit
+            # ``sort_files`` pins the range-partition count (AQE otherwise
+            # coalesces small writes into one file, defeating per-file
+            # range disjointness)
+            df = (
+                df.repartitionByRange(sort_files, *sort_by)
+                .sortWithinPartitions(*sort_by)
+                if sort_files
+                else df.sort(*sort_by)
+            )
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -194,8 +263,12 @@ class IceTable:
                     os.rename(os.path.join(staging, pdir, fn),
                               os.path.join(self.data_dir, rel))
                     rows, stats = _file_stats(os.path.join(self.data_dir, rel))
-                    entries.append({"path": rel, "rows": rows, "stats": stats,
-                                    "partition": {partition_by: value}})
+                    entry = {"path": rel, "rows": rows, "stats": stats,
+                             "partition": {partition_by: value}}
+                    if bloom_cols:
+                        entry["bloom"] = self._write_bloom_sidecars(
+                            rel, bloom_cols)
+                    entries.append(entry)
                     n += 1
         else:
             for fn in sorted(os.listdir(staging)):
@@ -205,10 +278,47 @@ class IceTable:
                 os.rename(os.path.join(staging, fn),
                           os.path.join(self.data_dir, final))
                 rows, stats = _file_stats(os.path.join(self.data_dir, final))
-                entries.append({"path": final, "rows": rows, "stats": stats})
+                entry = {"path": final, "rows": rows, "stats": stats}
+                if bloom_cols:
+                    entry["bloom"] = self._write_bloom_sidecars(
+                        final, bloom_cols)
+                entries.append(entry)
                 n += 1
         shutil.rmtree(staging, ignore_errors=True)
         return entries
+
+    def _write_bloom_sidecars(self, rel: str,
+                              cols: list[str]) -> dict[str, str]:
+        """One Bloom sidecar per (data file, column) under metadata/puffin/,
+        built from the file's DISTINCT values (stringified with str(), the
+        same canonicalization plan_files applies to predicate literals).
+        Returns {column: sidecar path relative to metadata/}."""
+        puffin = os.path.join(self.meta_dir, "puffin")
+        os.makedirs(puffin, exist_ok=True)
+        tbl = pq.read_table(os.path.join(self.data_dir, rel), columns=cols)
+        out: dict[str, str] = {}
+        for col in cols:
+            values = [
+                str(v) for v in tbl.column(col).unique().to_pylist()
+                if v is not None
+            ]
+            blob = _build_bloom(values)
+            blob["data_file"] = rel
+            blob["column"] = col
+            side = f"puffin/{rel.replace('/', '__')}.{col}.bloom.json"
+            with open(os.path.join(self.meta_dir, side), "w") as f:
+                json.dump(blob, f)
+            out[col] = side
+        return out
+
+    def _load_bloom(self, side: str) -> dict:
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if side not in cache:
+            with open(os.path.join(self.meta_dir, side)) as f:
+                cache[side] = json.load(f)
+        return cache[side]
 
     def _check_partition_spec(self, prev: dict,
                               partition_by: str | None) -> None:
@@ -277,17 +387,25 @@ class IceTable:
 
     def append(self, df: DataFrame, allow_schema_change: bool = False,
                extra: dict | None = None,
-               partition_by: str | None = None) -> dict:
+               partition_by: str | None = None,
+               sort_by: list[str] | None = None,
+               sort_files: int | None = None,
+               bloom_cols: list[str] | None = None) -> dict:
         """Append-files commit (Iceberg ``append``): new snapshot = parent's
         files + this df's files. ``partition_by`` = identity partitioning
-        (Hive-layout files, per-file partition value in the manifest)."""
+        (Hive-layout files, per-file partition value in the manifest);
+        ``sort_by`` = write-order clustering (tight per-file min/max);
+        ``bloom_cols`` = per-file Bloom sidecars for point-lookup pruning."""
         prev = self.snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
         self._check_partition_spec(prev, partition_by)
-        added = self._write_data_files(df, partition_by=partition_by)
+        added = self._write_data_files(df, partition_by=partition_by,
+                                       sort_by=sort_by, sort_files=sort_files,
+                                       bloom_cols=bloom_cols)
         return self._commit("append", added, prev["files"] + added, ddl,
                             extra={**(extra or {}),
-                                   "partition_by": partition_by})
+                                   "partition_by": partition_by,
+                                   "sort_by": sort_by})
 
     def overwrite(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
         """Replace-all commit (Iceberg ``overwrite``): new snapshot lists
@@ -422,8 +540,11 @@ class IceTable:
         seqs = self._committed_seqs()
         retain = set(seqs[-keep_last:]) if keep_last > 0 else set()
         live: set[str] = set()
+        live_sidecars: set[str] = set()
         for seq in retain:
-            live.update(f["path"] for f in self.snapshot(seq)["files"])
+            for f in self.snapshot(seq)["files"]:
+                live.add(f["path"])
+                live_sidecars.update((f.get("bloom") or {}).values())
         deleted_files = 0
         if os.path.isdir(self.data_dir):
             for root, _dirs, files in os.walk(self.data_dir, topdown=False):
@@ -435,12 +556,20 @@ class IceTable:
                         deleted_files += 1
                 if not os.listdir(root) and root != self.data_dir:
                     os.rmdir(root)  # empty partition dir after reclamation
+        puffin = os.path.join(self.meta_dir, "puffin")
+        deleted_sidecars = 0
+        if os.path.isdir(puffin):
+            for fn in os.listdir(puffin):
+                if f"puffin/{fn}" not in live_sidecars:
+                    os.remove(os.path.join(puffin, fn))
+                    deleted_sidecars += 1
         expired = 0
         for seq in seqs:
             if seq not in retain:
                 os.remove(self._snap_path(seq))
                 expired += 1
         return {"expired_snapshots": expired, "deleted_files": deleted_files,
+                "deleted_sidecars": deleted_sidecars,
                 "retained_seqs": sorted(retain)}
 
     def rollback(self, seq: int) -> dict:
@@ -488,55 +617,69 @@ class IceTable:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
         return self._reader(spark, snap["schema"]).parquet(*self._paths(added))
 
-    def plan_files(self, predicate: tuple[str, str, object] | None = None,
+    def _file_may_match(self, f: dict, predicate: tuple) -> bool:
+        """Conservative single-predicate survival test for one manifest
+        entry: identity-partition value, then Bloom sidecar (equality on a
+        bloom_cols column — the point-lookup path min/max can't serve), then
+        footer min/max. A file with no usable metadata always survives."""
+        col, op, lit = predicate
+        part = f.get("partition") or {}
+        if col in part:
+            # identity-partition pruning: exact string match only; range ops
+            # on the dir-string would be lexicographic lies for numeric
+            # values, so they conservatively keep the file
+            return not (op == "=" and part[col] != str(lit))
+        if op == "=":
+            side = (f.get("bloom") or {}).get(col)
+            if side is not None and not _bloom_may_contain(
+                    self._load_bloom(side), str(lit)):
+                return False  # definite miss: no false negatives
+        s = f["stats"].get(col)
+        if s is None:
+            return True
+        mn, mx = s["min"], s["max"]
+        return {
+            "=": mn <= lit <= mx,
+            "<": mn < lit, "<=": mn <= lit,
+            ">": mx > lit, ">=": mx >= lit,
+        }[op]
+
+    def plan_files(self, predicate=None,
                    seq: int | None = None) -> tuple[list[dict], int]:
         """Manifest-level scan planning: (surviving files, pruned count).
-        ``predicate`` = (column, op, literal) with op in =, <, <=, >, >=.
-        Conservative: a file with no stats for the column always survives."""
+        ``predicate`` = (column, op, literal) with op in =, <, <=, >, >= —
+        or a LIST of such triples, conjunctive (a file survives only if it
+        may match EVERY predicate). Conservative: a file with no stats for a
+        column always survives that predicate."""
         files = self.snapshot(seq)["files"]
         if predicate is None:
             return files, 0
-        col, op, lit = predicate
-        keep = []
-        for f in files:
-            part = f.get("partition") or {}
-            if col in part:
-                # identity-partition pruning: exact string match only;
-                # range ops on the dir-string would be lexicographic lies
-                # for numeric values, so they conservatively keep the file
-                if op == "=" and part[col] != str(lit):
-                    continue
-                keep.append(f)
-                continue
-            s = f["stats"].get(col)
-            if s is None:
-                keep.append(f)
-                continue
-            mn, mx = s["min"], s["max"]
-            alive = {
-                "=": mn <= lit <= mx,
-                "<": mn < lit, "<=": mn <= lit,
-                ">": mx > lit, ">=": mx >= lit,
-            }[op]
-            if alive:
-                keep.append(f)
+        preds = predicate if isinstance(predicate, list) else [predicate]
+        keep = [
+            f for f in files
+            if all(self._file_may_match(f, p) for p in preds)
+        ]
         return keep, len(files) - len(keep)
 
     def scan(self, spark: SparkSession,
-             predicate: tuple[str, str, object] | None = None,
+             predicate=None,
              seq: int | None = None) -> DataFrame:
-        """Pruned snapshot read: files excluded by footer stats are never
-        given to Spark (manifest pruning ABOVE the engine's own row-group
-        pushdown). The predicate is re-applied as a real filter so results
-        are exact, and Catalyst still pushes it into the surviving scans."""
+        """Pruned snapshot read: files excluded by manifest metadata
+        (partition values, Bloom sidecars, footer min/max) are never given
+        to Spark (manifest pruning ABOVE the engine's own row-group
+        pushdown). ``predicate`` = one (col, op, lit) triple or a
+        conjunctive list. Each predicate is re-applied as a real filter so
+        results are exact, and Catalyst still pushes it into the surviving
+        scans."""
         keep, _pruned = self.plan_files(predicate, seq)
         snap = self.snapshot(seq)
         if not keep:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
         df = self._reader(spark, snap["schema"]).parquet(*self._paths(keep))
         if predicate is not None:
-            col, op, lit = predicate
-            df = df.where(f"{col} {'==' if op == '=' else op} {lit!r}")
+            preds = predicate if isinstance(predicate, list) else [predicate]
+            for col, op, lit in preds:
+                df = df.where(f"{col} {'==' if op == '=' else op} {lit!r}")
         return df
 
 

