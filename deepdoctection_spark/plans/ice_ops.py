@@ -13,6 +13,7 @@ removed — the returned DataFrame carries no reference to deleted files."""
 
 from __future__ import annotations
 
+import hashlib
 import shutil
 import tempfile
 
@@ -184,6 +185,78 @@ def q_ice_merge_upsert(spark, sf_dir):
         f"merge rewrote non-overlapping files: {snap}"
     )
     return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
+    "ice_bloom_lookup",
+    """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, lang, n_chars
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) = md5('137')
+""",
+)
+def q_ice_bloom_lookup(spark, sf_dir):
+    """Bloom-sidecar point lookup on a high-cardinality unordered key:
+    four doc_id-quartile commits keyed by md5(doc_id) — every file's
+    [min,max] on the hex key spans the whole keyspace, so footer stats
+    alone can never prune. The per-file Bloom (written via bloom_cols)
+    must drop at least 2 of the 4 files for an equality probe (asserted),
+    and the re-applied filter keeps the result exact. This is the
+    `conv_id = X` path at 10^12 turns: one file read, not a table scan."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("key"),
+            "lang",
+            "n_chars",
+        )
+    )
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_bloom_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            docs.where(
+                (F.col("doc_id") >= k * qsize)
+                & (F.col("doc_id") < (k + 1) * qsize)
+            ).coalesce(1),
+            bloom_cols=["key"],
+        )
+    probe = hashlib.md5(b"137").hexdigest()
+    keep, pruned = t.plan_files(("key", "=", probe))
+    assert pruned >= 2, f"bloom pruning inert: pruned={pruned}"
+    return _materialize_then_rm(t.scan(spark, ("key", "=", probe)), tmp)
+
+
+@register(
+    "ice_sorted_scan",
+    """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id >= 100 AND doc_id < 150
+""",
+)
+def q_ice_sorted_scan(spark, sf_dir):
+    """Write-order clustering + compound predicate: ONE commit of the
+    shuffled documents table written with sort_by (range partition + local
+    sort into 4 files) — per-file doc_id ranges become near-disjoint, so a
+    conjunctive range scan must prune at least 2 files from footer stats
+    that only exist because of the clustered write (asserted). Unlike
+    ice_pruned_scan the disjointness is produced by the writer, not by
+    hand-split commits — the Iceberg write-order contract."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .repartition(8)  # scatter: clustering must come from sort_by alone
+    )
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_sort_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(docs, sort_by=["doc_id"], sort_files=4)
+    pred = [("doc_id", ">=", 100), ("doc_id", "<", 150)]
+    keep, pruned = t.plan_files(pred)
+    assert pruned >= 2, f"write-order clustering inert: pruned={pruned}"
+    return _materialize_then_rm(t.scan(spark, pred), tmp)
 
 
 @register(
