@@ -213,3 +213,47 @@ def load_curated(spark: SparkSession, out_dir: str) -> DataFrame:
     if not done or not os.path.isdir(data_dir):
         raise FileNotFoundError(f"no committed curated data under {out_dir}")
     return spark.read.parquet(data_dir).where(F.col(BUCKET_COL).isin(done))
+
+
+def publish_curated(
+    spark: SparkSession,
+    out_dir: str,
+    table_path: str,
+    sort_files: int = 8,
+) -> dict:
+    """Publish the completed curation run as an IceTable snapshot — the
+    consumable "training set vN" table.
+
+    The wave-bucketed parquet under ``out_dir`` is a WRITE layout (resume
+    granularity); readers want a TABLE: one atomic version with snapshot
+    isolation, history (each publish is an overwrite commit, so corpus v1
+    remains time-travelable after v2 lands), and prunable file metadata.
+    The publish clusters on (pred_lang, doc_id) — training consumers slice
+    by language, then by id range — and writes a Bloom sidecar on doc_id so
+    single-document audits ("why is doc X in the set?") read one file, not
+    the corpus. Requires ALL buckets committed: publishing a torn run would
+    freeze a partial corpus into a version.
+    """
+    done = {e["bucket"] for e in read_manifest(out_dir) if e["status"] == "done"}
+    n_buckets = {e["n_buckets"] for e in read_manifest(out_dir) if "n_buckets" in e}
+    missing = set(range(max(n_buckets))) - done if n_buckets else set()
+    if not n_buckets or missing:
+        raise RuntimeError(
+            f"curation at {out_dir} is incomplete (missing buckets "
+            f"{sorted(missing) if n_buckets else 'all'}); resume it before publishing"
+        )
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    corpus = load_curated(spark, out_dir).drop(BUCKET_COL)
+    t = IceTable(table_path)
+    # each publish is one commit = one corpus version (v1 stays
+    # time-travelable after v2 lands); sort_by + bloom make the published
+    # files range-prunable by (pred_lang, doc_id) and point-prunable by id
+    kwargs = dict(
+        sort_by=["pred_lang", "doc_id"],
+        sort_files=sort_files,
+        bloom_cols=["doc_id"],
+    )
+    if t.snapshot()["files"]:
+        return t.overwrite(corpus, **kwargs)
+    return t.append(corpus, **kwargs)

@@ -407,15 +407,26 @@ class IceTable:
                                    "partition_by": partition_by,
                                    "sort_by": sort_by})
 
-    def overwrite(self, df: DataFrame, allow_schema_change: bool = False) -> dict:
+    def overwrite(self, df: DataFrame, allow_schema_change: bool = False,
+                  sort_by: list[str] | None = None,
+                  sort_files: int | None = None,
+                  bloom_cols: list[str] | None = None) -> dict:
         """Replace-all commit (Iceberg ``overwrite``): new snapshot lists
-        ONLY this df's files. Old files stay on disk for time travel."""
+        ONLY this df's files. Old files stay on disk for time travel.
+        ``sort_by``/``sort_files``/``bloom_cols`` as in :meth:`append`;
+        left unset, the table's previous sort order is reapplied so a
+        versioned table (e.g. publish_curated) keeps its clustering across
+        versions without every caller re-stating it."""
         prev = self.snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
         spec = prev.get("partition_by") if prev["files"] else None
-        added = self._write_data_files(df, partition_by=spec)
+        if sort_by is None and prev["files"]:
+            sort_by = prev.get("sort_by")
+        added = self._write_data_files(df, partition_by=spec,
+                                       sort_by=sort_by, sort_files=sort_files,
+                                       bloom_cols=bloom_cols)
         return self._commit("overwrite", added, added, ddl,
-                            extra={"partition_by": spec})
+                            extra={"partition_by": spec, "sort_by": sort_by})
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> dict:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite

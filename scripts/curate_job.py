@@ -36,11 +36,19 @@ def main() -> int:
         action="store_true",
         help="running under spark-submit: let its --master win",
     )
+    ap.add_argument(
+        "--publish",
+        default=None,
+        metavar="TABLE_PATH",
+        help="after completion, publish the corpus as an IceTable snapshot "
+        "(clustered on (pred_lang, doc_id), Bloom sidecar on doc_id)",
+    )
     args = ap.parse_args()
 
     from deepdoctection_spark import get_spark
     from deepdoctection_spark.jobs.curate import (
         load_curated,
+        publish_curated,
         run_resumable_curation,
     )
 
@@ -57,7 +65,7 @@ def main() -> int:
         spark, docs, args.out, n_buckets=args.n_buckets, wave_size=args.wave_size
     )
     curated = load_curated(spark, args.out).count()
-    print(json.dumps({
+    out = {
         "job_id": res.job_id,
         "decisions_reused": res.decisions_reused,
         "n_docs": res.n_docs,
@@ -66,7 +74,16 @@ def main() -> int:
         "waves": res.waves,
         "skipped_buckets": res.skipped_buckets,
         "wall_sec": round(time.time() - t0, 2),
-    }))
+    }
+    if args.publish:
+        snap = publish_curated(spark, args.out, args.publish)
+        out["published"] = {
+            "table": args.publish,
+            "seq": snap["sequence"],
+            "operation": snap["operation"],
+            "files": len(snap["files"]),
+        }
+    print(json.dumps(out))
     return 0
 
 

@@ -73,3 +73,69 @@ def test_resume_wrong_bucket_count_rejected(spark, sf_small):
         )
     with pytest.raises(ValueError, match="n_buckets"):
         run_resumable_curation(spark, docs, out, n_buckets=16)
+
+
+def test_publish_curated_snapshot(spark, sf_small, tmp_path):
+    from deepdoctection_spark.jobs.curate import publish_curated
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    out = str(tmp_path / "run")
+    tblp = str(tmp_path / "corpus_table")
+    docs = _docs(spark, sf_small)
+    run_resumable_curation(spark, docs, out, n_buckets=8, wave_size=4)
+
+    snap = publish_curated(spark, out, tblp, sort_files=4)
+    assert snap["operation"] == "append" and snap["sequence"] == 1
+    t = IceTable(tblp)
+    # published table == committed corpus, column-for-column
+    got = sorted(
+        (r["doc_id"], r["text"], r["pred_lang"], r["quality"])
+        for r in t.read(spark).collect()
+    )
+    assert got == _content(spark, out)
+    # clustering is real: a pred_lang point predicate prunes files, and the
+    # Bloom sidecar prunes a doc_id point probe
+    langs = [r["pred_lang"] for r in t.read(spark).select("pred_lang").distinct().collect()]
+    if len(langs) > 1:
+        keep, pruned = t.plan_files(("pred_lang", "=", sorted(langs)[0]))
+        assert pruned >= 1
+    some_id = got[0][0]
+    keep, pruned = t.plan_files(("doc_id", "=", some_id))
+    assert len(keep) >= 1
+    rows = t.scan(spark, ("doc_id", "=", some_id)).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == some_id
+
+
+def test_publish_versions_are_time_travelable(spark, sf_small, tmp_path):
+    from deepdoctection_spark.jobs.curate import publish_curated
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    out = str(tmp_path / "run")
+    tblp = str(tmp_path / "corpus_table")
+    docs = _docs(spark, sf_small)
+    run_resumable_curation(spark, docs, out, n_buckets=8, wave_size=4)
+    s1 = publish_curated(spark, out, tblp, sort_files=4)
+    s2 = publish_curated(spark, out, tblp, sort_files=4)  # corpus v2
+    assert (s1["sequence"], s2["sequence"]) == (1, 2)
+    assert s2["operation"] == "overwrite"
+    t = IceTable(tblp)
+    n = len(_content(spark, out))
+    # v2 is the current version; v1 remains readable by sequence
+    assert t.read(spark).count() == n
+    assert t.read(spark, seq=1).count() == n
+    # the overwrite re-applied the table's sort order (clustering persists
+    # across versions without the caller restating it)
+    assert t.snapshot()["sort_by"] == ["pred_lang", "doc_id"]
+
+
+def test_publish_rejects_torn_run(spark, sf_small, tmp_path):
+    from deepdoctection_spark.jobs.curate import publish_curated
+
+    out = str(tmp_path / "run")
+    docs = _docs(spark, sf_small)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable_curation(
+            spark, docs, out, n_buckets=8, wave_size=4, fail_after_waves=1
+        )
+    with pytest.raises(RuntimeError, match="incomplete"):
+        publish_curated(spark, out, str(tmp_path / "tbl"))
