@@ -187,6 +187,35 @@ def q_ice_merge_upsert(spark, sf_dir):
     return _materialize_then_rm(_summarize(t.read(spark)), tmp)
 
 
+def _oracle_ice_extract() -> str:
+    from deepdoctection_spark.plans import oracles
+
+    return oracles.oracle_extract_text()
+
+
+@register("ice_extract_turns", _oracle_ice_extract())
+def q_ice_extract_turns(spark, sf_dir):
+    """The north-rule input shape end-to-end: the transcripts live in an
+    ICEBERG-SEMANTICS TABLE (three append commits — a real multi-file
+    snapshot with manifests, not a parquet dir) and the extraction stage
+    (one mapInArrow, zero shuffle) runs over the snapshot read. The oracle
+    is the standard extract_text template oracle: agreement proves the
+    table machinery is transparent to the pipeline — same bytes in, same
+    extracted text + block counts out."""
+    from deepdoctection_spark.operators.extraction import extract_transcripts
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    tr = build_transcripts(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_ext_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(3):
+        t.append(tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == k))
+    out = extract_transcripts(t.read(spark)).select(
+        "conv_id", "turn_idx", "role", "tool", "extracted_text", "n_blocks"
+    )
+    return _materialize_then_rm(out, tmp)
+
+
 @register(
     "ice_bloom_lookup",
     """

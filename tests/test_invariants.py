@@ -277,3 +277,24 @@ def test_row_guard_counter_counts_drops(spark):
     out = pubtables_grids(df, counter=counter).collect()
     assert len(out) == 2  # poison rows dropped
     assert counter.value == 2  # ...and counted
+
+
+def test_extraction_over_icetable_is_narrow(spark, sf_small, tmp_path):
+    """The north-rule input shape: extraction over an Iceberg-semantics
+    snapshot read must stay shuffle-free too — the multi-file manifest read
+    is still one parquet scan feeding mapInArrow with no Exchange, so the
+    table layer costs nothing in plan shape."""
+    from deepdoctection_spark.sources.icetable import IceTable
+    from pyspark.sql import functions as F
+
+    tr = build_transcripts(spark, sf_small)
+    t = IceTable(str(tmp_path / "tbl"))
+    for k in range(3):
+        t.append(tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == k))
+    plan = (
+        extract_transcripts(t.read(spark), with_words=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
