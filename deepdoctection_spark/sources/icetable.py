@@ -149,7 +149,9 @@ def _build_bloom(values: list[str]) -> dict:
 
 
 def _bloom_may_contain(bloom: dict, value: str) -> bool:
-    bits = base64.b64decode(bloom["bits"])
+    bits = bloom["bits"]
+    if isinstance(bits, str):  # raw sidecar json (not via _load_bloom)
+        bits = base64.b64decode(bits)
     return all(
         bits[idx >> 3] & (1 << (idx & 7))
         for idx in _bloom_hashes(value, bloom["m"], bloom["k"])
@@ -317,7 +319,12 @@ class IceTable:
             cache = self._bloom_cache = {}
         if side not in cache:
             with open(os.path.join(self.meta_dir, side)) as f:
-                cache[side] = json.load(f)
+                blob = json.load(f)
+            # decode once per table handle: planning probes every candidate
+            # file's sidecar, so per-probe b64 decode would be O(files) work
+            # repeated per predicate
+            blob["bits"] = base64.b64decode(blob["bits"])
+            cache[side] = blob
         return cache[side]
 
     def _check_partition_spec(self, prev: dict,
