@@ -83,6 +83,54 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_spans(ds)
 
 
+def _oracle_conv_dedup() -> str:
+    """Conversation-level exact dedup over the EXTRACTION OUTPUT: the
+    conversation_text oracle, unioned with a copy of its md5-bucket-0 slice
+    under 'dup-' ids (the synthesized duplicates), then canonical-min
+    grouping on the text fingerprint."""
+    return f"""
+WITH conv AS ({oracles.oracle_conversation_text()}),
+corpus AS (
+  SELECT conv_id, conv_text FROM conv
+  UNION ALL
+  SELECT 'dup-' || conv_id, conv_text FROM conv
+  WHERE (('0x' || substr(md5(conv_id), 1, 2))::INT % 10) = 0
+),
+fp AS (SELECT conv_id, md5(conv_text) AS fingerprint FROM corpus)
+SELECT conv_id, fingerprint,
+       (conv_id = min(conv_id) OVER (PARTITION BY fingerprint)) AS is_kept,
+       count(*) OVER (PARTITION BY fingerprint)::BIGINT AS group_size
+FROM fp
+"""
+
+
+@register("conv_dedup_exact", _oracle_conv_dedup())
+def q_conv_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup what you EXTRACTED, not what you ingested: reassembled
+    conversation text → md5 fingerprint → canonical-min winner per group.
+    Duplicate conversations are synthesized (the md5-bucket-0 slice of the
+    transcripts re-ingested under 'dup-' conv_ids), so the collapse is real:
+    every duplicated group has size 2 and exactly one kept id. One narrow
+    extraction + the reassembly shuffle + one fingerprint window — no
+    pairwise comparison anywhere, the exact-dedup shape that holds at
+    10^12 turns."""
+    from deepdoctection_spark.sources.datasets import split_bucket
+
+    tr = build_transcripts(spark, sf_dir)
+    dup = tr.where(split_bucket(F.col("conv_id")) == 0).withColumn(
+        "conv_id", F.concat(F.lit("dup-"), F.col("conv_id"))
+    )
+    from pyspark.sql.window import Window
+
+    conv = reassemble_conversations(extract_transcripts(tr.unionByName(dup)))
+    w = Window.partitionBy("fingerprint")
+    return (
+        conv.select("conv_id", F.md5("conv_text").alias("fingerprint"))
+        .withColumn("is_kept", F.col("conv_id") == F.min("conv_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+    )
+
+
 @register("table_html", oracles.oracle_table_html())
 def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extracted(spark, sf_dir)
