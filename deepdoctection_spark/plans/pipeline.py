@@ -131,6 +131,58 @@ def q_conv_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_conv_minhash() -> str:
+    """MinHash-LSH near-dup pairs over the extraction output. Near-dups are
+    synthesized: each md5-bucket-0 conversation re-enters under an 'nd-' id
+    with its last 5 (normalized) words dropped — Jaccard stays high for any
+    conversation longer than ~25 words, so the banded join has real work."""
+    from deepdoctection_spark.plans.training_ops import _NORM, _minhash_oracle
+
+    prefix = f"""convsrc AS (
+  SELECT conv_id AS doc_id, conv_text AS text
+  FROM ({oracles.oracle_conversation_text()})
+),
+nd AS (
+  SELECT 'nd-' || doc_id AS doc_id,
+         array_to_string(ws[1:greatest(len(ws) - 5, 1)], ' ') AS text
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM convsrc)
+  WHERE (('0x' || substr(md5(doc_id), 1, 2))::INT % 10) = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM convsrc UNION ALL SELECT doc_id, text FROM nd
+),"""
+    return _minhash_oracle(source="corpus", with_prefix=prefix)
+
+
+@register("conv_dedup_minhash", _oracle_conv_minhash())
+def q_conv_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection composed onto the extraction output: the same
+    MinHash-LSH operator that runs on raw documents runs unchanged on
+    reassembled conversations — banded equi-join candidates, in-row exact
+    Jaccard verify, no pairwise scan. The synthesized 'nd-' convs (last 5
+    words dropped) give the verifier true positives to confirm."""
+    from deepdoctection_spark.operators import dedup
+    from deepdoctection_spark.operators.dedup import normalized_text
+    from deepdoctection_spark.sources.datasets import split_bucket
+
+    conv = reassemble_conversations(
+        extract_transcripts(build_transcripts(spark, sf_dir))
+    )
+    base = conv.select(
+        F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text")
+    )
+    ws = F.split(normalized_text(F.col("text")), " ")
+    nd = base.where(split_bucket(F.col("doc_id")) == 0).select(
+        F.concat(F.lit("nd-"), F.col("doc_id")).alias("doc_id"),
+        F.array_join(
+            F.slice(ws, F.lit(1), F.greatest(F.size(ws) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return dedup.minhash_lsh_pairs(
+        base.unionByName(nd), num_perm=8, bands=4, k=3, threshold=0.8
+    )
+
+
 @register("table_html", oracles.oracle_table_html())
 def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extracted(spark, sf_dir)

@@ -36,14 +36,19 @@ def _embs(spark, sf_dir):
 # explicit class == Spark side's (Java \s and RE2 \s disagree on \x0B)
 _NORM = "trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
 
-_SHINGLES_CTE = f"""
-toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+def _shingles_cte(source: str = "documents") -> str:
+    """3-shingle CTE over any (doc_id, text) source relation."""
+    return f"""
+toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM toks, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 # ---------------------------------------------------------------------------
 # dedup
@@ -127,7 +132,8 @@ def q_dedup_ngram_pruned(spark, sf_dir):
     )
 
 
-def _minhash_oracle(num_perm: int = 8, bands: int = 4) -> str:
+def _minhash_oracle(num_perm: int = 8, bands: int = 4,
+                    source: str = "documents", with_prefix: str = "") -> str:
     r = num_perm // bands
     sig_cols = ", ".join(
         f"min(('0x' || substr(md5('{j}#' || shingle), 1, 15))::BIGINT) AS sig_{j}"
@@ -140,7 +146,7 @@ def _minhash_oracle(num_perm: int = 8, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-WITH {_SHINGLES_CTE},
+WITH {with_prefix}{_shingles_cte(source)},
 sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
 banded AS ({band_selects}),
 cand AS (
