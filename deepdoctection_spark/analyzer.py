@@ -98,6 +98,56 @@ class Analyzer:
 
         return eval_coco_map(spark, gt)
 
+    # --- round-3 component surfaces ---------------------------------------
+
+    def analyze_ice(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        predicate=None,
+        seq: int | None = None,
+    ) -> DataFrame:
+        """Extraction over an Iceberg-semantics snapshot read — the
+        north-rule input shape. ``predicate`` (one (col, op, lit) triple or
+        a conjunctive list) prunes data files at the manifest (partition
+        values, Bloom sidecars, footer min/max) before Spark sees them;
+        ``seq`` time-travels to a historical snapshot."""
+        from deepdoctection_spark.sources.icetable import IceTable
+
+        t = IceTable(table_path)
+        src = t.scan(spark, predicate, seq) if predicate is not None else t.read(
+            spark, seq=seq
+        )
+        return self.analyze(src)
+
+    def dedup_conversations(
+        self, extracted: DataFrame, near: bool = False, threshold: float = 0.8
+    ) -> DataFrame:
+        """Dedup over the extraction output. Exact (default): one row per
+        reassembled conversation with (fingerprint, is_kept, group_size) —
+        a fingerprint window, no pairwise scan. ``near=True``: MinHash-LSH
+        candidate pairs verified by exact Jaccard ≥ threshold, the same
+        operator that runs on raw documents."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from deepdoctection_spark.operators import dedup
+
+        conv = self.conversations(extracted).select(
+            F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text")
+        )
+        if near:
+            return dedup.minhash_lsh_pairs(conv, threshold=threshold)
+        w = Window.partitionBy("fingerprint")
+        return (
+            conv.select(
+                "doc_id",
+                F.md5(dedup.normalized_text(F.col("text"))).alias("fingerprint"),
+            )
+            .withColumn("is_kept", F.col("doc_id") == F.min("doc_id").over(w))
+            .withColumn("group_size", F.count("*").over(w))
+        )
+
 
 def get_analyzer(
     config_overwrite: dict | None = None, with_words: bool = True

@@ -88,3 +88,42 @@ def test_gt_cache_clear_releases_blocks(spark, sf_small):
     evaluation.clear_gt_cache()
     assert not (persisted_ids() & added)  # ...and clear released them all
     assert evaluation._GT_CACHE == {}
+
+
+def test_analyze_ice_matches_parquet_input(spark, sf_small, tmp_path):
+    """Round-3 facade: extraction over an IceTable snapshot read (with a
+    manifest predicate) equals extraction over the same rows from parquet."""
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.analyzer import get_analyzer
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    an = get_analyzer(with_words=False)
+    tr = build_transcripts(spark, sf_small)
+    t = IceTable(str(tmp_path / "tbl"))
+    for k in range(2):
+        t.append(tr.where(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == k))
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"])
+        for r in an.analyze_ice(spark, str(tmp_path / "tbl"),
+                                predicate=("turn_idx", "<", 2)).collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["extracted_text"])
+        for r in an.analyze(tr.where("turn_idx < 2")).collect()
+    )
+    assert got == want and got
+
+
+def test_dedup_conversations_facade(spark, sf_small):
+    from deepdoctection_spark.analyzer import get_analyzer
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    an = get_analyzer(with_words=False)
+    ex = an.analyze(build_transcripts(spark, sf_small))
+    exact = an.dedup_conversations(ex)
+    rows = exact.collect()
+    assert rows and all(r["is_kept"] and r["group_size"] == 1 for r in rows)
+    # unique synthetic convs -> near-dup pairs empty but the plan runs
+    assert an.dedup_conversations(ex, near=True).count() == 0
