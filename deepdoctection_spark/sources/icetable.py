@@ -51,6 +51,16 @@ Semantics carried over from Iceberg:
 jobs/resumable.py keeps its wave-level manifest (per-bucket throughput
 metrics feed); IceTable is the table-level commit/lineage layer underneath
 the same two-step protocol. scripts/curate_job.py composes both.
+
+Scale note (honest boundary): per-file metadata harvest — parquet footer
+stats and Bloom sidecar construction — runs on the COMMITTING DRIVER here,
+one small column read per new file (the same shape as the footer harvest).
+That is the correct cost model for commit-sized batches (a commit touches
+its own new files only, never the table), but a production writer at
+10^12-turn scale would fold both into the executor write tasks (as
+Iceberg's writers do) so commit latency stays flat in file count. The
+READ-side contract (manifest pruning above the engine, lazy sidecar loads)
+is unchanged either way.
 """
 
 from __future__ import annotations
