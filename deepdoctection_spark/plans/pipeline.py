@@ -183,6 +183,91 @@ def q_conv_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_conv_curation() -> str:
+    """Fused keep/drop verdicts at CONVERSATION granularity: the
+    conversation_text oracle (with 'dup-' exact copies of the md5-bucket-0
+    slice) feeds the lang-id, quality, and fingerprint-dedup oracles —
+    every stage the document-level curation_decisions oracle runs, but over
+    the extraction output."""
+    from deepdoctection_spark.plans.training_ops import (
+        _NORM,
+        _lang_oracle,
+        _quality_oracle,
+    )
+
+    conv = oracles.oracle_conversation_text()
+    return f"""
+WITH corpus AS (
+  SELECT conv_id AS doc_id, conv_text AS text FROM ({conv})
+  UNION ALL
+  SELECT 'dup-' || conv_id, conv_text FROM ({conv})
+  WHERE (('0x' || substr(md5(conv_id), 1, 2))::INT % 10) = 0
+),
+lang AS (SELECT * FROM ({_lang_oracle(source="corpus")})),
+qual AS (SELECT * FROM ({_quality_oracle(source="corpus")})),
+dup AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM}))) AS dedup_kept
+  FROM corpus
+)
+SELECT d.doc_id, l.pred_lang, q.quality, d.dedup_kept,
+       (d.dedup_kept AND q.quality >= 0.5 AND l.pred_lang != 'und') AS keep,
+       CASE WHEN NOT d.dedup_kept THEN 'duplicate'
+            WHEN q.quality < 0.5 THEN 'low_quality'
+            WHEN l.pred_lang = 'und' THEN 'unknown_lang'
+            ELSE '' END AS drop_reason
+FROM dup d JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+"""
+
+
+@register("conv_curation", _oracle_conv_curation())
+def q_conv_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transcript-native capstone: extract → reassemble → lang-id ×
+    quality × exact-dedup → fused keep/drop per conversation, prioritized
+    drop reasons — the document-level curation_decisions pipeline running
+    on what the engine extracted, not on raw ingest. Every stage is hash
+    joins of per-conversation verdicts; the one wide op is the reassembly
+    shuffle the extraction already pays."""
+    from pyspark.sql.window import Window
+
+    from deepdoctection_spark.operators import dedup, textstats
+    from deepdoctection_spark.sources.datasets import split_bucket
+
+    conv = reassemble_conversations(
+        extract_transcripts(build_transcripts(spark, sf_dir))
+    )
+    base = conv.select(
+        F.col("conv_id").alias("doc_id"), F.col("conv_text").alias("text")
+    )
+    nd = base.where(split_bucket(F.col("doc_id")) == 0).select(
+        F.concat(F.lit("dup-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(nd)
+    lang = textstats.lang_id(corpus).select("doc_id", "pred_lang")
+    qual = textstats.quality_scores(corpus).select("doc_id", "quality")
+    w = Window.partitionBy(F.md5(dedup.normalized_text(F.col("text"))))
+    dupv = corpus.select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("dedup_kept")
+    )
+    keep = (
+        F.col("dedup_kept") & (F.col("quality") >= 0.5) & (F.col("pred_lang") != "und")
+    )
+    reason = (
+        F.when(~F.col("dedup_kept"), "duplicate")
+        .when(F.col("quality") < 0.5, "low_quality")
+        .when(F.col("pred_lang") == "und", "unknown_lang")
+        .otherwise("")
+    )
+    return (
+        dupv.join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id", "pred_lang", "quality", "dedup_kept",
+            keep.alias("keep"), reason.alias("drop_reason"),
+        )
+    )
+
+
 @register("table_html", oracles.oracle_table_html())
 def q_table_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _extracted(spark, sf_dir)

@@ -379,7 +379,7 @@ def q_ann_pairs_t03(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _lang_oracle() -> str:
+def _lang_oracle(source: str = "documents") -> str:
     langs = sorted(STOPWORDS)
     ratio_defs = ", ".join(
         "len(list_filter(ws, w -> list_contains(["
@@ -392,7 +392,7 @@ def _lang_oracle() -> str:
         f"WHEN r_{lang} = best AND r_{lang} >= 0.02 THEN '{lang}'" for lang in langs
     )
     return f"""
-WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length(w) > 0) AS ws FROM documents),
+WITH toks AS (SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length(w) > 0) AS ws FROM {source}),
 ratios AS (SELECT doc_id, {ratio_defs} FROM toks),
 scored AS (SELECT *, {best} AS best FROM ratios)
 SELECT doc_id, CASE {case} ELSE 'und' END AS pred_lang,
@@ -406,12 +406,11 @@ def q_lang_id(spark, sf_dir):
     return textstats.lang_id(_docs(spark, sf_dir))
 
 
-@register(
-    "quality_scores",
-    f"""
+def _quality_oracle(source: str = "documents") -> str:
+    return f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split({_NORM}, ' '), w -> length(w) > 0) AS ws, length({_NORM}) AS n_chars
-  FROM documents
+  FROM {source}
 ),
 feat AS (
   SELECT doc_id,
@@ -426,8 +425,10 @@ SELECT doc_id, n_tok::INT AS n_tokens, n_chars::INT AS n_chars_norm,
        floor((0.4 * least(n_tok / 50.0, 1.0) + 0.3 * dr +
              0.3 * (CASE WHEN avg_len >= 3 AND avg_len <= 10 THEN 1.0 ELSE 0.5 END)) * 10000 + 0.5) / 10000 AS quality
 FROM feat
-""",
-)
+"""
+
+
+@register("quality_scores", _quality_oracle())
 def q_quality(spark, sf_dir):
     return textstats.quality_scores(_docs(spark, sf_dir))
 
