@@ -210,3 +210,63 @@ def oracle_pdf_layout_spans() -> str:
         prefix = prefix + bp
     union = "\nUNION ALL\n".join(selects)
     return f"WITH base AS ({base})\n{union}"
+
+
+def oracle_session_assembly(
+    gap_s: int = 300, wm_s: int = 600,
+    stretch_every: int = 5, stretch_s: int = 600,
+) -> str:
+    """Expected output of the STREAMING session-gap assembly — the
+    previously rows-only-checked query, now value-checked.
+
+    The streaming semantics are deterministic for a bounded availableNow
+    run that ingests in one data batch (no maxFilesPerTrigger): the single
+    data batch runs at watermark 0 (accumulate only), then the final batch
+    advances the watermark to ``global_max_ts - wm_s`` and fires the
+    event-time timers — a conversation's state flushes iff its timeout
+    horizon ``conv_max_ts + gap_s`` lies strictly below that watermark
+    (millisecond space, Spark's GroupState timer comparison), and the flush
+    emits ALL its sessions, split where consecutive event times are more
+    than ``gap_s`` apart, each session's text joined by blank lines in
+    turn_idx order. All of that is plain SQL over the template ground truth:
+    ts is synthesized from doc_id (whole seconds), and the query stretches
+    it by ``stretch_s`` every ``stretch_every`` turns (mirrored here) so
+    the gap-split path is actually exercised, not vacuous."""
+    from deepdoctection_spark.sources.transcripts import EPOCH_2024
+
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+t AS (
+  SELECT conv_id, turn_idx,
+         ({EPOCH_2024}::BIGINT + doc_id * 30
+          + (turn_idx // {stretch_every}) * {stretch_s}) * 1000000 AS ts_us,
+         {_extracted_text_case()} AS text
+  FROM base
+),
+closed AS (
+  SELECT conv_id FROM t GROUP BY conv_id
+  HAVING max(ts_us) // 1000 + {gap_s * 1000}
+         < (SELECT max(ts_us) FROM t) // 1000 - {wm_s * 1000}
+),
+g AS (
+  SELECT t.*,
+         CASE WHEN ts_us - lag(ts_us) OVER (
+                PARTITION BY t.conv_id ORDER BY ts_us, turn_idx)
+              > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM t JOIN closed USING (conv_id)
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+      PARTITION BY conv_id ORDER BY ts_us, turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT conv_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_turns,
+       STRING_AGG(text, chr(10) || chr(10) ORDER BY turn_idx) AS conv_text
+FROM s
+GROUP BY conv_id, sess
+"""

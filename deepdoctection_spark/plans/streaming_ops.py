@@ -10,10 +10,13 @@ batch stand-in.
   the whole table must hash-match the template ground truth exactly like the
   batch extract_text query (ONE code path, two execution modes — the
   engine's core streaming claim, now oracle-verified).
-- stream_session_assembly has no SQL equivalent (applyInPandasWithState with
-  event-time timeouts) → registered without an oracle; the driver records
-  the weaker rows-only check, and tests/test_streaming.py carries the strong
-  semantics checks (batch-cut independence).
+- stream_session_assembly (applyInPandasWithState with event-time timeouts)
+  is value-checked too: a bounded single-data-batch availableNow run makes
+  the stateful semantics deterministic (flush-at-final-watermark +
+  gap-split), which oracle_session_assembly expresses in SQL over the
+  template ground truth — closing the registry's last rows-only cell.
+  tests/test_streaming.py additionally carries the batch-cut-independence
+  semantics checks the bounded run cannot see.
 """
 
 from __future__ import annotations
@@ -31,17 +34,21 @@ from deepdoctection_spark.streaming import stream_extract, stream_transcripts
 
 
 def _bounded_stream_run(
-    spark: SparkSession, sf_dir: str, stage_fn, complete: bool = False
+    spark: SparkSession, sf_dir: str, stage_fn, complete: bool = False,
+    pre=None,
 ) -> DataFrame:
     """Write transcripts as a multi-file dir, run `stage_fn(stream_df)` to a
     memory sink with availableNow, return the sink table. ``complete``
     selects complete output mode (whole-result aggregations: append would
-    correctly hold back windows the watermark hasn't closed)."""
+    correctly hold back windows the watermark hasn't closed). ``pre``
+    transforms the batch DataFrame before it is written (input shaping —
+    e.g. the session query's deterministic ts stretch)."""
     path = tempfile.mkdtemp(prefix="ddspark_stream_q_")
     try:
-        build_transcripts(spark, sf_dir).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(path)
+        src = build_transcripts(spark, sf_dir)
+        if pre is not None:
+            src = pre(src)
+        src.repartition(4).write.mode("overwrite").parquet(path)
         name = f"stream_q_{uuid.uuid4().hex[:8]}"
         q = (
             stage_fn(stream_transcripts(spark, path))
@@ -182,16 +189,33 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_session_assembly")  # no oracle: stateful, non-SQL-expressible
+@register("stream_session_assembly", oracles.oracle_session_assembly())
 def q_stream_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session-gap assembly with a FULL value oracle (previously
+    the registry's one rows-only cell): for a bounded single-data-batch
+    availableNow run the applyInPandasWithState semantics are deterministic
+    — a conversation flushes iff the final watermark (global max ts − 10
+    min) strictly passed its last turn's ts + gap, and the flush gap-splits
+    its turns — which oracle_session_assembly expresses in SQL over the
+    template ground truth. The input ts is stretched +600 s every 5 turns
+    (deterministically from turn_idx, mirrored in the oracle) so convs
+    actually straddle the 300 s gap and the split path is exercised."""
+    from pyspark.sql import functions as F
+
     from deepdoctection_spark.streaming.sessionize import sessionize_conversations
+
+    def stretch(df):
+        return df.withColumn(
+            "ts",
+            F.expr("timestamp_seconds(unix_seconds(ts) + (turn_idx div 5) * 600)"),
+        )
 
     def stage(stream_df):
         return sessionize_conversations(
             stream_extract(stream_df, with_words=False), gap_seconds=300
         )
 
-    return _bounded_stream_run(spark, sf_dir, stage)
+    return _bounded_stream_run(spark, sf_dir, stage, pre=stretch)
 
 
 @register("stream_ice_sink", oracles.oracle_extract_text())

@@ -402,3 +402,216 @@ def test_expire_reclaims_bloom_sidecars(spark, tbl):
     # the overwritten file's sidecar is orphaned and reclaimed
     assert res["deleted_sidecars"] == 1
     assert os.listdir(puffin) == []
+
+
+# ---------------------------------------------------------------------------
+# Manifest-list metadata layer (round 4): O(added) commits, executor-side
+# harvest, rebase-on-race, two-level planning, manifest rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_commit_metadata_is_o_added_not_o_table(spark, tbl):
+    """A 1-file append to a 120-file table must write O(1) metadata: one
+    manifest holding only the new file, and a snapshot that grows by one
+    manifest REFERENCE — never a re-serialized table file list."""
+    big = spark.range(0, 12000).selectExpr(
+        "id", "'a' AS tag", "id * 2 AS val").repartition(120)
+    tbl.append(big)  # 120 files in ONE manifest (executor-side harvest)
+    assert len(tbl.snapshot()["files"]) >= 100
+    size_after_big = os.path.getsize(tbl._snap_path(1))
+
+    tbl.append(_df(spark, 0, 5).coalesce(1))
+    snap2_path = tbl._snap_path(2)
+    with open(snap2_path) as f:
+        raw2 = json.load(f)
+    # on-disk snapshot carries manifest refs, not file entries
+    assert "files" not in raw2
+    assert len(raw2["manifests"]) == 2
+    assert len(raw2["added"]) == 1
+    # the commit's own manifest holds exactly its one file
+    with open(os.path.join(tbl.meta_dir, raw2["added_manifests"][0])) as f:
+        assert len(json.load(f)["entries"]) == 1
+    # snapshot growth = one manifest ref, nowhere near 120 file entries
+    # (a single file entry with stats serializes to ~300 bytes)
+    assert os.path.getsize(snap2_path) - size_after_big < 1500
+    # and the appended table still reads fully
+    assert tbl.read(spark).count() == 12005
+
+
+def test_executor_harvest_matches_driver_harvest_stats(spark, tbl):
+    """The >_DRIVER_HARVEST_MAX executor harvest path must produce the same
+    manifest stats the driver path does: footer min/max prune on a 120-file
+    commit exactly as on single-file commits."""
+    df = spark.range(0, 12000).selectExpr("id", "id * 2 AS val")
+    tbl.append(df.repartitionByRange(120, "id").sortWithinPartitions("id"))
+    keep, pruned = tbl.plan_files(("id", "<", 100))
+    assert pruned >= 110  # near-disjoint ranges: almost all files pruned
+    assert tbl.scan(spark, ("id", "<", 100)).count() == 100
+
+
+def test_append_race_rebases_on_winner_without_losing_files(spark, tbl,
+                                                            monkeypatch):
+    """Lost-update regression: a loser that retries after a concurrent
+    append wins must carry the WINNER's manifests, not the stale parent's
+    (the pre-fix code re-committed the file list computed before the race,
+    silently dropping the winner's rows)."""
+    tbl.append(_df(spark, 0, 10))          # seq 1
+    tbl.append(_df(spark, 10, 30, tag="winner"))  # seq 2: the racing winner
+    real = tbl.current_seq
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real()
+
+    # loser resolves seq 1 first (stale view), loses the CAS for seq 2,
+    # retries, and must rebuild its manifest list on top of seq 2
+    monkeypatch.setattr(tbl, "current_seq", stale_once)
+    snap = tbl.append(_df(spark, 30, 35, tag="loser"))
+    assert snap["sequence"] == 3
+    got = tbl.read(spark)
+    assert got.count() == 35  # 10 + 20 (winner's rows survive) + 5
+    assert got.where("tag = 'winner'").count() == 20
+
+
+def test_row_level_op_race_raises_commit_conflict(spark, tbl, monkeypatch):
+    """delete/merge plan their rewrite against a specific parent; a lost
+    commit race must surface as CommitConflict, never a silent rebase that
+    could resurrect deleted rows."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.append(_df(spark, 100, 200).coalesce(1))  # seq 2 = racing winner
+    monkeypatch.setattr(tbl, "current_seq", lambda: 1)
+    with pytest.raises(CommitConflict, match="re-plan"):
+        tbl.delete_where(spark, ("id", "<", 50))
+
+
+def test_nested_type_schema_evolution(spark, tbl):
+    """Add-only evolution on a table with nested columns: the DDL diff must
+    split on depth-0 commas only (struct<a:int,b:string> would break a
+    naive split)."""
+    df = spark.sql(
+        "SELECT id, named_struct('a', id, 'b', CAST(id AS STRING)) AS s, "
+        "map('k', id) AS m FROM range(10)")
+    tbl.append(df)
+    wider = spark.sql(
+        "SELECT id, named_struct('a', id, 'b', CAST(id AS STRING)) AS s, "
+        "map('k', id) AS m, CAST(1 AS INT) AS extra FROM range(10, 20)")
+    tbl.append(wider, allow_schema_change=True)
+    assert "extra" in tbl.read(spark).columns
+    assert tbl.read(spark).count() == 20
+    mutated = spark.sql(
+        "SELECT id, named_struct('a', CAST(id AS STRING)) AS s, "
+        "map('k', id) AS m FROM range(5)")
+    with pytest.raises(ValueError, match="ADD columns"):
+        tbl.append(mutated, allow_schema_change=True)
+
+
+def test_quote_bearing_string_predicates(spark, tbl):
+    """Predicates are Column expressions, not SQL splicing: literals with
+    quotes must scan and delete correctly."""
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, \"o'brien\"), (2, 'plain'), "
+        "(3, 'al\"so') AS t(id, tag)")
+    tbl.append(df.coalesce(1))
+    got = tbl.scan(spark, ("tag", "=", "o'brien")).collect()
+    assert len(got) == 1 and got[0]["id"] == 1
+    tbl.delete_where(spark, ("tag", "=", 'al"so'))
+    assert sorted(r["tag"] for r in tbl.read(spark).collect()) == [
+        "o'brien", "plain"]
+
+
+def test_compound_key_merge_prunes_on_every_key_column(spark, tbl):
+    """Two-key merge: file B overlaps the source on key[0] but is disjoint
+    on key[1] — the compound intersection must carry it (the key[0]-only
+    plan would rewrite it)."""
+    file_a = spark.sql(
+        "SELECT id AS k1, id AS k2, 'a' AS tag FROM range(0, 100)")
+    file_b = spark.sql(
+        "SELECT id AS k1, id + 1000 AS k2, 'b' AS tag FROM range(0, 100)")
+    tbl.append(file_a.coalesce(1))
+    tbl.append(file_b.coalesce(1))
+    src = spark.sql(
+        "SELECT id AS k1, id AS k2, 'upd' AS tag FROM range(10, 20)")
+    snap = tbl.merge_upsert(spark, src, ["k1", "k2"])
+    # k1 spans overlap for BOTH files; k2 [1000,1099] is disjoint from
+    # source k2 [10,19] -> file B carried by the second key column alone
+    assert snap["carried_files"] == 1 and snap["rewrote_files"] == 1
+    rows = {(r["k1"], r["k2"]): r["tag"] for r in tbl.read(spark).collect()}
+    assert rows[(15, 15)] == "upd" and rows[(15, 1015)] == "b"
+    assert len(rows) == 200
+
+
+def test_merge_with_temporal_key_column(spark, tbl):
+    """Date/timestamp merge keys: footer stats store ISO strings; the
+    source's min/max arrive as datetime objects and must compare in the
+    same space instead of raising TypeError."""
+    df = spark.sql(
+        "SELECT DATE'2024-01-01' + CAST(id AS INT) AS d, id AS v "
+        "FROM range(0, 10)")
+    tbl.append(df.coalesce(1))
+    far = spark.sql(
+        "SELECT DATE'2030-01-01' + CAST(id AS INT) AS d, id + 100 AS v "
+        "FROM range(0, 5)")
+    snap = tbl.merge_upsert(spark, far, "d")  # disjoint: pure insert
+    assert snap["carried_files"] == 1 and snap["rewrote_files"] == 0
+    assert tbl.read(spark).count() == 15
+    upd = spark.sql(
+        "SELECT DATE'2024-01-03' AS d, CAST(999 AS BIGINT) AS v")
+    tbl.merge_upsert(spark, upd, "d")
+    rows = {str(r["d"]): r["v"] for r in tbl.read(spark).collect()}
+    assert rows["2024-01-03"] == 999 and len(rows) == 15
+
+
+def test_manifest_level_pruning_never_loads_pruned_manifests(spark, tbl,
+                                                             monkeypatch):
+    """Two-level planning: a predicate excluded by the manifest-list
+    aggregates must prune the whole manifest WITHOUT reading its entries —
+    at 10^6 files this is what keeps planning off the metadata floor."""
+    for lo in (0, 1000, 2000):
+        tbl.append(_df(spark, lo, lo + 100).coalesce(1))
+    loads = []
+    real_load = tbl._load_manifest
+
+    def counting_load(path):
+        loads.append(path)
+        return real_load(path)
+
+    monkeypatch.setattr(tbl, "_load_manifest", counting_load)
+    detail = tbl.plan(("id", ">=", 2000))
+    assert detail["pruned_manifests"] == 2
+    assert detail["scanned_manifests"] == 1
+    assert len(loads) == 1  # pruned manifests were never opened
+    assert len(detail["files"]) == 1
+
+
+def test_rewrite_manifests_compacts_metadata_only(spark, tbl):
+    """Manifest-list compaction: N appends -> N manifest refs; one
+    rewrite-manifests commit folds them into one with data untouched, and
+    incremental consumers skip it (no rows re-delivered)."""
+    for lo in (0, 100, 200, 300):
+        tbl.append(_df(spark, lo, lo + 100).coalesce(1))
+    assert len(tbl._raw_snapshot()["manifests"]) == 4
+    snap = tbl.rewrite_manifests()
+    assert snap["operation"] == "rewrite-manifests"
+    assert len(tbl._raw_snapshot()["manifests"]) == 1
+    assert tbl.read(spark).count() == 400
+    assert sorted(r["id"] for r in tbl.read(spark).collect()) == list(
+        range(400))
+    # metadata-only: no data files added, incremental read sees nothing new
+    assert tbl.read_incremental(spark, after_seq=4).count() == 0
+    # planning still prunes on the folded manifest's file entries
+    keep, pruned = tbl.plan_files(("id", ">=", 300))
+    assert pruned == 3
+
+
+def test_expire_reclaims_orphaned_manifests(spark, tbl):
+    tbl.append(_df(spark, 0, 10).coalesce(1))
+    tbl.overwrite(_df(spark, 10, 20, tag="ow"))
+    n_manifests = sum(
+        fn.startswith("manifest-") for fn in os.listdir(tbl.meta_dir))
+    assert n_manifests == 2
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["deleted_manifests"] == 1
+    assert sum(
+        fn.startswith("manifest-") for fn in os.listdir(tbl.meta_dir)) == 1
+    assert tbl.read(spark).count() == 10
