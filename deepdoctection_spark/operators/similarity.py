@@ -265,9 +265,10 @@ def ivf_search(
 ) -> DataFrame:
     """ANN top-k: probe the `probes` nearest inverted lists per query, exact
     cosine only within them. At 10^9 vectors this replaces the full cross
-    product with (corpus/n_clusters)·probes candidates per query — the scan
-    prunes to probed clusters (partition the corpus table by `cluster` on
-    write and the pruning is physical).
+    product with (corpus/n_clusters)·probes candidates per query. The probe
+    pruning here is logical (a filter after the scan); for the PHYSICAL
+    version — only probed partitions' files ever opened — build the index
+    with :func:`ivf_build_index` and search with :func:`ivf_search_pruned`.
 
     ``centroids`` plugs in the TRAINED quantizer (train_ivf_centroids);
     default is the sampled seed."""
@@ -345,4 +346,118 @@ def ivf_kmeans_step(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
             / F.count("*")
         ).alias("centroid_val"),
         F.count("*").cast("long").alias("n_members"),
+    )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    table_path: str,
+    n_clusters: int = IVF_K,
+    centroids: DataFrame | None = None,
+):
+    """Materialize the IVF index PHYSICALLY: assign every corpus vector to
+    its nearest coarse centroid and write (vec_id, cluster, embedding) as an
+    IceTable identity-partitioned by ``cluster`` (Hive-layout files, one
+    partition per inverted list; the manifest records each file's cluster).
+
+    This closes the logical/physical gap noted in :func:`ivf_search`'s
+    docstring: with the corpus partitioned by cluster on write, probe
+    pruning stops being a post-scan filter and becomes file planning —
+    :func:`ivf_search_pruned` opens ONLY the probed partitions' files. At
+    10^9 vectors × 4096 lists × 8 probes that is the difference between
+    reading the whole corpus and reading ~0.2% of it, before Spark ever
+    schedules a task (reference analogue: the served-model predictor slot,
+    /root/reference/deepdoctection/extern/base.py:118-439 — train once,
+    serve the artifact; here the artifact is the partitioned table +
+    centroid model).
+
+    Returns the committed :class:`IceTable`. One broadcast-assign pass +
+    one hash partition write; the cluster column is INT so partition-dir
+    values round-trip exactly.
+    """
+    from deepdoctection_spark.sources.icetable import IceTable
+
+    cents = (
+        centroids if centroids is not None else ivf_centroids(embeddings, n_clusters)
+    )
+    assign = ivf_assign(embeddings, n_clusters, centroids=cents)
+    corpus = embeddings.join(assign, "vec_id").select(
+        "vec_id", "cluster", "embedding"
+    )
+    table = IceTable(table_path)
+    table.append(corpus, partition_by="cluster")
+    return table
+
+
+def ivf_search_pruned(
+    table,
+    queries: DataFrame,
+    k: int = 5,
+    probes: int = IVF_PROBES,
+    centroids: DataFrame | None = None,
+    round_to: int = 5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """ANN top-k over a :func:`ivf_build_index` table with PHYSICAL probe
+    pruning: the probed (query, cluster) pairs are model-sized (n_queries ×
+    probes ints, collected like MLlib model parameters), their cluster set
+    becomes an IceTable ``("cluster", "in", …)`` scan predicate, and
+    ``plan_files`` drops every non-probed partition's files from the scan
+    before Spark opens anything — manifest-level pruning, not a filter.
+
+    ``queries`` = (query_id, qemb array<double>); ``centroids`` = the
+    trained/seed quantizer (cluster, cemb) — REQUIRED, the index was built
+    against it. ``stats`` (optional dict) receives the plan detail
+    {'probed_clusters', 'scanned_files', 'pruned_files'} so callers can
+    assert the pruning actually happened. Results are EXACTLY those of
+    :func:`ivf_search` with the same centroids: candidates are the probed
+    clusters' members either way; only the I/O differs.
+    """
+    from pyspark.sql.window import Window
+
+    if centroids is None:
+        raise ValueError("ivf_search_pruned requires the index's centroids")
+    spark = queries.sparkSession
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdist2"), F.col("cluster"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "cluster",
+            _l2sq(F.col("qemb"), F.col("cemb")).alias("qdist2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= probes)
+        .select("query_id", "cluster")
+    )
+    pairs = [(int(r["query_id"]), int(r["cluster"])) for r in probed.collect()]
+    clusters = sorted({c for _, c in pairs})
+
+    plan = table.plan(("cluster", "in", clusters))
+    if stats is not None:
+        stats.update(
+            probed_clusters=len(clusters),
+            scanned_files=len(plan["files"]),
+            pruned_files=plan["pruned_files"],
+        )
+    corpus = table.scan(spark, ("cluster", "in", clusters)).select(
+        "vec_id", "cluster", as_double(F.col("embedding")).alias("emb")
+    )
+    probed_df = spark.createDataFrame(pairs, "query_id bigint, cluster int")
+    cand = corpus.join(F.broadcast(probed_df), "cluster").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qemb"), F.col("emb")), round_to).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+        )
     )

@@ -11,6 +11,8 @@ hash-derivations) against a single-node ground truth.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from deepdoctection_spark.operators import dedup, similarity, textstats
 from deepdoctection_spark.operators.similarity import ANN_NUM_PLANES, hyperplanes
 from deepdoctection_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
@@ -622,6 +624,71 @@ def q_ann_ivf_search_trained(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     cents = similarity.train_ivf_centroids(embs, rounds=2)
     return similarity.ivf_search(embs, n_queries=10, k=5, centroids=cents)
+
+
+@register(
+    "ann_ivf_search_pruned",
+    f"""
+WITH {_EMB_BASE},
+{_IVF_ASSIGN_CTE},
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 4),
+probed AS (
+  SELECT query_id, qemb, cluster FROM (
+    SELECT q.query_id, q.qemb, c.cluster, {_IVF_QDIST} AS qdist2,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {_IVF_QDIST}, c.cluster) AS rn
+    FROM q, cents c
+  ) WHERE rn <= {similarity.IVF_PROBES}
+),
+cand AS (
+  SELECT p.query_id, p.qemb, a.vec_id
+  FROM probed p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+),
+qscored AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_dot_product(c.qemb, b.emb) /
+               (sqrt(list_dot_product(c.qemb, c.qemb)) * sqrt(list_dot_product(b.emb, b.emb))), 5) AS cosine_sim
+  FROM cand c JOIN base b ON b.vec_id = c.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM qscored
+) WHERE rank <= 5
+""",
+)
+def q_ann_ivf_search_pruned(spark, sf_dir):
+    """IVF search with PHYSICAL probe pruning (the round-3 open claim at
+    similarity.py ivf_search: 'partition the corpus by cluster on write and
+    the pruning is physical' — now demonstrated, not asserted): the corpus
+    is written as an IceTable identity-partitioned by cluster
+    (ivf_build_index), the probed cluster set becomes a ("cluster","in",…)
+    scan predicate, and plan_files drops non-probed partitions' files before
+    Spark opens anything. The query RAISES unless at least one file was
+    pruned and at least one cluster was left unprobed, so this oracle row
+    being green certifies the pruning itself, while the oracle — identical
+    SQL to ann_ivf_search (over 4 queries) — certifies that physical
+    pruning changed the I/O and nothing else."""
+    import shutil
+    import tempfile
+
+    embs = _embs(spark, sf_dir)
+    cents = similarity.ivf_centroids(embs)  # sampled seed = oracle's cents CTE
+    queries = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qemb"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ddspark_ivf_idx_")
+    try:
+        table = similarity.ivf_build_index(embs, f"{tmp}/ivf", centroids=cents)
+        stats: dict = {}
+        out = similarity.ivf_search_pruned(
+            table, queries, k=5, centroids=cents, stats=stats
+        ).localCheckpoint(eager=True)
+        if stats["pruned_files"] == 0 or stats["probed_clusters"] >= similarity.IVF_K:
+            raise RuntimeError(f"physical pruning did not engage: {stats}")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @register(

@@ -287,17 +287,24 @@ def _pred_column(col: str, op: str, lit):
     """Predicate as a Column expression — never SQL-string splicing, so
     quote-bearing string literals and reserved-word columns are safe."""
     c = F.col(col)
+    if op == "in":
+        return c.isin(list(lit))
     return {"=": c == F.lit(lit), "<": c < F.lit(lit), "<=": c <= F.lit(lit),
             ">": c > F.lit(lit), ">=": c >= F.lit(lit)}[op]
 
 
 def _norm_lit(lit):
     """Predicate literal in stats space: date/datetime → ISO string, the
-    same canonicalization _file_stats applies to footer min/max."""
+    same canonicalization _file_stats applies to footer min/max. An ``in``
+    value list normalizes element-wise."""
+    if isinstance(lit, (list, tuple, set, frozenset)):
+        return [v.isoformat() if hasattr(v, "isoformat") else v for v in lit]
     return lit.isoformat() if hasattr(lit, "isoformat") else lit
 
 
 def _range_may_match(mn, mx, op, lit) -> bool:
+    if op == "in":
+        return any(mn <= v <= mx for v in lit)
     return {"=": mn <= lit <= mx,
             "<": mn < lit, "<=": mn <= lit,
             ">": mx > lit, ">=": mx >= lit}[op]
@@ -1062,6 +1069,8 @@ class IceTable:
         if col in parts:
             if op == "=" and str(lit) not in parts[col]:
                 return False
+            if op == "in" and not {str(v) for v in lit} & set(parts[col]):
+                return False
             return True
         s = (ref.get("stats") or {}).get(col)
         if s is None:
@@ -1076,15 +1085,25 @@ class IceTable:
         col, op, lit = predicate
         part = f.get("partition") or {}
         if col in part:
-            # identity-partition pruning: exact string match only; range ops
+            # identity-partition pruning: exact (set-)match only; range ops
             # on the dir-string would be lexicographic lies for numeric
             # values, so they conservatively keep the file
-            return not (op == "=" and part[col] != str(lit))
+            if op == "=":
+                return part[col] == str(lit)
+            if op == "in":
+                return part[col] in {str(v) for v in lit}
+            return True
         if op == "=":
             side = (f.get("bloom") or {}).get(col)
             if side is not None and not _bloom_may_contain(
                     self._load_bloom(side), str(lit)):
                 return False  # definite miss: no false negatives
+        elif op == "in":
+            side = (f.get("bloom") or {}).get(col)
+            if side is not None and not any(
+                    _bloom_may_contain(self._load_bloom(side), str(v))
+                    for v in lit):
+                return False
         s = f["stats"].get(col)
         if s is None:
             return True
@@ -1125,9 +1144,9 @@ class IceTable:
     def plan_files(self, predicate=None,
                    seq: int | None = None) -> tuple[list[dict], int]:
         """Manifest-level scan planning: (surviving files, pruned count).
-        ``predicate`` = (column, op, literal) with op in =, <, <=, >, >= —
-        or a LIST of such triples, conjunctive (a file survives only if it
-        may match EVERY predicate). Conservative: a file with no stats for a
+        ``predicate`` = (column, op, literal) with op in =, <, <=, >, >=,
+        in (literal = a value list) — or a LIST of such triples, conjunctive
+        (a file survives only if it may match EVERY predicate). Conservative: a file with no stats for a
         column always survives that predicate. See :meth:`plan` for the
         manifest-level pruning detail."""
         p = self.plan(predicate, seq)

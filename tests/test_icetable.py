@@ -615,3 +615,35 @@ def test_expire_reclaims_orphaned_manifests(spark, tbl):
     assert sum(
         fn.startswith("manifest-") for fn in os.listdir(tbl.meta_dir)) == 1
     assert tbl.read(spark).count() == 10
+
+
+def test_in_predicate_partition_and_stats_pruning(spark, tbl):
+    # partitioned table: one Hive dir per tag
+    df = spark.range(0, 90).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS tag", "id * 2 AS val")
+    tbl.append(df, partition_by="tag")
+    plan = tbl.plan(("tag", "in", ["0", "2"]))
+    assert plan["pruned_files"] > 0  # tag=1 partition never opened
+    got = tbl.scan(spark, ("tag", "in", ["0", "2"]))
+    assert got.count() == 60
+    assert set(r["tag"] for r in got.select("tag").distinct().collect()) == {"0", "2"}
+    # stats-level IN on an unpartitioned numeric column
+    t2 = IceTable(tbl.path + "_stats")
+    for lo in (0, 100, 200):
+        t2.append(spark.range(lo, lo + 50).coalesce(1)
+                  .selectExpr("id", "id * 2 AS val"))
+    plan2 = t2.plan(("id", "in", [5, 7]))
+    assert plan2["pruned_files"] == 2  # files [100,150) and [200,250) excluded
+    assert t2.scan(spark, ("id", "in", [5, 7])).count() == 2
+
+
+def test_in_predicate_bloom_pruning(spark, tbl):
+    for tag in ("alpha", "beta", "gamma"):
+        tbl.append(
+            spark.range(0, 20).selectExpr("id", f"'{tag}' AS tag"),
+            bloom_cols=["tag"],
+        )
+    plan = tbl.plan(("tag", "in", ["alpha", "nosuch"]))
+    # min/max can't split single-value files apart, Bloom can
+    assert plan["pruned_files"] >= 2
+    assert tbl.scan(spark, ("tag", "in", ["alpha", "nosuch"])).count() == 20

@@ -67,3 +67,33 @@ def test_trained_search_shape(embs):
         # with probes=1 on separated blobs, neighbors share the query's parity
         for r in rs:
             assert r["vec_id"] % 2 == q % 2
+
+
+def test_physical_pruning_matches_logical_search(embs, tmp_path):
+    """ivf_search_pruned over a cluster-partitioned IceTable returns exactly
+    ivf_search's rows with the same centroids, and the plan proves files
+    were pruned (the similarity.py:270 claim, demonstrated)."""
+    cents = similarity.train_ivf_centroids(embs, k=4, rounds=2)
+    table = similarity.ivf_build_index(
+        embs, str(tmp_path / "ivf"), n_clusters=4, centroids=cents)
+    spark = embs.sparkSession
+    from pyspark.sql import functions as F
+
+    queries = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qemb"),
+    )
+    stats: dict = {}
+    pruned = similarity.ivf_search_pruned(
+        table, queries, k=3, probes=1, centroids=cents, stats=stats)
+    logical = similarity.ivf_search(
+        embs, n_queries=3, k=3, probes=1, n_clusters=4, centroids=cents)
+    assert stats["pruned_files"] > 0 and stats["probed_clusters"] < 4
+    a = sorted(map(tuple, pruned.collect()))
+    b = sorted(map(tuple, logical.collect()))
+    assert a == b
+
+
+def test_pruned_search_requires_centroids(embs, tmp_path):
+    with pytest.raises(ValueError):
+        similarity.ivf_search_pruned(None, embs, centroids=None)
