@@ -81,14 +81,12 @@ def extract_turn(
     if text is None:
         return []
     if tool == "browser" or (tool not in ("pdf_reader",) and looks_like_html(text)):
-        return [
-            Block(b.category, b.text, b.cells)
-            for b in extract_blocks(
-                text, link_density_threshold, tag_density_threshold
-            )
-        ]
+        # HtmlBlock is duck-compatible with Block (category/text/cells) —
+        # re-wrapping every block in a second dataclass was pure alloc churn
+        return extract_blocks(text, link_density_threshold, tag_density_threshold)
     if tool == "pdf_reader" or looks_like_layout(text):
-        return [Block(b.category, b.text) for b in extract_layout_blocks(text, column_gap)]
+        # LayoutBlock carries category/text and an empty shared .cells
+        return extract_layout_blocks(text, column_gap)
     norm = normalize_ws(text)
     return [Block("text", norm)] if norm else []
 

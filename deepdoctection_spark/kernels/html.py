@@ -62,7 +62,7 @@ _NO_ATTRS: types.MappingProxyType = types.MappingProxyType({})
 
 
 class Node:
-    __slots__ = ("tag", "text", "attrs", "children")
+    __slots__ = ("tag", "text", "children", "_attrs", "_raw")
 
     def __init__(
         self,
@@ -70,11 +70,34 @@ class Node:
         text: str = "",
         attrs: dict | None = None,
         children: list | None = None,
+        _raw: str | None = None,
     ):
         self.tag = tag
         self.text = text
-        self.attrs = _NO_ATTRS if attrs is None else attrs
+        self._attrs = attrs
+        self._raw = _raw
         self.children = [] if children is None else children
+
+    @property
+    def attrs(self) -> dict:
+        """Attribute dict, decoded LAZILY from the raw tag tail on first
+        access. Only td/th (row/col spans) and TEDS ever read attrs, so the
+        parse-time findall + dict build for every nav anchor / id'd div was
+        pure waste in the hot path — the raw substring is kept instead and
+        decoded here once, memoized. Value semantics are unchanged
+        (lowercased names, quote-strip, entity decode gated on '&')."""
+        a = self._attrs
+        if a is None:
+            raw = self._raw
+            if raw:
+                a = {
+                    k.lower(): (
+                        _unescape(sv) if "&" in (sv := v.strip("\"'")) else sv
+                    )
+                    for k, v in _ATTR_RE.findall(raw)
+                }
+            self._attrs = a = a or _NO_ATTRS
+        return a
 
     def __repr__(self) -> str:  # debugging parity with the old dataclass
         return f"Node(tag={self.tag!r}, text={self.text!r}, children={len(self.children)})"
@@ -133,17 +156,12 @@ def parse_html(html: str) -> Node:
                     top = stack[-1]
                     break
             continue
-        attrs = (
-            {
-                k.lower(): (
-                    _unescape(sv) if "&" in (sv := v.strip("\"'")) else sv
-                )
-                for k, v in _ATTR_RE.findall(rawattrs)
-            }
-            if rawattrs and "=" in rawattrs
-            else None  # shared empty dict inside Node — no per-node alloc
-        )
-        node = Node(tag, attrs=attrs)
+        # attrs stay RAW here (decoded lazily by Node.attrs on first access);
+        # tags with no '=' share the empty mapping with no per-node alloc
+        if rawattrs and "=" in rawattrs:
+            node = Node(tag, _raw=rawattrs)
+        else:
+            node = Node(tag, attrs=_NO_ATTRS)
         if tag in _SKIP_CONTENT:
             close = html.find(f"</{tag}", pos)
             if close < 0:
@@ -166,7 +184,7 @@ def parse_html(html: str) -> Node:
     return root
 
 
-def _gather_text(node: Node) -> tuple[str, int, int, int]:
+def _gather_text(node: Node, want_text: bool = True) -> tuple[str, int, int, int]:
     """(normalized_text, total_chars, link_chars, tag_count) for a subtree —
     link_chars counts text under <a> descendants (the readability
     link-density numerator) and tag_count counts descendant ELEMENT nodes
@@ -176,47 +194,67 @@ def _gather_text(node: Node) -> tuple[str, int, int, int]:
     text-node boundaries when no whitespace separates them ('<b>a</b>x' →
     'ax'), whitespace runs and blockish-subtree boundaries become single
     spaces, and the result is stripped. One pass replaces the old
-    gather-raw-then-regex-normalize double scan."""
+    gather-raw-then-regex-normalize double scan.
+
+    Iterative (explicit stack, post-order markers for blockish word
+    boundaries): the recursive-closure version spent ~40% of its time on
+    frame setup/nonlocal cells at ~50 visits per document. ``want_text=False``
+    skips word-list accumulation for callers that only need the density
+    stats (list/table blocks, whose text is assembled separately) — the
+    counters are unchanged, the join is skipped.
+    Property-tested equivalent to a recursive reference walk
+    (tests/test_property.py::test_fused_gather_matches_reference)."""
     words: list[str] = []
     total = 0
     linked = 0
     tags = 0
     open_word = False  # last emitted chunk ended mid-word (no trailing ws)
-
-    def rec(nd: Node, in_link: bool) -> None:
-        nonlocal total, linked, tags, open_word
-        if nd.tag == "":
+    split = _WS_RE.split
+    append_words = words.extend
+    # stack entries: (node, in_link); None node = blockish post-order marker
+    stack = [(node, False)]
+    pop = stack.pop
+    push = stack.append
+    while stack:
+        nd, in_link = pop()
+        if nd is None:
+            open_word = False  # blockish subtree edge = word boundary
+            continue
+        tag = nd.tag
+        if tag == "":
             # split on the SAME ASCII whitespace class normalize_ws collapses
             # (str.split() would also split on Unicode whitespace like \xa0
             # that _WS_RE deliberately keeps inside words); empty first/last
             # pieces mark boundary whitespace
-            pieces = _WS_RE.split(nd.text)
+            pieces = split(nd.text)
             ws = [w for w in pieces if w]
-            stripped = sum(map(len, ws)) + max(0, len(ws) - 1)
-            total += stripped
-            if in_link:
-                linked += stripped
             if not ws:
                 if len(pieces) > 1:  # pure-whitespace node: word boundary
                     open_word = False
-                return
-            start = 0
-            if open_word and pieces[0] and words:
-                words[-1] += ws[0]  # continue the word across the node seam
-                start = 1
-            words.extend(ws[start:])
+                continue
+            stripped = sum(map(len, ws)) + len(ws) - 1
+            total += stripped
+            if in_link:
+                linked += stripped
+            if want_text:
+                start = 0
+                if open_word and pieces[0] and words:
+                    words[-1] += ws[0]  # continue the word across the seam
+                    start = 1
+                append_words(ws[start:])
             open_word = bool(pieces[-1])
-            return
+            continue
         tags += 1
-        for c in nd.children:
-            rec(c, in_link or nd.tag == "a")
-        if nd.tag in _BLOCKISH:
-            open_word = False  # blockish subtree edge = word boundary
-
-    rec(node, False)
-    # rec counted `node` itself; tag_count is DESCENDANT elements only, so a
-    # plain-text <p> scores 0 and can never trip the tag-density filter.
-    return " ".join(words), total, linked, tags - 1
+        child_link = in_link or tag == "a"
+        if tag in _BLOCKISH:
+            push((None, False))  # fires AFTER the children (LIFO)
+        ch = nd.children
+        if ch:
+            for i in range(len(ch) - 1, -1, -1):
+                push((ch[i], child_link))
+    # the loop counted `node` itself; tag_count is DESCENDANT elements only,
+    # so a plain-text <p> scores 0 and can never trip the tag-density filter.
+    return (" ".join(words) if want_text else ""), total, linked, tags - 1
 
 
 def _has_block_child(node: Node) -> bool:
@@ -261,8 +299,9 @@ def extract_blocks(
     ) -> None:
         """One subtree walk serves both the density filters and (when `text`
         is None) the block text itself — the subtree is never gathered
-        twice."""
-        norm, total, linked, tags = _gather_text(node)
+        twice. When `text` is pre-assembled (list/table), the gather runs
+        stats-only (no word-list build)."""
+        norm, total, linked, tags = _gather_text(node, want_text=text is None)
         if total == 0:
             return
         if linked / total > link_density_threshold:

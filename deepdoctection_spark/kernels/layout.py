@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from typing import ClassVar
 
 from deepdoctection_spark.kernels.textnorm import normalize_ws
 
@@ -38,6 +39,11 @@ class LayoutBlock:
     category: str  # title | text
     text: str
     lines: list[PositionedLine] = field(default_factory=list)
+
+    # duck-compat with kernels.extract.Block: layout blocks never carry table
+    # cells; a shared immutable empty tuple (ClassVar — not a dataclass
+    # field) serves every instance with zero alloc
+    cells: ClassVar[tuple] = ()
 
 
 def parse_positioned_lines(payload: str) -> list[PositionedLine]:
@@ -81,7 +87,13 @@ def make_sub_lines(
         row = sorted(by_y[y], key=lambda r: r.x)
         cur: list[PositionedLine] = [row[0]]
         for prev, nxt in zip(row, row[1:]):
-            prev_end = prev.x + char_width * len(normalize_ws(prev.content))
+            # char_width == 0.0 (the text wire format's start-to-start mode)
+            # makes the normalize_ws(len) term vanish — skip the normalize
+            prev_end = (
+                prev.x + char_width * len(normalize_ws(prev.content))
+                if char_width
+                else prev.x
+            )
             if nxt.x - prev_end < paragraph_break:
                 cur.append(nxt)
             else:

@@ -40,8 +40,11 @@ MAX_SPAN = 256
 
 
 def _int_attr(attrs: dict, name: str, default: int = 1) -> int:
+    v = attrs.get(name)
+    if v is None:  # the common case: span-less cell — skip str/int churn
+        return default
     try:
-        v = int(str(attrs.get(name, default)).strip() or default)
+        v = int(str(v).strip() or default)
         return min(max(v, 1), MAX_SPAN)
     except (TypeError, ValueError):
         return default
