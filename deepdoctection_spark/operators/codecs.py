@@ -224,13 +224,15 @@ def _gif_decode(raw: bytes) -> np.ndarray:
 
 
 def _jpeg_decode(raw: bytes) -> np.ndarray:
-    """Baseline grayscale via the stdlib codec (kernels/jpeg.py — real
-    Huffman + IDCT); color/progressive fall through to Pillow when it's
-    installed, else quarantine."""
+    """Baseline grayscale + YCbCr 4:4:4/4:2:0 color via the stdlib codec
+    (kernels/jpeg.py — real Huffman + IDCT + chroma upsample + BT.601);
+    progressive/4:2:2/CMYK fall through to Pillow when it's installed,
+    else quarantine."""
     from deepdoctection_spark.kernels.jpeg import jpeg_decode
 
     try:
-        return jpeg_decode(raw)[:, :, None]  # (h, w, 1)
+        a = jpeg_decode(raw)
+        return a if a.ndim == 3 else a[:, :, None]  # (h, w, c)
     except ValueError:
         if _PILImage is not None:  # pragma: no cover - absent in container
             return _pil_decode(raw)
@@ -241,7 +243,7 @@ IMAGE_DECODERS: dict[bytes, Callable[[bytes], np.ndarray]] = {
     b"FIMG": _fimg_decode,
     b"\x89PNG": png_decode,  # stdlib — real codec, always available
     b"GIF8": _gif_decode,  # stdlib — real LZW palette codec (kernels/gif.py)
-    b"\xff\xd8\xff": _jpeg_decode,  # stdlib grayscale baseline; PIL for color
+    b"\xff\xd8\xff": _jpeg_decode,  # stdlib gray + YCbCr color; PIL for exotic
 }
 
 

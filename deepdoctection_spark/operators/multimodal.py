@@ -538,6 +538,46 @@ def _jpeg_dims(mid: int) -> tuple[int, int]:
     return 2 + mid % 3, 2 + mid % 2
 
 
+def synth_jpeg_color_images(docs: DataFrame) -> DataFrame:
+    """documents → REAL baseline COLOR JPEG payload table (stdlib codec,
+    YCbCr 4:2:0): each image is flat per 16×16 MCU in YCbCr with Y even
+    (exact under luma Q₀₀=16) and Cb/Cr ≡ 128 mod 17 (exact under chroma
+    Q₀₀=17), so the whole lossy chain — FDCT, quantize, Huffman, IDCT,
+    4:2:0 down/upsample — is bit-exact and only the decoder's fixed BT.601
+    conversion remains, which the DuckDB oracle reproduces with
+    round_even() on doubles (kernels/jpeg.py module docstring derives the
+    algebra). Spark really entropy-decodes an interleaved 3-component scan."""
+    from deepdoctection_spark.kernels.jpeg import jpeg_encode_ycbcr
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                seed = mid % 256
+                bw, bh = 1 + mid % 3, 1 + mid % 2  # MCU grid (16x16 px each)
+                b = np.arange(bh * bw)
+                yv = (2 * ((seed + 17 * b) % 128)).astype(np.uint8)
+                cbv = (128 + 17 * (((seed + 3 * b) % 15) - 7)).astype(np.uint8)
+                crv = (128 + 17 * (((seed + 5 * b) % 15) - 7)).astype(np.uint8)
+                up = lambda v: np.repeat(  # noqa: E731
+                    np.repeat(v.reshape(bh, bw), 16, 0), 16, 1
+                )
+                rows.append(
+                    (mid, "image/jpeg", bw * 16, bh * 16, 3,
+                     jpeg_encode_ycbcr(up(yv), up(cbv), up(crv)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
 def synth_jpeg_images(docs: DataFrame) -> DataFrame:
     """documents → REAL baseline JPEG payload table (stdlib codec): each
     image is piecewise-flat per 8×8 block with EVEN level-shift deltas

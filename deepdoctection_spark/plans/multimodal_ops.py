@@ -141,6 +141,48 @@ def q_media_jpeg_stats(spark, sf_dir):
 
 
 @register(
+    "media_jpeg_color_stats",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (1 + doc_id % 3) AS bw, (1 + doc_id % 2) AS bh
+  FROM documents
+),
+mcu AS (
+  SELECT media_id, bw, bh,
+         (2 * ((seed + 17 * b) % 128))::DOUBLE AS y,
+         (17 * (((seed + 3 * b) % 15) - 7))::DOUBLE AS cbd,
+         (17 * (((seed + 5 * b) % 15) - 7))::DOUBLE AS crd
+  FROM dims, unnest(range(bh * bw)) AS t(b)
+),
+rgb AS (
+  SELECT media_id, bw, bh,
+         least(greatest(round_even(y + 1.402 * crd, 0), 0), 255) AS r,
+         least(greatest(round_even(y - 0.344136 * cbd - 0.714136 * crd, 0), 0), 255) AS g,
+         least(greatest(round_even(y + 1.772 * cbd, 0), 0), 255) AS b
+  FROM mcu
+)
+SELECT media_id, (bw * 16)::INT AS width, (bh * 16)::INT AS height,
+       3::INT AS channels, (bw * bh * 256 * 3)::INT AS n_pixels,
+       round(sum(r + g + b) / (bw * bh * 3), 4) AS mean_px,
+       min(least(r, g, b))::INT AS min_px, max(greatest(r, g, b))::INT AS max_px,
+       round(avg(r), 4) AS mean_c0,
+       NULL::VARCHAR AS error
+FROM rgb GROUP BY media_id, bw, bh
+""",
+)
+def q_media_jpeg_color_stats(spark, sf_dir):
+    """REAL COLOR JPEG path: Spark entropy-decodes a genuine interleaved
+    3-component 4:2:0 scan (per-component DC predictors + chroma Huffman/
+    quant tables), IDCTs, upsamples chroma, and converts BT.601→RGB
+    (stdlib codec, kernels/jpeg.py). The flat-MCU YCbCr construction makes
+    the lossy chain exactly lossless, so the oracle recomputes per-channel
+    stats from the Y/Cb/Cr formulas through the same conversion arithmetic
+    (round_even on IEEE doubles — bit-equal to the decoder's np.round)."""
+    return mm.image_stats(mm.synth_jpeg_color_images(_docs(spark, sf_dir)))
+
+
+@register(
     "media_pdf_texts",
     """
 WITH w2 AS (
