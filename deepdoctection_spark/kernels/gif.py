@@ -8,9 +8,13 @@ image descriptor, LZW-compressed index stream in sub-blocks, trailer.
 Reference consumes real pixels via Pillow (datapoint/convert.py:78-166);
 this covers the palette-decode path without it.
 
-Scope (quarantine-on-miss, same policy as png_decode): single-image,
-non-interlaced, global color table only. Animated/interlaced/local-palette
-GIFs raise ValueError → the callers' row quarantine.
+Scope (round 4 closes the r3 gaps): interlaced images (four-pass row
+raster), local color tables, and ANIMATED GIFs — multi-frame decode with
+real compositing semantics (sub-rect frames over the logical screen,
+disposal methods 0/1 leave, 2 restore-background, 3 restore-previous,
+GCE transparency). gif_decode returns the first composited frame (still
+semantics, what a thumbnailer wants); gif_decode_frames returns them all.
+Only genuinely malformed streams raise ValueError → row quarantine.
 
 The encoder is real LZW (string table, code-width growth to 12 bits,
 CLEAR + reset when the table fills), bookkept in LOCKSTEP with the decoder
@@ -26,41 +30,25 @@ import numpy as np
 
 _HDRS = (b"GIF87a", b"GIF89a")
 
+# interlace passes per the spec: (first row, row step)
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _interlace_order(h: int) -> list[int]:
+    return [y for start, step in _INTERLACE_PASSES for y in range(start, h, step)]
+
 
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
 
 
-def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
-    """(h, w) uint8 palette indices + (n, 3) uint8 palette → GIF89a bytes.
-    Palette is padded to the next power of two (min 2)."""
-    a = np.ascontiguousarray(indices, dtype=np.uint8)
-    h, w = a.shape
-    pal = np.ascontiguousarray(palette, dtype=np.uint8)
-    n = len(pal)
-    if a.max(initial=0) >= n:
-        raise ValueError("index out of palette range")
-    bits = max(1, (max(n, 2) - 1).bit_length())
-    size = 1 << bits
-    table = np.zeros((size, 3), dtype=np.uint8)
-    table[:n] = pal
-
-    out = bytearray(b"GIF89a")
-    # logical screen descriptor: global table, bits-1 size, no sort
-    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
-                       0, 0)
-    out += table.tobytes()
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-
-    # Real LZW: string table keyed (prefix_code, byte), width grows in
-    # LOCKSTEP with the decoder's table (same add-entry/advance sequence at
-    # the same stream positions), CLEAR + reset when the table fills.
-    min_code = max(bits, 2)
+def _lzw_compress(pixels: list[int], min_code: int) -> bytes:
+    """Real LZW: string table keyed (prefix_code, byte), width grows in
+    LOCKSTEP with the decoder's table (same add-entry/advance sequence at
+    the same stream positions), CLEAR + reset when the table fills."""
     clear = 1 << min_code
     eoi = clear + 1
-    out.append(min_code)
-
     width = min_code + 1
     bitbuf = 0
     nbits = 0
@@ -79,7 +67,7 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
     table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
     prev = -1
-    for px in a.reshape(-1).tolist():
+    for px in pixels:
         if prev < 0:
             prev = px
             continue
@@ -108,11 +96,86 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
     put(eoi)
     if nbits:
         data.append(bitbuf & 0xFF)
+    return bytes(data)
+
+
+def _pal_table(palette: np.ndarray) -> tuple[np.ndarray, int]:
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    bits = max(1, (max(len(pal), 2) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    return table, bits
+
+
+def _image_block(a: np.ndarray, bits: int, interlace: bool) -> bytes:
+    """Image descriptor + LZW sub-blocks for one (full-screen) frame."""
+    h, w = a.shape
+    iflags = 0x40 if interlace else 0
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags))
+    rows = a[_interlace_order(h), :] if interlace else a
+    min_code = max(bits, 2)
+    out.append(min_code)
+    data = _lzw_compress(rows.reshape(-1).tolist(), min_code)
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out.append(len(chunk))
         out += chunk
-    out += b"\x00\x3b"  # block terminator + trailer
+    out += b"\x00"  # block terminator
+    return bytes(out)
+
+
+def gif_encode(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 palette → GIF89a bytes.
+    Palette is padded to the next power of two (min 2). ``interlace`` writes
+    the four-pass row raster (iflags bit 6)."""
+    a = np.ascontiguousarray(indices, dtype=np.uint8)
+    h, w = a.shape
+    if a.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    table, bits = _pal_table(palette)
+
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: global table, bits-1 size, no sort
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
+                       0, 0)
+    out += table.tobytes()
+    out += _image_block(a, bits, interlace)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_encode_animated(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+    loop: int = 0,
+) -> bytes:
+    """List of (h, w) uint8 index frames (shared global palette) → animated
+    GIF89a: NETSCAPE2.0 loop extension + per-frame graphic control
+    (disposal=1 'do not dispose', delay in centiseconds)."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape
+    table, bits = _pal_table(palette)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1),
+                       0, 0)
+    out += table.tobytes()
+    # NETSCAPE application extension: loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for f in frames:
+        a = np.ascontiguousarray(f, dtype=np.uint8)
+        if a.shape != (h, w):
+            raise ValueError("frames must share the logical screen size")
+        if a.max(initial=0) >= len(palette):
+            raise ValueError("index out of palette range")
+        # GCE: disposal=1 (leave), no transparency
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", delay_cs) \
+            + b"\x00\x00"
+        out += _image_block(a, bits, interlace=False)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -122,24 +185,54 @@ def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
 
 
 def gif_decode(raw: bytes) -> np.ndarray:
-    """GIF bytes → (h, w, 3) uint8 RGB. Full LZW (grows the string table,
-    handles CLEAR/EOI and the KwKwK case) — decodes any conformant
-    single-image non-interlaced GIF, not just this module's encoder output."""
+    """GIF bytes → (h, w, 3) uint8 RGB: the FIRST frame, composited onto the
+    logical screen (still/thumbnail semantics). Full LZW (grows the string
+    table, handles CLEAR/EOI and the KwKwK case), interlaced rasters, local
+    color tables — decodes any conformant GIF, not just this module's
+    encoder output."""
+    return _decode_frames(raw, first_only=True)[0]
+
+
+def gif_decode_frames(raw: bytes) -> list[np.ndarray]:
+    """Animated GIF bytes → list of (screen_h, screen_w, 3) uint8 RGB frames
+    with real compositing: sub-rect frames drawn over the canvas, GCE
+    transparency (transparent pixels leave the canvas through), disposal
+    methods 0/1 (leave), 2 (restore to background color) and
+    3 (restore to previous canvas)."""
+    return _decode_frames(raw, first_only=False)
+
+
+def _decode_frames(raw: bytes, first_only: bool) -> list[np.ndarray]:
     if raw[:6] not in _HDRS:
         raise ValueError("bad GIF signature")
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", raw[6:13])
+    sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", raw[6:13])
     pos = 13
-    palette = None
+    gpalette = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        palette = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
+        gpalette = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    # canvas starts as the background color (or black without a table)
+    if gpalette is not None and bg < len(gpalette):
+        bg_rgb = gpalette[bg]
+    else:
+        bg_rgb = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+    frames: list[np.ndarray] = []
+    # pending graphic-control state (applies to the NEXT image block)
+    disposal = 0
+    transparent = -1
     while pos < len(raw):
         b = raw[pos]
         if b == 0x3B:  # trailer
-            raise ValueError("GIF contains no image data")
-        if b == 0x21:  # extension: label + sub-blocks, skip
+            break
+        if b == 0x21:  # extension
+            label = raw[pos + 1]
             pos += 2
+            if label == 0xF9 and raw[pos] >= 4:  # graphic control
+                packed = raw[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                transparent = raw[pos + 4] if packed & 0x01 else -1
             while raw[pos] != 0:
                 pos += 1 + raw[pos]
             pos += 1
@@ -147,8 +240,7 @@ def gif_decode(raw: bytes) -> np.ndarray:
         if b == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack("<HHHHB", raw[pos + 1 : pos + 10])
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF unsupported")
+            palette = gpalette
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
                 palette = np.frombuffer(raw, np.uint8, n * 3, pos).reshape(n, 3)
@@ -162,10 +254,36 @@ def gif_decode(raw: bytes) -> np.ndarray:
                 ln = raw[pos]
                 data += raw[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
-            idx = _lzw_decode(bytes(data), min_code, w * h)
-            return palette[idx.reshape(h, w)]
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in four-pass order
+                deint = np.empty_like(idx)
+                deint[_interlace_order(h), :] = idx
+                idx = deint
+            if left + w > sw or top + h > sh:
+                raise ValueError("frame rect outside logical screen")
+            prev_canvas = canvas.copy() if disposal == 3 else None
+            rgb = palette[idx]
+            region = canvas[top : top + h, left : left + w]
+            if transparent >= 0:
+                opaque = idx != transparent
+                region[opaque] = rgb[opaque]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if first_only:
+                return frames
+            if disposal == 2:  # restore background within the frame rect
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3 and prev_canvas is not None:
+                canvas = prev_canvas
+            disposal = 0
+            transparent = -1
+            continue
         raise ValueError(f"unexpected GIF block 0x{b:02x}")
-    raise ValueError("truncated GIF")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
 
 
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:

@@ -502,11 +502,13 @@ def _gif_dims(mid: int) -> tuple[int, int, int]:
     return 7 + mid % 8, 5 + mid % 5, 4 + mid % 13
 
 
-def synth_gif_images(docs: DataFrame) -> DataFrame:
+def synth_gif_images(docs: DataFrame, interlace: bool = False) -> DataFrame:
     """documents → REAL GIF payload table (stdlib LZW codec): index stream
     is (seed + 7i) % n_palette and palette[j] = (3j, 3j+1, 3j+2), so the
     DuckDB oracle recomputes every decoded-RGB statistic in closed form
-    while Spark actually LZW-decodes genuine GIF bytes."""
+    while Spark actually LZW-decodes genuine GIF bytes. ``interlace``
+    writes the four-pass row raster — the decoder must reorder rows back,
+    against the SAME oracle (the image is identical)."""
     from deepdoctection_spark.kernels.gif import gif_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -521,7 +523,10 @@ def synth_gif_images(docs: DataFrame) -> DataFrame:
                     [3 * np.arange(n), 3 * np.arange(n) + 1,
                      3 * np.arange(n) + 2], axis=1
                 ).astype(np.uint8)
-                rows.append((mid, "image/gif", w, h, 3, gif_encode(idx, pal)))
+                rows.append(
+                    (mid, "image/gif", w, h, 3,
+                     gif_encode(idx, pal, interlace=interlace))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -531,6 +536,71 @@ def synth_gif_images(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def synth_gif_animations(docs: DataFrame) -> DataFrame:
+    """documents → REAL ANIMATED GIF payload table: n_frames full-screen
+    frames, frame f's index stream is (seed + 7·(f·w·h + i)) % n_palette —
+    the same linear-palette closed form per frame, so the oracle recomputes
+    per-frame sums while Spark really decodes a multi-image GIF89a stream
+    (NETSCAPE loop ext + per-frame graphic control + compositing)."""
+    from deepdoctection_spark.kernels.gif import gif_encode_animated
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                w, h, n = _gif_dims(mid)
+                nf = 2 + mid % 3
+                pal = np.stack(
+                    [3 * np.arange(n), 3 * np.arange(n) + 1,
+                     3 * np.arange(n) + 2], axis=1
+                ).astype(np.uint8)
+                frames = [
+                    ((mid % 256 + 7 * (f * w * h + np.arange(w * h, dtype=np.int64))) % n
+                     ).astype(np.uint8).reshape(h, w)
+                    for f in range(nf)
+                ]
+                rows.append(
+                    (mid, "image/gif", w, h, 3, gif_encode_animated(frames, pal))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """Animated GIF → one row per composited frame with a per-frame RGB
+    checksum (the video sample_frames pattern applied to the GIF decoder's
+    multi-frame surface)."""
+    from deepdoctection_spark.kernels.gif import gif_decode_frames
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
+                try:  # poison payload: skip its frames, keep the task alive
+                    frames = gif_decode_frames(bytes(raw))
+                except Exception:
+                    continue
+                for fi, a in enumerate(frames):
+                    rows.append(
+                        (int(mid), fi, a.shape[1], a.shape[0],
+                         int(a.astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame_sum"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)
 
 
 def _jpeg_dims(mid: int) -> tuple[int, int]:

@@ -111,6 +111,70 @@ def q_media_gif_stats(spark, sf_dir):
 
 
 @register(
+    "media_gif_interlaced_stats",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (7 + doc_id % 8)::INT AS width, (5 + doc_id % 5)::INT AS height,
+         (4 + doc_id % 13) AS n_pal,
+         ((7 + doc_id % 8) * (5 + doc_id % 5) * 3)::INT AS n_pixels
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, n_pixels,
+         (3 * ((seed + 7 * (i // 3)) % n_pal) + (i % 3)) AS v, (i % 3) AS ch
+  FROM dims, unnest(range(n_pixels)) AS t(i)
+)
+SELECT media_id, width, height, 3::INT AS channels, n_pixels,
+       round_even(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round_even(avg(v) FILTER (ch = 0), 4) AS mean_c0,
+       NULL::VARCHAR AS error
+FROM px GROUP BY media_id, width, height, n_pixels
+""",
+)
+def q_media_gif_interlaced_stats(spark, sf_dir):
+    """INTERLACED GIF path: the payloads carry the four-pass row raster
+    (iflags bit 6); the decoder must restore row order, so the oracle is
+    the SAME closed form as media_gif_stats — agreement proves the
+    de-interlace is exact, not merely shape-preserving."""
+    return mm.image_stats(
+        mm.synth_gif_images(_docs(spark, sf_dir), interlace=True)
+    )
+
+
+@register(
+    "media_gif_anim_frames",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (7 + doc_id % 8)::INT AS width, (5 + doc_id % 5)::INT AS height,
+         (4 + doc_id % 13) AS n_pal, (2 + doc_id % 3)::INT AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT media_id, seed, width, height, n_pal, fi::INT AS frame_idx
+  FROM dims, unnest(range(n_frames)) AS t(fi)
+),
+px AS (
+  SELECT media_id, frame_idx, width, height,
+         (9 * ((seed + 7 * (frame_idx * width * height + i)) % n_pal) + 3) AS v
+  FROM frames, unnest(range(width * height)) AS t(i)
+)
+SELECT media_id, frame_idx, width, height, sum(v)::BIGINT AS frame_sum
+FROM px GROUP BY media_id, frame_idx, width, height
+""",
+)
+def q_media_gif_anim_frames(spark, sf_dir):
+    """ANIMATED GIF path: Spark decodes a real multi-image GIF89a stream
+    (graphic-control extensions, per-frame LZW, canvas compositing) to one
+    row per frame; a palette index j decodes to RGB (3j, 3j+1, 3j+2) whose
+    channel sum is 9j+3, so the oracle recomputes each frame's checksum
+    from the per-frame index formula."""
+    return mm.gif_frame_stats(mm.synth_gif_animations(_docs(spark, sf_dir)))
+
+
+@register(
     "media_jpeg_stats",
     """
 WITH dims AS (
