@@ -19,9 +19,12 @@ move as the stdlib PNG codec (operators/codecs.py:76-213):
 - :func:`pdf_page_text` flattens runs to reading-order plain text (y-down
   line sort, x within line) — the SerializerPdfDoc page-per-row contract.
 
-Scope (declared, quarantine-on-miss like png_decode): classic xref documents,
-FlateDecode or plain streams, simple fonts with latin-1-ish byte strings.
-Encrypted PDFs, xref streams / object streams, and CID fonts raise
+Scope (declared, quarantine-on-miss like png_decode): classic xref AND
+PDF 1.5 xref-stream documents (round 4: /Type /ObjStm compressed object
+streams are inflated and their members parsed; the writer can emit the
+same layout via ``pdf_encode(..., object_streams=True)`` — /XRef stream
+with binary /W rows included), FlateDecode or plain streams, simple fonts
+with latin-1-ish byte strings. Encrypted PDFs and CID fonts raise
 ValueError → the callers' row quarantine turns that into an `error` column.
 """
 
@@ -73,13 +76,19 @@ def _run_ops(i: int, x: float, y: float, size: float, text: str) -> bytes:
 
 
 def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
-               compress: bool = True) -> bytes:
+               compress: bool = True, object_streams: bool = False) -> bytes:
     """pages = list of pages; each page = list of (x, y, size, text) runs
-    (PDF user space, y-up). Returns a complete classic-xref PDF."""
+    (PDF user space, y-up). Returns a complete classic-xref PDF — or, with
+    ``object_streams``, a PDF 1.5 file whose non-stream objects (catalog,
+    page tree, page dicts, font) live inside ONE FlateDecode /ObjStm and
+    whose cross-reference table is a /Type /XRef stream (/W [1 2 1],
+    type-2 entries pointing into the object stream) — the layout every
+    modern writer emits."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
     kid_ids = [3 + 2 * i for i in range(n_pages)]
+    compressed_ids = {1, 2, font_id} | set(kid_ids)  # non-stream objects
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Count %d /Kids [%s] >>" % (
         n_pages, b" ".join(b"%d 0 R" % k for k in kid_ids)))
@@ -88,7 +97,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         body = b"\n".join(
             _run_ops(j, x, y, size, text)
             for j, (x, y, size, text) in enumerate(runs))
-        if compress:
+        if compress and not object_streams:
             data = zlib.compress(body)
             # /Length as an INDIRECT reference (a length object after the
             # stream) — the shape real writers emit, so the parser's
@@ -97,6 +106,12 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             stream = (b"<< /Length %d 0 R /Filter /FlateDecode >>\nstream\n"
                       % len_id) + data + b"\nendstream"
             objs[len_id] = b"%d" % len(data)
+        elif compress:
+            # direct /Length inside the object-stream layout (length objects
+            # would be more compressed members; keep the container minimal)
+            data = zlib.compress(body)
+            stream = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                      % len(data)) + data + b"\nendstream"
         else:
             stream = (b"<< /Length %d >>\nstream\n" % len(body)
                       ) + body + b"\nendstream"
@@ -106,6 +121,9 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
                      b"/Contents %d 0 R >>" % (font_id, cid))
     objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
                      b"/BaseFont /Helvetica >>")
+
+    if object_streams:
+        return _write_15(objs, compressed_ids)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -120,6 +138,60 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (max_id + 1, xref_pos))
+    return bytes(out)
+
+
+def _write_15(objs: dict[int, bytes], compressed_ids: set[int]) -> bytes:
+    """Assemble the PDF 1.5 object-stream layout: members packed into one
+    /ObjStm, stream objects top-level, one /Type /XRef cross-reference
+    stream (binary /W [1 2 1] rows, no predictor — spec-optional)."""
+    max_id = max(objs)
+    objstm_id = max_id + 1
+    xref_id = max_id + 2
+    member_ids = sorted(compressed_ids)
+    bodies = [objs[n] for n in member_ids]
+    offs: list[int] = []
+    acc = 0
+    for b in bodies:
+        offs.append(acc)
+        acc += len(b) + 1  # '\n' separator
+    header = b" ".join(
+        b"%d %d" % (n, o) for n, o in zip(member_ids, offs)
+    ) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    data = zlib.compress(payload)
+    objstm = (b"<< /Type /ObjStm /N %d /First %d /Length %d "
+              b"/Filter /FlateDecode >>\nstream\n"
+              % (len(member_ids), len(header), len(data))
+              ) + data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    # entry tuples per object id: (type, field2, field3)
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+    for idx, n in enumerate(member_ids):
+        entries[n] = (2, objstm_id, idx)
+    for n in sorted(objs):
+        if n in compressed_ids:
+            continue
+        entries[n] = (1, len(out), 0)
+        out += b"%d 0 obj\n" % n + objs[n] + b"\nendobj\n"
+    entries[objstm_id] = (1, len(out), 0)
+    out += b"%d 0 obj\n" % objstm_id + objstm + b"\nendobj\n"
+    xref_pos = len(out)
+    size = xref_id + 1
+    entries[xref_id] = (1, xref_pos, 0)
+    # /W [1 4 2]: 4-byte offsets (PDFs beyond 64KB), 2-byte field3
+    rows = bytearray()
+    for n in range(size):
+        t, f2, f3 = entries.get(n, (0, 0, 0))
+        rows.append(t)
+        rows += struct.pack(">I", f2)
+        rows += struct.pack(">H", f3)
+    xdata = zlib.compress(bytes(rows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/Length %d /Filter /FlateDecode >>\nstream\n"
+            % (xref_id, size, len(xdata))) + xdata + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
@@ -286,6 +358,36 @@ class _Doc:
         if not raw.lstrip()[:5].startswith(b"%PDF-"):
             raise ValueError("missing %PDF header")
         self.objs = _scan_objects(raw)
+        self._expand_object_streams()
+
+    def _expand_object_streams(self) -> None:
+        """PDF 1.5+ compressed object streams (/Type /ObjStm): the member
+        objects don't appear as top-level `N 0 obj` records, so the offset
+        scan only finds the container — inflate it and parse the members
+        (header: N pairs of `objnum offset`, bodies from /First). Top-level
+        definitions win (same later-wins update semantics as the scan);
+        member objects carry no streams per spec."""
+        containers = [
+            num for num, (val, stream) in self.objs.items()
+            if isinstance(val, dict) and val.get("Type") == "/ObjStm"
+            and stream is not None
+        ]
+        for num in containers:
+            val = self.objs[num][0]
+            data = self.stream_data(num)
+            n = self.resolve(val.get("N"))
+            first = self.resolve(val.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise ValueError(f"ObjStm {num}: bad /N or /First")
+            hdr = data[:first].split()
+            if len(hdr) < 2 * n:
+                raise ValueError(f"ObjStm {num}: truncated pair table")
+            for k in range(n):
+                onum, off = int(hdr[2 * k]), int(hdr[2 * k + 1])
+                if onum in self.objs:
+                    continue
+                v, _ = _parse_value(data, first + off)
+                self.objs[onum] = (v, None)
 
     def resolve(self, v):
         seen = 0

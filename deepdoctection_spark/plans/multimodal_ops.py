@@ -277,6 +277,38 @@ def q_media_pdf_texts(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_objstm",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_objstm(spark, sf_dir):
+    """MODERN-PDF path (PDF 1.5 xref-stream layout): the payloads put the
+    catalog/page-tree/page/font objects inside a FlateDecode /ObjStm with a
+    binary /XRef stream — the parser must inflate and parse the object
+    stream to even FIND the page tree. The oracle is the SAME pagination
+    closed form as media_pdf_texts: agreement proves the ObjStm expansion
+    reconstructs the document identically to the classic layout."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), object_streams=True)
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

@@ -37,6 +37,28 @@ def test_roundtrip_text(compress):
     assert pdf_texts(pdf_encode(PAGES, compress=compress)) == EXPECT
 
 
+def test_object_stream_layout_roundtrip():
+    """PDF 1.5 xref-stream layout: catalog/pages/page/font live inside a
+    FlateDecode /ObjStm; the parser must expand it to find the page tree."""
+    raw = pdf_encode(PAGES, object_streams=True)
+    assert raw.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in raw and b"/XRef" in raw
+    # the page tree is NOT discoverable at top level (compressed members)
+    assert b"/Type /Catalog" not in raw
+    assert pdf_texts(raw) == EXPECT
+    assert pdf_decode(raw) == pdf_decode(pdf_encode(PAGES))
+
+
+def test_object_stream_toplevel_wins():
+    """Later-wins update semantics: a top-level definition of a member id
+    shadows the ObjStm copy (the shape of an incremental update)."""
+    raw = bytearray(pdf_encode(PAGES, object_streams=True))
+    # append a classic top-level override of the font object (harmless dict)
+    # and ensure parsing still succeeds and text is unchanged
+    raw += b"\n999 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n"
+    assert pdf_texts(bytes(raw)) == EXPECT
+
+
 def test_roundtrip_runs_positions():
     runs = pdf_decode(pdf_encode(PAGES))[0]
     # every input line present at its written y; x starts at the written x
