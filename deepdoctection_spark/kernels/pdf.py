@@ -24,8 +24,13 @@ PDF 1.5 xref-stream documents (round 4: /Type /ObjStm compressed object
 streams are inflated and their members parsed; the writer can emit the
 same layout via ``pdf_encode(..., object_streams=True)`` — /XRef stream
 with binary /W rows included), FlateDecode or plain streams, simple fonts
-with latin-1-ish byte strings. Encrypted PDFs and CID fonts raise
-ValueError → the callers' row quarantine turns that into an `error` column.
+with latin-1-ish byte strings AND composite Type0/Identity-H CID fonts
+whose /ToUnicode CMap is honored (bfchar + bfrange, UTF-16BE targets incl.
+surrogate pairs; the writer emits the layout via ``pdf_encode(...,
+cid_font=True)`` with a deliberately non-identity code assignment so the
+CMap is load-bearing). Encrypted PDFs and Type0 fonts WITHOUT /ToUnicode
+(text not recoverable without glyph tables) raise ValueError → the
+callers' row quarantine turns that into an `error` column.
 """
 
 from __future__ import annotations
@@ -59,43 +64,122 @@ def _pdf_string(s: str) -> bytes:
     return bytes(out)
 
 
-def _run_ops(i: int, x: float, y: float, size: float, text: str) -> bytes:
+def _run_ops(i: int, x: float, y: float, size: float, text: str,
+             enc=_pdf_string) -> bytes:
     """One text run, rotating operator forms by run index so every encoded
-    page exercises Td/Tm/TD positioning and Tj/TJ/' showing."""
+    page exercises Td/Tm/TD positioning and Tj/TJ/' showing. ``enc`` turns
+    python text into a PDF string token (literal for simple fonts, 2-byte
+    hex codes for the CID layout)."""
     form = i % 3
     if form == 0:  # absolute matrix + plain Tj
         return b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm %s Tj ET" % (
-            size, x, y, _pdf_string(text))
+            size, x, y, enc(text))
     if form == 1:  # TD positioning + TJ array split with kerning numbers
         mid = max(1, len(text) // 2)
         return (b"BT /F1 %.2f Tf %.2f %.2f TD [%s -20 %s] TJ ET" % (
-            size, x, y, _pdf_string(text[:mid]), _pdf_string(text[mid:])))
+            size, x, y, enc(text[:mid]), enc(text[mid:])))
     # TL + Td one line up, then ' (T* + show) — the next-line-show operator
     return (b"BT /F1 %.2f Tf %.2f TL %.2f %.2f Td %s ' ET" % (
-        size, size, x, y + size, _pdf_string(text)))
+        size, size, x, y + size, enc(text)))
+
+
+def _cid_code_table(pages) -> dict[str, int]:
+    """Subset-font code assignment: distinct characters in first-encounter
+    order get codes from 1 (0 = .notdef) — like a real subsetting writer,
+    and deliberately NOT unicode-ordered, so decoding the text requires the
+    /ToUnicode CMap rather than an identity guess."""
+    codes: dict[str, int] = {}
+    for runs in pages:
+        for _x, _y, _size, text in runs:
+            for ch in text:
+                if ch not in codes:
+                    codes[ch] = len(codes) + 1
+    return codes
+
+
+def _tounicode_cmap(codes: dict[str, int]) -> bytes:
+    """The /ToUnicode CMap stream: code → UTF-16BE. Contiguous stretches
+    where code and unicode advance in lockstep become bfrange rows; the
+    rest are bfchar rows chunked at the spec's 100-per-block limit — so a
+    round trip exercises BOTH CMap section kinds. Non-BMP characters emit
+    surrogate pairs (multi-unit bfchar dst)."""
+    by_code = sorted((c, ch) for ch, c in codes.items())
+    ranges: list[tuple[int, int, str]] = []     # (lo_code, hi_code, lo_char)
+    chars: list[tuple[int, str]] = []           # (code, char)
+    i = 0
+    while i < len(by_code):
+        j = i
+        c0, ch0 = by_code[i]
+        while (j + 1 < len(by_code)
+               and by_code[j + 1][0] == by_code[j][0] + 1
+               and len(by_code[j][1]) == 1 and len(by_code[j + 1][1]) == 1
+               and ord(by_code[j + 1][1]) == ord(by_code[j][1]) + 1
+               and ord(by_code[j + 1][1]) <= 0xFFFF):
+            j += 1
+        if j - i >= 2:  # a range row is worth it
+            ranges.append((c0, by_code[j][0], ch0))
+        else:
+            chars.extend(by_code[i:j + 1])
+        i = j + 1
+    out = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def\n/CMapName /Adobe-Identity-UCS def\n"
+        b"/CMapType 2 def\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n")
+    for k in range(0, len(ranges), 100):
+        block = ranges[k:k + 100]
+        out += b"%d beginbfrange\n" % len(block)
+        for lo, hi, ch in block:
+            out += b"<%04X> <%04X> <%04X>\n" % (lo, hi, ord(ch))
+        out += b"endbfrange\n"
+    for k in range(0, len(chars), 100):
+        block = chars[k:k + 100]
+        out += b"%d beginbfchar\n" % len(block)
+        for code, ch in block:
+            dst = ch.encode("utf-16-be").hex().upper().encode("ascii")
+            out += b"<%04X> <%s>\n" % (code, dst)
+        out += b"endbfchar\n"
+    out += (b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+            b"end\nend")
+    return bytes(out)
 
 
 def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
-               compress: bool = True, object_streams: bool = False) -> bytes:
+               compress: bool = True, object_streams: bool = False,
+               cid_font: bool = False) -> bytes:
     """pages = list of pages; each page = list of (x, y, size, text) runs
     (PDF user space, y-up). Returns a complete classic-xref PDF — or, with
     ``object_streams``, a PDF 1.5 file whose non-stream objects (catalog,
     page tree, page dicts, font) live inside ONE FlateDecode /ObjStm and
     whose cross-reference table is a /Type /XRef stream (/W [1 2 1],
     type-2 entries pointing into the object stream) — the layout every
-    modern writer emits."""
+    modern writer emits. ``cid_font`` swaps the simple Type1 font for a
+    composite Type0/Identity-H font (CIDFontType2 descendant + /ToUnicode
+    CMap) and shows text as 2-byte-code hex strings under a subset-order
+    (non-identity) code table — the layout every embedded-subset writer
+    emits; both flags compose."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
     kid_ids = [3 + 2 * i for i in range(n_pages)]
     compressed_ids = {1, 2, font_id} | set(kid_ids)  # non-stream objects
+    if cid_font:
+        codes = _cid_code_table(pages)
+        if len(codes) > 0xFFFF:
+            raise ValueError("CID subset exceeds 2-byte code space")
+
+        def enc(s: str) -> bytes:
+            return b"<" + b"".join(b"%04X" % codes[c] for c in s) + b">"
+    else:
+        enc = _pdf_string
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Count %d /Kids [%s] >>" % (
         n_pages, b" ".join(b"%d 0 R" % k for k in kid_ids)))
     for i, runs in enumerate(pages):
         pid, cid = kid_ids[i], kid_ids[i] + 1
         body = b"\n".join(
-            _run_ops(j, x, y, size, text)
+            _run_ops(j, x, y, size, text, enc)
             for j, (x, y, size, text) in enumerate(runs))
         if compress and not object_streams:
             data = zlib.compress(body)
@@ -119,8 +203,30 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         objs[pid] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                      b"/Resources << /Font << /F1 %d 0 R >> >> "
                      b"/Contents %d 0 R >>" % (font_id, cid))
-    objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
-                     b"/BaseFont /Helvetica >>")
+    if cid_font:
+        desc_id = font_id + n_pages + 1
+        cmap_id = font_id + n_pages + 2
+        objs[font_id] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_id, cmap_id))
+        objs[desc_id] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>")
+        compressed_ids.add(desc_id)
+        cmap = _tounicode_cmap(codes)
+        if compress:
+            cdata = zlib.compress(cmap)
+            objs[cmap_id] = (b"<< /Length %d /Filter /FlateDecode >>"
+                             b"\nstream\n" % len(cdata)
+                             ) + cdata + b"\nendstream"
+        else:
+            objs[cmap_id] = (b"<< /Length %d >>\nstream\n" % len(cmap)
+                             ) + cmap + b"\nendstream"
+    else:
+        objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
+                         b"/BaseFont /Helvetica >>")
 
     if object_streams:
         return _write_15(objs, compressed_ids)
@@ -446,6 +552,34 @@ class _Doc:
             raise ValueError("page tree has no /Page leaves")
         return page_ids
 
+    def page_fonts(self, page_num: int):
+        """Page /Resources /Font → {name: bytes→str decoder}. Simple fonts
+        decode latin-1 (the declared scope); Type0 composite fonts decode
+        2-byte codes through their /ToUnicode CMap. A Type0 font WITHOUT
+        /ToUnicode is unrecoverable text (codes are glyph ids) → ValueError,
+        which the callers' row quarantine catches."""
+        page, _ = self.objs[page_num]
+        res = self.resolve(page.get("Resources")) if isinstance(page, dict) \
+            else None
+        fdict = self.resolve(res.get("Font")) if isinstance(res, dict) \
+            else None
+        fonts: dict[str, object] = {}
+        if not isinstance(fdict, dict):
+            return fonts
+        for name, ref in fdict.items():
+            fobj = self.resolve(ref)
+            if not isinstance(fobj, dict):
+                continue
+            if fobj.get("Subtype") == "/Type0":
+                tu = fobj.get("ToUnicode")
+                if not isinstance(tu, _Ref):
+                    raise ValueError(
+                        f"Type0 font /{name} without /ToUnicode stream")
+                fonts["/" + name] = _cmap_decoder(self.stream_data(tu.num))
+            else:
+                fonts["/" + name] = None  # simple font → latin-1 default
+        return fonts
+
     def page_content(self, page_num: int) -> bytes:
         page, _ = self.objs[page_num]
         contents = page.get("Contents")
@@ -455,6 +589,88 @@ class _Doc:
             if isinstance(r, _Ref):
                 parts.append(self.stream_data(r.num))
         return b"\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMap (PDF 32000-1 §9.10.3): 2-byte code → unicode text
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>|\[")
+
+
+def _hex_items(section: bytes) -> list[bytes | None]:
+    """Hex-string operands in order; '[' markers become None (array form)."""
+    out = []
+    for m in _HEX_RE.finditer(section):
+        if m.group(0) == b"[":
+            out.append(None)
+        else:
+            hx = re.sub(rb"\s", b"", m.group(1))
+            out.append(bytes.fromhex(hx.decode("ascii")))
+    return out
+
+
+def _cmap_decoder(cmap: bytes):
+    """Build a bytes→str decoder from a /ToUnicode CMap stream. Supports
+    bfchar pairs, bfrange with a scalar dst start, and bfrange with a dst
+    array; dst values are UTF-16BE (surrogate pairs → astral chars)."""
+    single: dict[int, str] = {}
+    ranges: list[tuple[int, int, int]] = []  # (lo, hi, unicode_start)
+
+    def u16(b: bytes) -> str:
+        return b.decode("utf-16-be")
+
+    for m in _BFCHAR_RE.finditer(cmap):
+        items = _hex_items(m.group(1))
+        for k in range(0, len(items) - 1, 2):
+            src, dst = items[k], items[k + 1]
+            if src is None or dst is None:
+                raise ValueError("bfchar with array operand")
+            single[int.from_bytes(src, "big")] = u16(dst)
+    for m in _BFRANGE_RE.finditer(cmap):
+        items = _hex_items(m.group(1))
+        k = 0
+        while k < len(items):
+            lo, hi = items[k], items[k + 1]
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            if k + 2 < len(items) and items[k + 2] is None:
+                # array form: <lo> <hi> [<d0> <d1> ...]
+                n = hi_i - lo_i + 1
+                dsts = items[k + 3:k + 3 + n]
+                for off, d in enumerate(dsts):
+                    single[lo_i + off] = u16(d)
+                k += 3 + n
+            else:
+                dst = items[k + 2]
+                if len(dst) == 2:
+                    ranges.append((lo_i, hi_i, int.from_bytes(dst, "big")))
+                else:  # multi-unit start: spec increments the LAST unit
+                    base, last = dst[:-2], int.from_bytes(dst[-2:], "big")
+                    for off in range(hi_i - lo_i + 1):
+                        single[lo_i + off] = u16(
+                            base + (last + off).to_bytes(2, "big"))
+                k += 3
+
+    def decode(bs: bytes) -> str:
+        if len(bs) % 2:
+            raise ValueError("odd-length CID string")
+        out = []
+        for i in range(0, len(bs), 2):
+            code = (bs[i] << 8) | bs[i + 1]
+            hit = single.get(code)
+            if hit is None:
+                for lo, hi, ustart in ranges:
+                    if lo <= code <= hi:
+                        hit = chr(ustart + (code - lo))
+                        break
+            if hit is None:
+                raise ValueError(f"CID code {code:#06x} not in /ToUnicode")
+            out.append(hit)
+        return "".join(out)
+
+    return decode
 
 
 # ---------------------------------------------------------------------------
@@ -489,15 +705,20 @@ def _tokenize_content(data: bytes):
             yield ("op", tok.decode("latin-1"))
 
 
-def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
+def extract_runs(content: bytes, fonts: dict | None = None,
+                 ) -> list[tuple[float, float, float, str]]:
     """Interpret a page content stream → [(x, y, size, text)] runs. Supports
     the full simple-font text-positioning/showing surface: BT ET Tf TL Td TD
     Tm T* Tj TJ ' \" (word/char-spacing operands of \" are consumed, text is
-    shown). Graphics operators are ignored (no-op), matching a text miner."""
+    shown). Graphics operators are ignored (no-op), matching a text miner.
+    ``fonts`` maps resource names (``"/F1"``) to bytes→str decoders (None =
+    the simple-font latin-1 default); ``Tf`` switches the active decoder, so
+    composite CID strings decode through their /ToUnicode CMap."""
     runs: list[tuple[float, float, float, str]] = []
     stack: list = []
     size = 12.0
     leading = 0.0
+    decoder = None  # active bytes→str; None = latin-1 simple-font default
     # text-line matrix origin; simple translation-only model (rotation-free
     # Tm is the declared scope — the writer only emits 1 0 0 1 tx ty)
     lx = ly = 0.0   # line start
@@ -507,7 +728,7 @@ def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
 
     def show(s: bytes) -> None:
         nonlocal cx
-        text = s.decode("latin-1")
+        text = decoder(s) if decoder is not None else s.decode("latin-1")
         if text:
             runs.append((cx, cy, size, text))
             cx += 0.5 * size * len(text)  # Helvetica-ish advance
@@ -532,6 +753,8 @@ def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
                 in_text = False
             elif op == "Tf":
                 size = float(stack[-1])
+                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                    decoder = fonts.get(stack[-2])
             elif op == "TL":
                 leading = float(stack[-1])
             elif op == "Td" and in_text:
@@ -577,7 +800,8 @@ def extract_runs(content: bytes) -> list[tuple[float, float, float, str]]:
 def pdf_decode(raw: bytes) -> list[list[tuple[float, float, float, str]]]:
     """PDF bytes → per-page [(x, y, size, text)] runs, page-tree order."""
     doc = _Doc(raw)
-    return [extract_runs(doc.page_content(p)) for p in doc.catalog_pages()]
+    return [extract_runs(doc.page_content(p), doc.page_fonts(p))
+            for p in doc.catalog_pages()]
 
 
 def pdf_page_text(runs: list[tuple[float, float, float, str]],

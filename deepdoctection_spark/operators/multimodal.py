@@ -428,13 +428,16 @@ def _paginate_words(text: str) -> list[list[str]]:
     ]
 
 
-def synth_pdfs(docs: DataFrame, object_streams: bool = False) -> DataFrame:
+def synth_pdfs(docs: DataFrame, object_streams: bool = False,
+               cid_font: bool = False) -> DataFrame:
     """documents → genuine PDF payload table (stdlib writer): each doc's
     text is paginated by the shared contract and laid out one line per
     text run (x=72, y descending 18pt steps, 12pt), so the extractor's
     positioned-run → line → page reassembly is what the oracle checks.
     ``object_streams`` writes the PDF 1.5 xref-stream/ObjStm layout —
-    the parser must inflate the object stream to even find the page tree."""
+    the parser must inflate the object stream to even find the page tree.
+    ``cid_font`` writes Type0/Identity-H composite-font payloads whose text
+    is 2-byte subset codes — recoverable only through the /ToUnicode CMap."""
     from deepdoctection_spark.kernels.pdf import pdf_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -448,7 +451,8 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False) -> DataFrame:
                 ]
                 rows.append(
                     (int(mid), "application/pdf", len(pages),
-                     pdf_encode(pages, object_streams=object_streams))
+                     pdf_encode(pages, object_streams=object_streams,
+                                cid_font=cid_font))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "n_pages", "content"]

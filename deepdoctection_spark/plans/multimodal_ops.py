@@ -309,6 +309,40 @@ def q_media_pdf_texts_objstm(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_cid",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_cid(spark, sf_dir):
+    """COMPOSITE-FONT path (Type0/Identity-H, CIDFontType2 descendant): the
+    payloads show text as 2-byte subset-code hex strings under a first-
+    encounter (non-identity) code table, so the extractor can only recover
+    the text by resolving the page font resources and decoding through the
+    /ToUnicode CMap (bfchar + bfrange). Same pagination closed form as
+    media_pdf_texts: agreement proves the CMap decode is exact
+    (reference analogue: pdfplumber's CID→unicode mapping consumed by
+    extern/pdftext.py)."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), cid_font=True)
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

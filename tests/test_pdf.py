@@ -59,6 +59,58 @@ def test_object_stream_toplevel_wins():
     assert pdf_texts(bytes(raw)) == EXPECT
 
 
+@pytest.mark.parametrize("objstm", [False, True])
+def test_cid_font_roundtrip(objstm):
+    """Type0/Identity-H with /ToUnicode: text is 2-byte subset codes, the
+    CMap is the only way back to unicode — in both xref layouts."""
+    raw = pdf_encode(PAGES, object_streams=objstm, cid_font=True)
+    assert b"/Type0" in zlib_any(raw) and b"/Identity-H" in zlib_any(raw)
+    # the text must NOT be recoverable without the CMap
+    assert b"hello" not in raw and b"hello" not in zlib_any(raw)
+    assert pdf_texts(raw) == EXPECT
+
+
+def zlib_any(raw: bytes) -> bytes:
+    """raw plus every inflatable stream body (to see inside /ObjStm)."""
+    import re as _re
+    import zlib as _z
+    out = bytearray(raw)
+    for m in _re.finditer(rb"stream\r?\n", raw):
+        try:
+            out += _z.decompressobj().decompress(raw[m.end():])
+        except _z.error:
+            pass
+    return bytes(out)
+
+
+def test_cid_font_astral_and_nonlatin():
+    """CMap targets beyond latin-1: BMP accents and an astral emoji
+    (UTF-16BE surrogate-pair dst) survive; the simple-font path would
+    replace them."""
+    pages = [[(72, 700, 12, "naïve café — \U0001F600 done")]]
+    raw = pdf_encode(pages, cid_font=True)
+    assert pdf_texts(raw) == ["naïve café — \U0001F600 done"]
+
+
+def test_cid_cmap_uses_bfrange_and_bfchar():
+    """A text with a long contiguous alphabet stretch makes the writer emit
+    bfrange rows (and scattered chars emit bfchar) — decode exercises both."""
+    text = "abcdefghijklmnopqrstuvwxyz zebra! 42"
+    raw = pdf_encode([[(72, 700, 12, text)]], cid_font=True)
+    body = zlib_any(raw)
+    assert b"beginbfrange" in body and b"beginbfchar" in body
+    assert pdf_texts(raw) == [text]
+
+
+def test_type0_without_tounicode_quarantines():
+    """A Type0 font with no /ToUnicode has unrecoverable text → ValueError
+    (the callers' row-quarantine contract), not silent mojibake."""
+    raw = pdf_encode(PAGES, cid_font=True)
+    raw = raw.replace(b"/ToUnicode", b"/ToUnicodX", 1)
+    with pytest.raises(ValueError, match="ToUnicode"):
+        pdf_texts(raw)
+
+
 def test_roundtrip_runs_positions():
     runs = pdf_decode(pdf_encode(PAGES))[0]
     # every input line present at its written y; x starts at the written x
