@@ -28,16 +28,83 @@ with latin-1-ish byte strings AND composite Type0/Identity-H CID fonts
 whose /ToUnicode CMap is honored (bfchar + bfrange, UTF-16BE targets incl.
 surrogate pairs; the writer emits the layout via ``pdf_encode(...,
 cid_font=True)`` with a deliberately non-identity code assignment so the
-CMap is load-bearing). Encrypted PDFs and Type0 fonts WITHOUT /ToUnicode
-(text not recoverable without glyph tables) raise ValueError → the
-callers' row quarantine turns that into an `error` column.
+CMap is load-bearing), AND standard-security-handler encrypted documents
+with an empty user password (RC4-40 /R 2 and RC4-128 /R 3: file key from
+/O + /P + /ID, authenticated against /U, per-object keys for strings and
+streams; the writer emits both via ``pdf_encode(..., encrypt_bits=40|128)``
+— the "owner-locked but opens everywhere" shape). Out of scope → ValueError
+→ the callers' row quarantine turns it into an `error` column: non-empty
+user passwords, AES (/V 4+) handlers, and Type0 fonts WITHOUT /ToUnicode
+(text unrecoverable without glyph tables).
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 import zlib
+
+# ---------------------------------------------------------------------------
+# standard security handler (PDF 32000-1 §7.6.3): RC4-40 (R2) / RC4-128 (R3)
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password padding string (Table 3.2 / Algorithm 2 step a)
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (the spec's symmetric cipher for V 1-2 handlers)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_key_OU(id0: bytes, revision: int, n: int,
+                ) -> tuple[bytes, bytes, bytes]:
+    """Empty-user/empty-owner standard handler: returns (file key, /O, /U).
+    Algorithm 3 (O), Algorithm 2 (key), Algorithms 4/5 (U)."""
+    oh = hashlib.md5(_PAD).digest()
+    if revision >= 3:
+        for _ in range(50):
+            oh = hashlib.md5(oh[:n]).digest()
+    o_entry = _rc4(oh[:n], _PAD)
+    h = hashlib.md5(_PAD + o_entry + struct.pack("<i", -1) + id0).digest()
+    if revision >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if revision == 2:
+        u_entry = _rc4(key, _PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u_entry = u + b"\x00" * 16  # 16 arbitrary padding bytes per spec
+    return key, o_entry, u_entry
+
+
+def _obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: per-object RC4 key = MD5(file key + 3 LE bytes of the
+    object number + 2 LE bytes of the generation), truncated to n+5 ≤ 16."""
+    h = hashlib.md5(key + struct.pack("<i", num)[:3]
+                    + struct.pack("<i", gen)[:2]).digest()
+    return h[:min(len(key) + 5, 16)]
+
 
 # ---------------------------------------------------------------------------
 # writer
@@ -47,12 +114,11 @@ _ESC = {ord("("): b"\\(", ord(")"): b"\\)", ord("\\"): b"\\\\",
         10: b"\\n", 13: b"\\r", 9: b"\\t", 8: b"\\b", 12: b"\\f"}
 
 
-def _pdf_string(s: str) -> bytes:
-    """Literal PDF string with escapes; bytes outside printable ASCII get
-    octal escapes of their latin-1 encoding (chars outside latin-1 are
-    replaced — the declared simple-font scope)."""
+def _pdf_bytes_literal(bs: bytes) -> bytes:
+    """Raw bytes → (…) literal PDF string token with escapes; bytes outside
+    printable ASCII get octal escapes."""
     out = bytearray(b"(")
-    for b in s.encode("latin-1", errors="replace"):
+    for b in bs:
         esc = _ESC.get(b)
         if esc is not None:
             out += esc
@@ -62,6 +128,12 @@ def _pdf_string(s: str) -> bytes:
             out += b"\\%03o" % b
     out += b")"
     return bytes(out)
+
+
+def _pdf_string(s: str) -> bytes:
+    """Literal PDF string from text via latin-1 (chars outside latin-1 are
+    replaced — the declared simple-font scope)."""
+    return _pdf_bytes_literal(s.encode("latin-1", errors="replace"))
 
 
 def _run_ops(i: int, x: float, y: float, size: float, text: str,
@@ -147,7 +219,8 @@ def _tounicode_cmap(codes: dict[str, int]) -> bytes:
 
 def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
                compress: bool = True, object_streams: bool = False,
-               cid_font: bool = False) -> bytes:
+               cid_font: bool = False,
+               encrypt_bits: int | None = None) -> bytes:
     """pages = list of pages; each page = list of (x, y, size, text) runs
     (PDF user space, y-up). Returns a complete classic-xref PDF — or, with
     ``object_streams``, a PDF 1.5 file whose non-stream objects (catalog,
@@ -158,7 +231,24 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
     composite Type0/Identity-H font (CIDFontType2 descendant + /ToUnicode
     CMap) and shows text as 2-byte-code hex strings under a subset-order
     (non-identity) code table — the layout every embedded-subset writer
-    emits; both flags compose."""
+    emits; both flags compose. ``encrypt_bits`` (40 or 128, classic layout
+    only) applies the standard security handler with EMPTY user and owner
+    passwords — RC4-40 /R 2 or RC4-128 /R 3, per-object keys, /O //U
+    entries, deterministic /ID — the "owner-locked but opens everywhere"
+    shape most encrypted PDFs in the wild have."""
+    if encrypt_bits is not None:
+        if object_streams:
+            raise ValueError(
+                "writer scope: encryption composes with the classic xref "
+                "layout only (parse side is layout-general)")
+        if encrypt_bits not in (40, 128):
+            raise ValueError("encrypt_bits must be 40 (R2) or 128 (R3)")
+        revision = 2 if encrypt_bits == 40 else 3
+        id0 = hashlib.md5(
+            repr(pages).encode("utf-8", "backslashreplace")).digest()
+        ekey, o_entry, u_entry = _std_key_OU(id0, revision, encrypt_bits // 8)
+    else:
+        ekey = None
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
@@ -183,6 +273,8 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             for j, (x, y, size, text) in enumerate(runs))
         if compress and not object_streams:
             data = zlib.compress(body)
+            if ekey is not None:  # encrypt AFTER filters-on-write (spec order)
+                data = _rc4(_obj_key(ekey, cid), data)
             # /Length as an INDIRECT reference (a length object after the
             # stream) — the shape real writers emit, so the parser's
             # indirect-length resolution is exercised by every payload.
@@ -197,8 +289,9 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             stream = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
                       % len(data)) + data + b"\nendstream"
         else:
-            stream = (b"<< /Length %d >>\nstream\n" % len(body)
-                      ) + body + b"\nendstream"
+            data = body if ekey is None else _rc4(_obj_key(ekey, cid), body)
+            stream = (b"<< /Length %d >>\nstream\n" % len(data)
+                      ) + data + b"\nendstream"
         objs[cid] = stream
         objs[pid] = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
                      b"/Resources << /Font << /F1 %d 0 R >> >> "
@@ -210,26 +303,44 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
             b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
             b"/ToUnicode %d 0 R >>" % (desc_id, cmap_id))
+        # literal strings inside object bodies are encrypted with THEIR
+        # object's key (spec: all strings outside the /Encrypt dict)
+        def lit(s: bytes, num: int) -> bytes:
+            return _pdf_bytes_literal(
+                s if ekey is None else _rc4(_obj_key(ekey, num), s))
         objs[desc_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
-            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
-            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>")
+            b"/CIDSystemInfo << /Registry %s /Ordering %s "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity /DW 500 >>"
+            % (lit(b"Adobe", desc_id), lit(b"Identity", desc_id)))
         compressed_ids.add(desc_id)
         cmap = _tounicode_cmap(codes)
-        if compress:
-            cdata = zlib.compress(cmap)
-            objs[cmap_id] = (b"<< /Length %d /Filter /FlateDecode >>"
-                             b"\nstream\n" % len(cdata)
-                             ) + cdata + b"\nendstream"
-        else:
-            objs[cmap_id] = (b"<< /Length %d >>\nstream\n" % len(cmap)
-                             ) + cmap + b"\nendstream"
+        cdata = zlib.compress(cmap) if compress else cmap
+        if ekey is not None:
+            cdata = _rc4(_obj_key(ekey, cmap_id), cdata)
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs[cmap_id] = (b"<< /Length %d%s >>\nstream\n" % (len(cdata), filt)
+                         ) + cdata + b"\nendstream"
     else:
         objs[font_id] = (b"<< /Type /Font /Subtype /Type1 "
                          b"/BaseFont /Helvetica >>")
 
     if object_streams:
         return _write_15(objs, compressed_ids)
+
+    trailer_extra = b""
+    if ekey is not None:
+        enc_id = max(objs) + 1
+        v = 1 if revision == 2 else 2
+        # the /Encrypt dict itself is NEVER encrypted (spec §7.6.2)
+        objs[enc_id] = (
+            b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> /U <%s> "
+            b"/P -1 >>" % (v, revision, encrypt_bits,
+                           o_entry.hex().upper().encode("ascii"),
+                           u_entry.hex().upper().encode("ascii")))
+        idhex = id0.hex().upper().encode("ascii")
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            enc_id, idhex, idhex)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -242,8 +353,8 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
     out += b"0000000000 65535 f \n"
     for num in range(1, max_id + 1):
         out += b"%010d 00000 n \n" % offsets.get(num, 0)
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (max_id + 1, xref_pos))
+    out += (b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+            % (max_id + 1, trailer_extra, xref_pos))
     return bytes(out)
 
 
@@ -464,7 +575,87 @@ class _Doc:
         if not raw.lstrip()[:5].startswith(b"%PDF-"):
             raise ValueError("missing %PDF header")
         self.objs = _scan_objects(raw)
+        self._key: bytes | None = None
+        self._enc_num: int | None = None
+        self._setup_decryption(raw)
         self._expand_object_streams()
+
+    def _trailer(self, raw: bytes) -> dict:
+        """Merged trailer dict: every classic `trailer <<…>>` plus every
+        /Type /XRef stream dict, later definitions winning (incremental-
+        update semantics). Only /Encrypt and /ID are consumed here — page
+        discovery stays on the robust offset scan."""
+        merged: dict = {}
+        for val, _ in self.objs.values():
+            if isinstance(val, dict) and val.get("Type") == "/XRef":
+                merged.update(val)
+        for m in re.finditer(rb"trailer\b", raw):
+            try:
+                d, _ = _parse_value(raw, m.end())
+            except (ValueError, IndexError):
+                continue
+            if isinstance(d, dict):
+                merged.update(d)
+        return merged
+
+    def _setup_decryption(self, raw: bytes) -> None:
+        """Standard security handler (§7.6.3), empty user password: derive
+        the file key from /O, /P and /ID[0] (Algorithm 2), authenticate it
+        against /U (Algorithms 4/5), then decrypt every top-level string
+        with its object's key. Stream decryption happens lazily in
+        stream_data. A non-empty user password or a non-Standard filter is
+        out of scope → ValueError → row quarantine."""
+        trailer = self._trailer(raw)
+        enc_ref = trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        self._enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict) or enc.get("Filter") != "/Standard":
+            raise ValueError("unsupported encryption filter (not /Standard)")
+        v, r = self.resolve(enc.get("V")), self.resolve(enc.get("R"))
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(f"unsupported security handler V={v} R={r} "
+                             "(RC4 V1/V2 R2/R3 is the declared scope)")
+        n = int(self.resolve(enc.get("Length", 40))) // 8
+        o_entry, u_entry = enc.get("O"), enc.get("U")
+        p = int(self.resolve(enc.get("P", -1)))
+        ids = trailer.get("ID")
+        id0 = ids[0] if isinstance(ids, list) and ids else b""
+        if not isinstance(o_entry, bytes) or not isinstance(u_entry, bytes):
+            raise ValueError("encrypt dict missing /O or /U strings")
+        p_le = struct.pack("<i", ((p + 2**31) % 2**32) - 2**31)
+        h = hashlib.md5(_PAD + o_entry + p_le + id0).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        key = h[:n]
+        if r == 2:
+            ok = _rc4(key, _PAD) == u_entry[:32]
+        else:
+            u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+            for i in range(1, 20):
+                u = _rc4(bytes(b ^ i for b in key), u)
+            ok = u == u_entry[:16]
+        if not ok:
+            raise ValueError("password-protected PDF (user password is not "
+                             "empty) — cannot decrypt")
+        self._key = key
+        for num in list(self.objs):
+            if num == self._enc_num:
+                continue  # strings in the /Encrypt dict are never encrypted
+            val, stream = self.objs[num]
+            self.objs[num] = (
+                self._decrypt_strings(val, _obj_key(key, num)), stream)
+
+    def _decrypt_strings(self, v, okey: bytes):
+        if isinstance(v, bytes):
+            return _rc4(okey, v)
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, okey) for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, okey) for x in v]
+        return v
 
     def _expand_object_streams(self) -> None:
         """PDF 1.5+ compressed object streams (/Type /ObjStm): the member
@@ -513,6 +704,10 @@ class _Doc:
             data = stream[:length]
         else:
             data = stream.rstrip(b"\r\n")
+        if (self._key is not None and num != self._enc_num
+                and not (isinstance(val, dict) and val.get("Type") == "/XRef")):
+            # decrypt-before-defilter; /XRef streams are never encrypted
+            data = _rc4(_obj_key(self._key, num), data)
         filt = self.resolve(val.get("Filter")) if isinstance(val, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         for f in filters:

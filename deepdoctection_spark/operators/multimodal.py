@@ -429,7 +429,8 @@ def _paginate_words(text: str) -> list[list[str]]:
 
 
 def synth_pdfs(docs: DataFrame, object_streams: bool = False,
-               cid_font: bool = False) -> DataFrame:
+               cid_font: bool = False,
+               encrypt_bits: int | None = None) -> DataFrame:
     """documents → genuine PDF payload table (stdlib writer): each doc's
     text is paginated by the shared contract and laid out one line per
     text run (x=72, y descending 18pt steps, 12pt), so the extractor's
@@ -437,7 +438,9 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
     ``object_streams`` writes the PDF 1.5 xref-stream/ObjStm layout —
     the parser must inflate the object stream to even find the page tree.
     ``cid_font`` writes Type0/Identity-H composite-font payloads whose text
-    is 2-byte subset codes — recoverable only through the /ToUnicode CMap."""
+    is 2-byte subset codes — recoverable only through the /ToUnicode CMap.
+    ``encrypt_bits`` (40 or 128) writes standard-security-handler encrypted
+    payloads (empty user password) the extractor must key-derive + RC4."""
     from deepdoctection_spark.kernels.pdf import pdf_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -452,7 +455,8 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                 rows.append(
                     (int(mid), "application/pdf", len(pages),
                      pdf_encode(pages, object_streams=object_streams,
-                                cid_font=cid_font))
+                                cid_font=cid_font,
+                                encrypt_bits=encrypt_bits))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "n_pages", "content"]

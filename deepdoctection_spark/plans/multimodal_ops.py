@@ -343,6 +343,40 @@ def q_media_pdf_texts_cid(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_encrypted",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_encrypted(spark, sf_dir):
+    """ENCRYPTED-PDF path (standard security handler, RC4-128 /R 3, empty
+    user password — the owner-locked shape most encrypted PDFs have): the
+    extractor must parse the trailer, derive the file key from /O + /P +
+    /ID, authenticate it against /U, and RC4-decrypt every content stream
+    with its per-object key before any text exists. Same pagination closed
+    form as media_pdf_texts: agreement proves the decryption chain is exact
+    (reference analogue: pdfplumber's decrypt pass consumed by
+    extern/pdftext.py)."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), encrypt_bits=128)
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

@@ -111,6 +111,46 @@ def test_type0_without_tounicode_quarantines():
         pdf_texts(raw)
 
 
+@pytest.mark.parametrize("bits,cid", [(40, False), (128, False), (128, True)])
+def test_encrypted_roundtrip(bits, cid):
+    """Standard security handler (empty user password): file-key derivation
+    from /O+/P+/ID, /U authentication, per-object RC4 of streams — RC4-40
+    /R 2 and RC4-128 /R 3, alone and composed with the CID font layout."""
+    raw = pdf_encode(PAGES, encrypt_bits=bits, cid_font=cid)
+    assert b"/Encrypt" in raw
+    # content must not be recoverable without the key (even inflated)
+    assert b"hello" not in raw and b"hello" not in zlib_any(raw)
+    assert pdf_texts(raw) == EXPECT
+
+
+def test_encrypted_wrong_user_password_quarantines():
+    """A /U entry that doesn't authenticate the empty-password key (i.e. the
+    file needs a real user password) must raise, not emit garbage."""
+    raw = bytearray(pdf_encode(PAGES, encrypt_bits=40))
+    i = raw.find(b"/U <")
+    raw[i + 4:i + 12] = b"00000000"
+    with pytest.raises(ValueError, match="password"):
+        pdf_texts(bytes(raw))
+
+
+def test_encrypted_dict_strings_decrypt():
+    """Literal strings inside object bodies are encrypted with their
+    object's key: the CID descendant's /CIDSystemInfo /Registry must parse
+    back to the plaintext 'Adobe' after decryption."""
+    from deepdoctection_spark.kernels.pdf import _Doc
+    raw = pdf_encode(PAGES, encrypt_bits=128, cid_font=True)
+    doc = _Doc(raw)
+    regs = [v.get("CIDSystemInfo", {}).get("Registry")
+            for v, _s in doc.objs.values()
+            if isinstance(v, dict) and v.get("Subtype") == "/CIDFontType2"]
+    assert regs == [b"Adobe"]
+
+
+def test_encrypt_objstm_writer_scope():
+    with pytest.raises(ValueError, match="classic xref"):
+        pdf_encode(PAGES, encrypt_bits=40, object_streams=True)
+
+
 def test_roundtrip_runs_positions():
     runs = pdf_decode(pdf_encode(PAGES))[0]
     # every input line present at its written y; x starts at the written x
