@@ -397,17 +397,24 @@ def _write_15(objs: dict[int, bytes], compressed_ids: set[int]) -> bytes:
     xref_pos = len(out)
     size = xref_id + 1
     entries[xref_id] = (1, xref_pos, 0)
-    # /W [1 4 2]: 4-byte offsets (PDFs beyond 64KB), 2-byte field3
+    # /W [1 4 2]: 4-byte offsets (PDFs beyond 64KB), 2-byte field3.
+    # Rows go through the PNG Up predictor (/Predictor 12) before Flate —
+    # the shape every real writer emits (near-identical consecutive rows
+    # delta to runs of zeros).
+    rowlen = 7
     rows = bytearray()
+    prev = bytes(rowlen)
     for n in range(size):
         t, f2, f3 = entries.get(n, (0, 0, 0))
-        rows.append(t)
-        rows += struct.pack(">I", f2)
-        rows += struct.pack(">H", f3)
+        raw_row = struct.pack(">BIH", t, f2, f3)
+        rows.append(2)  # PNG filter type: Up
+        rows += bytes((raw_row[i] - prev[i]) & 0xFF for i in range(rowlen))
+        prev = raw_row
     xdata = zlib.compress(bytes(rows))
     out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+            b"/DecodeParms << /Predictor 12 /Columns %d >> "
             b"/Length %d /Filter /FlateDecode >>\nstream\n"
-            % (xref_id, size, len(xdata))) + xdata + b"\nendstream\nendobj\n"
+            % (xref_id, size, rowlen, len(xdata))) + xdata + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
@@ -695,6 +702,48 @@ class _Doc:
                 raise ValueError("indirect reference loop")
         return v
 
+    @staticmethod
+    def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                       bpc: int = 8) -> bytes:
+        """Reverse PNG row predictors (/Predictor >= 10) on a Flate stream:
+        each row is one filter-type byte + `columns*colors*bpc/8` data
+        bytes; filters None/Sub/Up/Average/Paeth per the PNG spec — the
+        shape every real writer's /XRef stream uses."""
+        bpp = max(1, colors * bpc // 8)
+        rowlen = (columns * colors * bpc + 7) // 8
+        if rowlen <= 0 or len(data) % (rowlen + 1):
+            raise ValueError("predicted stream length does not tile rows")
+        out = bytearray()
+        prev = bytearray(rowlen)
+        for r in range(0, len(data), rowlen + 1):
+            ft = data[r]
+            row = bytearray(data[r + 1:r + 1 + rowlen])
+            if ft == 1:  # Sub
+                for i in range(bpp, rowlen):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(rowlen):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(rowlen):
+                    a = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(rowlen):
+                    a = row[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            out += row
+            prev = row
+        return bytes(out)
+
     def stream_data(self, num: int) -> bytes:
         val, stream = self.objs[num]
         if stream is None:
@@ -710,10 +759,25 @@ class _Doc:
             data = _rc4(_obj_key(self._key, num), data)
         filt = self.resolve(val.get("Filter")) if isinstance(val, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
+        parms = self.resolve(val.get("DecodeParms", val.get("DP"))) \
+            if isinstance(val, dict) else None
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for k, f in enumerate(filters):
             f = self.resolve(f)
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+                pr = self.resolve(parms_list[k]) if k < len(parms_list) \
+                    else None
+                if isinstance(pr, dict):
+                    pred = self.resolve(pr.get("Predictor", 1))
+                    if pred >= 10:  # PNG row predictors
+                        data = self._png_unpredict(
+                            data,
+                            int(self.resolve(pr.get("Columns", 1))),
+                            int(self.resolve(pr.get("Colors", 1))),
+                            int(self.resolve(pr.get("BitsPerComponent", 8))))
+                    elif pred == 2:
+                        raise ValueError("TIFF predictor (2) not supported")
             elif f is None:
                 continue
             else:
