@@ -549,3 +549,100 @@ def q_events_json(spark, sf_dir):
         k.alias("k"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
     )
+
+
+@register(
+    "events_asof_join",
+    """
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_us(c.ts)::BIGINT AS click_ts_us, c.value AS click_value,
+       v.event_id AS view_id, epoch_us(v.ts)::BIGINT AS view_ts_us,
+       v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def q_events_asof_join(spark, sf_dir):
+    """As-of join (kdb aj / pandas merge_asof semantics, distributed): every
+    click joins the most recent prior view by the same user, nulls when no
+    view precedes. Spark has no ASOF JOIN; the union-window formulation
+    (operators/temporal.py) does it with ONE user_id shuffle and zero join
+    nodes — the naive formulation is an O(clicks x views) theta join.
+    Oracle: DuckDB's native ASOF LEFT JOIN (deterministic here: the
+    testdata has no (user_id, ts) collisions)."""
+    from deepdoctection_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        clicks, views, on="user_id",
+        left_ts="click_ts_us", right_ts="view_ts_us",
+        right_payload=["view_id", "view_ts_us", "view_value"],
+    )
+    return out.select(
+        "click_id", "user_id", "click_ts_us", "click_value",
+        F.col("view_id_right").alias("view_id"),
+        F.col("view_ts_us_right").alias("view_ts_us"),
+        F.col("view_value_right").alias("view_value"),
+    )
+
+
+@register(
+    "events_range_join",
+    """
+SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+       (epoch_us(c.ts) - epoch_us(e.ts))::BIGINT AS delta_us
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+""",
+)
+def q_events_range_join(spark, sf_dir):
+    """Interval range join: clicks landing inside [error, error+6h] windows
+    of the same user. Spark plans a BETWEEN theta join as broadcast
+    nested-loop (O(n*m) compares); the bucketed formulation
+    (operators/temporal.py) replicates each interval to <=2 six-hour
+    buckets and equi-joins on (user_id, bucket) — one hash shuffle each
+    side, exact BETWEEN refine, no dedup needed."""
+    from deepdoctection_spark.operators.temporal import range_join_intervals
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    six_h = 6 * 3600 * 1_000_000
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + six_h).alias("end_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_us"),
+    )
+    joined = range_join_intervals(
+        clicks, errors, on="user_id", point_ts="click_us",
+        start_ts="start_us", end_ts="end_us", bucket_width=six_h,
+    )
+    return joined.select(
+        "error_id", "click_id", "user_id",
+        (F.col("click_us") - F.col("start_us")).cast("long").alias("delta_us"),
+    )

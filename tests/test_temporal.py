@@ -1,0 +1,80 @@
+"""Temporal joins (operators/temporal.py): as-of semantics (latest prior
+row, tie handling, strict mode, missing-match nulls) and bucketed interval
+range join (boundary inclusivity, bucket-spanning intervals, plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.temporal import (
+    asof_join,
+    range_join_intervals,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_latest_prior_and_nulls(spark):
+    left = _df(spark, [(1, 100, "a"), (1, 205, "b"), (2, 50, "c")],
+               "k int, ts int, tag string")
+    right = _df(spark, [(1, 90, 9.0), (1, 200, 20.0), (1, 300, 30.0),
+                        (2, 60, 6.0)],
+                "k int, ts int, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    right_payload=["ts", "v"]).orderBy("tag").collect()
+    # a@100 -> right@90; b@205 -> right@200; c@50 -> no prior -> nulls
+    assert [(r.tag, r.ts_right, r.v_right) for r in out] == [
+        ("a", 90, 9.0), ("b", 200, 20.0), ("c", None, None)]
+
+
+def test_asof_equal_ts_inclusive_vs_strict(spark):
+    left = _df(spark, [(1, 100, "x")], "k int, ts int, tag string")
+    right = _df(spark, [(1, 100, 1.0), (1, 40, 4.0)], "k int, ts int, v double")
+    incl = asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    assert incl[0].v_right == 1.0  # ts_right <= ts_left: the equal row wins
+    strict = asof_join(left, right, "k", "ts", "ts", ["v"],
+                       strict=True).collect()
+    assert strict[0].v_right == 4.0  # ts_right < ts_left only
+
+
+def test_asof_plan_has_no_join_node(spark):
+    left = _df(spark, [(1, 1, "x")], "k int, ts int, tag string")
+    right = _df(spark, [(1, 1, 1.0)], "k int, ts int, v double")
+    plan = asof_join(left, right, "k", "ts", "ts", ["v"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" in plan
+
+
+def test_range_join_boundaries_and_bucket_span(spark):
+    # interval [100, 300] with bucket width 100 spans buckets 1,2,3;
+    # points at the exact boundaries are INCLUDED, outside excluded
+    intervals = _df(spark, [(7, 100, 300, "iv")],
+                    "k int, s int, e int, name string")
+    points = _df(spark, [(7, 99, "p0"), (7, 100, "p1"), (7, 250, "p2"),
+                         (7, 300, "p3"), (7, 301, "p4"), (8, 200, "p5")],
+                 "k int, ts int, tag string")
+    out = range_join_intervals(points, intervals, on="k", point_ts="ts",
+                               start_ts="s", end_ts="e", bucket_width=100)
+    assert sorted(r.tag for r in out.collect()) == ["p1", "p2", "p3"]
+
+
+def test_range_join_no_duplicate_matches(spark):
+    # a point inside an interval that spans many buckets matches ONCE
+    intervals = _df(spark, [(1, 0, 1000, "wide")],
+                    "k int, s int, e int, name string")
+    points = _df(spark, [(1, 500, "p")], "k int, ts int, tag string")
+    out = range_join_intervals(points, intervals, "k", "ts", "s", "e",
+                               bucket_width=10).collect()
+    assert len(out) == 1
+
+
+def test_range_join_plan_is_equi_join(spark):
+    intervals = _df(spark, [(1, 0, 10, "i")], "k int, s int, e int, name string")
+    points = _df(spark, [(1, 5, "p")], "k int, ts int, tag string")
+    plan = range_join_intervals(points, intervals, "k", "ts", "s", "e", 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
