@@ -250,3 +250,83 @@ def q_stream_ice_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_interval_join",
+    """
+SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+       (epoch_us(c.ts) - epoch_us(e.ts))::BIGINT AS delta_us
+FROM events e JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (the Structured Streaming
+    feature the rest of the streaming surface doesn't touch): clicks and
+    errors arrive as two file-source streams, both watermarked on event
+    time, joined on user_id with the time-range predicate `click.ts in
+    [error.ts, error.ts + 6h]` — Spark bounds each side's join state from
+    the range condition + watermarks instead of buffering streams forever.
+    The oracle is the SAME SQL as the batch events_range_join: agreement
+    proves the streaming join emits exactly the batch matches, none lost
+    to state eviction, none duplicated across micro-batches."""
+    from pyspark.sql import functions as F
+
+    path = tempfile.mkdtemp(prefix="ddspark_stream_join_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            4
+        ).write.mode("overwrite").parquet(path)
+        schema = spark.read.parquet(path).schema
+        ev = spark.readStream.schema(schema).parquet(path).select(
+            "event_id", "user_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        errors = (
+            ev.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                F.col("user_id").alias("e_user"),
+                F.col("ts").alias("error_ts"),
+            )
+            .withWatermark("error_ts", "1 hour")
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        joined = clicks.join(
+            errors,
+            F.expr(
+                "c_user = e_user AND "
+                "click_ts >= error_ts AND "
+                "click_ts <= error_ts + INTERVAL 6 HOURS"
+            ),
+        ).select(
+            "error_id",
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            (F.unix_micros("click_ts") - F.unix_micros("error_ts"))
+            .cast("long")
+            .alias("delta_us"),
+        )
+        name = f"stream_join_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_bounded(q)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

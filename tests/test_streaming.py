@@ -217,3 +217,63 @@ def test_sessionize_late_row_bridges_gap_across_batches(spark, tmp_path):
         for r in spark.table("bridge_sessions").collect()
     }
     assert got.get("A") == (3, "a0\n\na1\n\na2")
+
+
+def test_stream_interval_join_across_microbatches(spark, tmp_path):
+    """Stream-stream inner join must match rows ACROSS micro-batches: the
+    error arrives in file/batch 1, its in-window click in file/batch 2 —
+    the join state has to hold batch-1 rows until the range closes. Late
+    out-of-window clicks must not match."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    f1 = pd.DataFrame({
+        "event_id": [1, 2],
+        "user_id": [7, 7],
+        "event_type": ["error", "click"],
+        "ts": [base, base + h],          # click@+1h: inside [0, 6h]
+    })
+    f2 = pd.DataFrame({
+        "event_id": [3, 4],
+        "user_id": [7, 7],
+        "event_type": ["click", "click"],
+        "ts": [base + 5 * h, base + 7 * h],  # +5h inside; +7h OUTSIDE
+    })
+    spark.createDataFrame(f1).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(f2).coalesce(1).write.parquet(str(d / "f2"))
+    schema = spark.read.parquet(str(d / "*")).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+    ).withWatermark("error_ts", "1 hour")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    joined = clicks.join(
+        errors,
+        F.expr("c_user = e_user AND click_ts >= error_ts "
+               "AND click_ts <= error_ts + INTERVAL 6 HOURS"),
+    ).select("error_id", "click_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("xbatch_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.error_id, r.click_id)
+                 for r in spark.table("xbatch_join").collect())
+    assert got == [(1, 2), (1, 3)]
