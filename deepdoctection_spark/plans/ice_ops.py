@@ -323,3 +323,35 @@ def q_ice_pruned_scan(spark, sf_dir):
     return _materialize_then_rm(
         _summarize(t.scan(spark, ("user_id", ">=", cut))), tmp
     )
+
+
+@register(
+    "ice_zorder_scan",
+    """
+SELECT event_id, user_id, value FROM events
+WHERE user_id >= 100 AND user_id < 120
+  AND value >= 10.0 AND value < 15.0
+""",
+)
+def q_ice_zorder_scan(spark, sf_dir):
+    """Z-order (Morton-curve) clustering: ONE commit of the shuffled events
+    written with zorder_by (user_id, value) into 16 files — BOTH columns get
+    file-level min/max locality, so a 2-D box predicate prunes most files
+    from footer stats alone (asserted >=6 of 16; measured 12), and even a
+    single-column predicate on the SECOND dimension prunes (plain sort_by
+    user_id prunes zero files on a value-only scan — tested in
+    test_icetable.py). The Databricks OPTIMIZE ZORDER BY pattern as a
+    write-order option."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .repartition(8)  # scatter: locality must come from the z-curve alone
+    )
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_zorder_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev, zorder_by=["user_id", "value"], sort_files=16)
+    pred = [("user_id", ">=", 100), ("user_id", "<", 120),
+            ("value", ">=", 10.0), ("value", "<", 15.0)]
+    keep, pruned = t.plan_files(pred)
+    assert pruned >= 6, f"z-order clustering inert: pruned={pruned}"
+    return _materialize_then_rm(t.scan(spark, pred), tmp)

@@ -460,11 +460,54 @@ class IceTable:
         files = raw.get("files") or []
         return [self._write_manifest(files)] if files else []
 
+    @staticmethod
+    def _zorder_column(df: DataFrame, cols: list[str],
+                       bits: int = 16) -> DataFrame:
+        """Add a ``__zvalue`` long interleaving the bit-planes of each
+        column's min-max-scaled bucket id (Morton / Z-order curve) — the
+        multi-dimensional clustering key Databricks' OPTIMIZE ZORDER uses.
+        Sorting by it gives EVERY listed column file-level locality, where
+        plain sort_by only clusters the sort prefix. The min/max bounds are
+        one model-sized agg; the interleave is a pure column expression
+        (whole-stage-codegen'd, no UDF). k columns use k*floor(48/k) bits."""
+        if not 1 <= len(cols) <= 4:
+            raise ValueError("zorder_by takes 1-4 columns")
+        k = len(cols)
+        use_bits = min(bits, 48 // k)
+        top = (1 << use_bits) - 1
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
+              for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{i}")
+              for i, c in enumerate(cols)],
+        ).first()
+        buckets = []
+        for i, c in enumerate(cols):
+            mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+            if mn is None or mx is None or mx <= mn:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            scaled = (
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                / F.lit(mx - mn) * F.lit(float(top))
+            )
+            buckets.append(
+                F.least(F.lit(top).cast("long"),
+                        F.greatest(F.lit(0).cast("long"),
+                                   F.floor(scaled).cast("long"))))
+        z = F.lit(0).cast("long")
+        for bit in range(use_bits):
+            for j, b in enumerate(buckets):
+                plane = F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long"))
+                z = z.bitwiseOR(F.shiftleft(plane, bit * k + j))
+        return df.withColumn("__zvalue", z)
+
     def _write_data_files(self, df: DataFrame,
                           partition_by: str | None = None,
                           sort_by: list[str] | None = None,
                           sort_files: int | None = None,
-                          bloom_cols: list[str] | None = None) -> list[dict]:
+                          bloom_cols: list[str] | None = None,
+                          zorder_by: list[str] | None = None) -> list[dict]:
         """Stage df as immutable parquet files under data/ (commit-uuid
         prefix — never visible until a manifest reachable from a snapshot
         lists them), then harvest each file's manifest entry. The harvest
@@ -491,6 +534,16 @@ class IceTable:
         spark = df.sparkSession
         commit = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f"_staging-{commit}")
+        if zorder_by:
+            if sort_by:
+                raise ValueError("zorder_by and sort_by are exclusive")
+            n_files = sort_files or 8
+            df = (
+                self._zorder_column(df, zorder_by)
+                .repartitionByRange(n_files, "__zvalue")
+                .sortWithinPartitions("__zvalue")
+                .drop("__zvalue")
+            )
         if sort_by:
             # global sort = range partition + local sort; an explicit
             # ``sort_files`` pins the range-partition count (AQE otherwise
@@ -655,20 +708,24 @@ class IceTable:
                partition_by: str | None = None,
                sort_by: list[str] | None = None,
                sort_files: int | None = None,
-               bloom_cols: list[str] | None = None) -> dict:
+               bloom_cols: list[str] | None = None,
+               zorder_by: list[str] | None = None) -> dict:
         """Append-files commit (Iceberg ``append``): new snapshot = parent's
         manifests + one new manifest holding this df's files — commit
         metadata is O(added files), never O(table). ``partition_by`` =
         identity partitioning (Hive-layout files, per-file partition value
         in the manifest); ``sort_by`` = write-order clustering (tight
         per-file min/max); ``bloom_cols`` = per-file Bloom sidecars for
-        point-lookup pruning."""
+        point-lookup pruning; ``zorder_by`` = Morton-curve multi-dimensional
+        clustering (every listed column gets file-level min/max locality,
+        not just the sort prefix — exclusive with sort_by)."""
         prev = self._raw_snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
         self._check_partition_spec(prev, partition_by)
         added = self._write_data_files(df, partition_by=partition_by,
                                        sort_by=sort_by, sort_files=sort_files,
-                                       bloom_cols=bloom_cols)
+                                       bloom_cols=bloom_cols,
+                                       zorder_by=zorder_by)
         new_ref = self._write_manifest(added) if added else None
 
         def manifests_fn(parent: dict) -> list[dict]:
@@ -684,7 +741,8 @@ class IceTable:
                                    "added_manifests":
                                        [new_ref["path"]] if new_ref else [],
                                    "partition_by": partition_by,
-                                   "sort_by": sort_by})
+                                   "sort_by": sort_by,
+                                   "zorder_by": zorder_by})
 
     def overwrite(self, df: DataFrame, allow_schema_change: bool = False,
                   sort_by: list[str] | None = None,

@@ -647,3 +647,60 @@ def test_in_predicate_bloom_pruning(spark, tbl):
     # min/max can't split single-value files apart, Bloom can
     assert plan["pruned_files"] >= 2
     assert tbl.scan(spark, ("tag", "in", ["alpha", "nosuch"])).count() == 20
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """zorder_by gives BOTH columns file-level locality: a box predicate
+    and each single-column predicate prune files, where plain sort_by only
+    serves its prefix column (a value-only scan over a user_id-sorted
+    table prunes nothing)."""
+    from pyspark.sql import functions as F
+
+    ev = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 149).alias("user_id"),
+            (F.pmod(F.col("id") * 37, F.lit(500)) / 1.0).alias("value"),
+        )
+        .repartition(8)
+    )
+    zt = IceTable(str(tmp_path / "z"))
+    zt.append(ev, zorder_by=["user_id", "value"], sort_files=16)
+    st = IceTable(str(tmp_path / "s"))
+    st.append(ev, sort_by=["user_id"], sort_files=16)
+
+    box = [("user_id", ">=", 100), ("user_id", "<", 120),
+           ("value", ">=", 10.0), ("value", "<", 100.0)]
+    y_only = [("value", ">=", 10.0), ("value", "<", 100.0)]
+    assert zt.plan_files(box)[1] >= 6
+    assert zt.plan_files(y_only)[1] >= 1
+    assert st.plan_files(y_only)[1] == 0  # sort prefix can't serve dim 2
+
+    # pruning must stay exact: scan == full filter
+    got = sorted(r.event_id for r in zt.scan(spark, box).collect())
+    want = sorted(
+        r.event_id
+        for r in ev.filter(
+            (F.col("user_id") >= 100) & (F.col("user_id") < 120)
+            & (F.col("value") >= 10.0) & (F.col("value") < 100.0)
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_zorder_row_identity_and_exclusivity(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    ev = spark.range(500).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 97).alias("b"))
+    t = IceTable(str(tmp_path / "t"))
+    t.append(ev, zorder_by=["a", "b"], sort_files=4)
+    assert sorted(t.read(spark).collect()) == sorted(ev.collect())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exclusive"):
+        IceTable(str(tmp_path / "t2")).append(
+            ev, zorder_by=["a"], sort_by=["b"])
+    with _pytest.raises(ValueError, match="1-4"):
+        IceTable(str(tmp_path / "t3")).append(
+            ev, zorder_by=["a", "b", "a", "b", "a"])
