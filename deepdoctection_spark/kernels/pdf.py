@@ -29,13 +29,15 @@ whose /ToUnicode CMap is honored (bfchar + bfrange, UTF-16BE targets incl.
 surrogate pairs; the writer emits the layout via ``pdf_encode(...,
 cid_font=True)`` with a deliberately non-identity code assignment so the
 CMap is load-bearing), AND standard-security-handler encrypted documents
-with an empty user password (RC4-40 /R 2 and RC4-128 /R 3: file key from
-/O + /P + /ID, authenticated against /U, per-object keys for strings and
-streams; the writer emits both via ``pdf_encode(..., encrypt_bits=40|128)``
-— the "owner-locked but opens everywhere" shape). Out of scope → ValueError
-→ the callers' row quarantine turns it into an `error` column: non-empty
-user passwords, AES (/V 4+) handlers, and Type0 fonts WITHOUT /ToUnicode
-(text unrecoverable without glyph tables).
+with an empty user password — RC4-40 /R 2, RC4-128 /R 3, and AES-128 /V 4
+/R 4 /AESV2 crypt filters (kernels/aes.py, FIPS-197-vector-pinned): file
+key from /O + /P + /ID, authenticated against /U, per-object keys for
+strings and streams; the writer emits all three via ``pdf_encode(...,
+encrypt_bits=40|128, cipher="rc4"|"aes")`` — the "owner-locked but opens
+everywhere" shape. Out of scope → ValueError → the callers' row quarantine
+turns it into an `error` column: non-empty user passwords, AES-256 (/R 6),
+and Type0 fonts WITHOUT /ToUnicode (text unrecoverable without glyph
+tables).
 """
 
 from __future__ import annotations
@@ -98,11 +100,13 @@ def _std_key_OU(id0: bytes, revision: int, n: int,
     return key, o_entry, u_entry
 
 
-def _obj_key(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: per-object RC4 key = MD5(file key + 3 LE bytes of the
-    object number + 2 LE bytes of the generation), truncated to n+5 ≤ 16."""
+def _obj_key(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key = MD5(file key + 3 LE bytes of the
+    object number + 2 LE bytes of the generation [+ the AESV2 salt
+    b'sAlT']), truncated to n+5 ≤ 16."""
     h = hashlib.md5(key + struct.pack("<i", num)[:3]
-                    + struct.pack("<i", gen)[:2]).digest()
+                    + struct.pack("<i", gen)[:2]
+                    + (b"sAlT" if aes else b"")).digest()
     return h[:min(len(key) + 5, 16)]
 
 
@@ -220,7 +224,8 @@ def _tounicode_cmap(codes: dict[str, int]) -> bytes:
 def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
                compress: bool = True, object_streams: bool = False,
                cid_font: bool = False,
-               encrypt_bits: int | None = None) -> bytes:
+               encrypt_bits: int | None = None,
+               cipher: str = "rc4") -> bytes:
     """pages = list of pages; each page = list of (x, y, size, text) runs
     (PDF user space, y-up). Returns a complete classic-xref PDF — or, with
     ``object_streams``, a PDF 1.5 file whose non-stream objects (catalog,
@@ -242,13 +247,28 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
                 "writer scope: encryption composes with the classic xref "
                 "layout only (parse side is layout-general)")
         if encrypt_bits not in (40, 128):
-            raise ValueError("encrypt_bits must be 40 (R2) or 128 (R3)")
-        revision = 2 if encrypt_bits == 40 else 3
+            raise ValueError("encrypt_bits must be 40 (R2) or 128 (R3/R4)")
+        if cipher not in ("rc4", "aes"):
+            raise ValueError("cipher must be 'rc4' or 'aes'")
+        if cipher == "aes" and encrypt_bits != 128:
+            raise ValueError("AESV2 is 128-bit only")
+        revision = 4 if cipher == "aes" else (2 if encrypt_bits == 40 else 3)
         id0 = hashlib.md5(
             repr(pages).encode("utf-8", "backslashreplace")).digest()
         ekey, o_entry, u_entry = _std_key_OU(id0, revision, encrypt_bits // 8)
+
+        def enc_data(num: int, data: bytes) -> bytes:
+            if cipher == "aes":
+                from deepdoctection_spark.kernels.aes import (
+                    aes128_cbc_encrypt,
+                )
+                iv = hashlib.md5(b"iv%d:%d" % (num, len(data))).digest()
+                return aes128_cbc_encrypt(
+                    _obj_key(ekey, num, aes=True), iv, data)
+            return _rc4(_obj_key(ekey, num), data)
     else:
         ekey = None
+        enc_data = None
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_id = 3 + 2 * n_pages
@@ -274,7 +294,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         if compress and not object_streams:
             data = zlib.compress(body)
             if ekey is not None:  # encrypt AFTER filters-on-write (spec order)
-                data = _rc4(_obj_key(ekey, cid), data)
+                data = enc_data(cid, data)
             # /Length as an INDIRECT reference (a length object after the
             # stream) — the shape real writers emit, so the parser's
             # indirect-length resolution is exercised by every payload.
@@ -289,7 +309,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             stream = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
                       % len(data)) + data + b"\nendstream"
         else:
-            data = body if ekey is None else _rc4(_obj_key(ekey, cid), body)
+            data = body if ekey is None else enc_data(cid, body)
             stream = (b"<< /Length %d >>\nstream\n" % len(data)
                       ) + data + b"\nendstream"
         objs[cid] = stream
@@ -306,8 +326,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         # literal strings inside object bodies are encrypted with THEIR
         # object's key (spec: all strings outside the /Encrypt dict)
         def lit(s: bytes, num: int) -> bytes:
-            return _pdf_bytes_literal(
-                s if ekey is None else _rc4(_obj_key(ekey, num), s))
+            return _pdf_bytes_literal(s if ekey is None else enc_data(num, s))
         objs[desc_id] = (
             b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
             b"/CIDSystemInfo << /Registry %s /Ordering %s "
@@ -317,7 +336,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         cmap = _tounicode_cmap(codes)
         cdata = zlib.compress(cmap) if compress else cmap
         if ekey is not None:
-            cdata = _rc4(_obj_key(ekey, cmap_id), cdata)
+            cdata = enc_data(cmap_id, cdata)
         filt = b" /Filter /FlateDecode" if compress else b""
         objs[cmap_id] = (b"<< /Length %d%s >>\nstream\n" % (len(cdata), filt)
                          ) + cdata + b"\nendstream"
@@ -331,13 +350,20 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
     trailer_extra = b""
     if ekey is not None:
         enc_id = max(objs) + 1
-        v = 1 if revision == 2 else 2
+        ohex = o_entry.hex().upper().encode("ascii")
+        uhex = u_entry.hex().upper().encode("ascii")
         # the /Encrypt dict itself is NEVER encrypted (spec §7.6.2)
-        objs[enc_id] = (
-            b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> /U <%s> "
-            b"/P -1 >>" % (v, revision, encrypt_bits,
-                           o_entry.hex().upper().encode("ascii"),
-                           u_entry.hex().upper().encode("ascii")))
+        if revision == 4:  # crypt-filter layout: /AESV2 for streams+strings
+            objs[enc_id] = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P -1 >>"
+                % (ohex, uhex))
+        else:
+            v = 1 if revision == 2 else 2
+            objs[enc_id] = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /O <%s> "
+                b"/U <%s> /P -1 >>" % (v, revision, encrypt_bits, ohex, uhex))
         idhex = id0.hex().upper().encode("ascii")
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             enc_id, idhex, idhex)
@@ -584,6 +610,7 @@ class _Doc:
         self.objs = _scan_objects(raw)
         self._key: bytes | None = None
         self._enc_num: int | None = None
+        self._aes = False
         self._setup_decryption(raw)
         self._expand_object_streams()
 
@@ -621,9 +648,25 @@ class _Doc:
         if not isinstance(enc, dict) or enc.get("Filter") != "/Standard":
             raise ValueError("unsupported encryption filter (not /Standard)")
         v, r = self.resolve(enc.get("V")), self.resolve(enc.get("R"))
-        if v not in (1, 2) or r not in (2, 3):
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
             raise ValueError(f"unsupported security handler V={v} R={r} "
-                             "(RC4 V1/V2 R2/R3 is the declared scope)")
+                             "(RC4 V1/V2 R2/R3 + AESV2 V4/R4 is the scope)")
+        self._aes = False
+        if v == 4:
+            cf = self.resolve(enc.get("CF"))
+            stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
+                else None
+            cfm = self.resolve(stdcf.get("CFM")) if isinstance(stdcf, dict) \
+                else None
+            for which in ("StmF", "StrF"):
+                sel = self.resolve(enc.get(which, "/Identity"))
+                if sel != "/StdCF":
+                    raise ValueError(
+                        f"V4 {which}={sel}: only /StdCF is in scope")
+            if cfm == "/AESV2":
+                self._aes = True
+            elif cfm != "/V2":  # /V2 = RC4 under the crypt-filter layout
+                raise ValueError(f"unsupported crypt filter method {cfm}")
         n = int(self.resolve(enc.get("Length", 40))) // 8
         o_entry, u_entry = enc.get("O"), enc.get("U")
         p = int(self.resolve(enc.get("P", -1)))
@@ -652,16 +695,23 @@ class _Doc:
             if num == self._enc_num:
                 continue  # strings in the /Encrypt dict are never encrypted
             val, stream = self.objs[num]
-            self.objs[num] = (
-                self._decrypt_strings(val, _obj_key(key, num)), stream)
+            self.objs[num] = (self._decrypt_strings(val, num), stream)
 
-    def _decrypt_strings(self, v, okey: bytes):
+    def _dec(self, num: int, data: bytes) -> bytes:
+        """Per-object decrypt with the active cipher (RC4 or AESV2-CBC)."""
+        if self._aes:
+            from deepdoctection_spark.kernels.aes import aes128_cbc_decrypt
+            return aes128_cbc_decrypt(
+                _obj_key(self._key, num, aes=True), data)
+        return _rc4(_obj_key(self._key, num), data)
+
+    def _decrypt_strings(self, v, num: int):
         if isinstance(v, bytes):
-            return _rc4(okey, v)
+            return self._dec(num, v)
         if isinstance(v, dict):
-            return {k: self._decrypt_strings(x, okey) for k, x in v.items()}
+            return {k: self._decrypt_strings(x, num) for k, x in v.items()}
         if isinstance(v, list):
-            return [self._decrypt_strings(x, okey) for x in v]
+            return [self._decrypt_strings(x, num) for x in v]
         return v
 
     def _expand_object_streams(self) -> None:
@@ -756,7 +806,7 @@ class _Doc:
         if (self._key is not None and num != self._enc_num
                 and not (isinstance(val, dict) and val.get("Type") == "/XRef")):
             # decrypt-before-defilter; /XRef streams are never encrypted
-            data = _rc4(_obj_key(self._key, num), data)
+            data = self._dec(num, data)
         filt = self.resolve(val.get("Filter")) if isinstance(val, dict) else None
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
         parms = self.resolve(val.get("DecodeParms", val.get("DP"))) \

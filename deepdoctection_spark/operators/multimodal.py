@@ -430,7 +430,8 @@ def _paginate_words(text: str) -> list[list[str]]:
 
 def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                cid_font: bool = False,
-               encrypt_bits: int | None = None) -> DataFrame:
+               encrypt_bits: int | None = None,
+               cipher: str = "rc4") -> DataFrame:
     """documents → genuine PDF payload table (stdlib writer): each doc's
     text is paginated by the shared contract and laid out one line per
     text run (x=72, y descending 18pt steps, 12pt), so the extractor's
@@ -456,7 +457,8 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                     (int(mid), "application/pdf", len(pages),
                      pdf_encode(pages, object_streams=object_streams,
                                 cid_font=cid_font,
-                                encrypt_bits=encrypt_bits))
+                                encrypt_bits=encrypt_bits,
+                                cipher=cipher))
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "n_pages", "content"]

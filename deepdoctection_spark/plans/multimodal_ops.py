@@ -377,6 +377,39 @@ def q_media_pdf_texts_encrypted(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_aes",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_aes(spark, sf_dir):
+    """AES-ENCRYPTED-PDF path (/V 4 /R 4 /AESV2 crypt filter — the modern
+    default): the extractor derives the R4 file key, authenticates /U,
+    then AES-128-CBC-decrypts each content stream with its salted
+    per-object key (kernels/aes.py — pinned to the FIPS-197 C.1 vector)
+    before inflation. Same pagination closed form as media_pdf_texts:
+    agreement proves the whole AES chain (key schedule, CBC, PKCS#7 unpad,
+    sAlT object keys) is exact."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), encrypt_bits=128, cipher="aes")
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

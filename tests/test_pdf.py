@@ -146,6 +146,50 @@ def test_encrypted_dict_strings_decrypt():
     assert regs == [b"Adobe"]
 
 
+def test_aes_fips197_vector():
+    """The AES core is pinned to the published FIPS-197 Appendix C.1
+    vector — external ground truth, so writer and parser can't be
+    self-consistently wrong."""
+    from deepdoctection_spark.kernels.aes import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+    )
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert _encrypt_block(pt, _expand_key(key)) == ct
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+@pytest.mark.parametrize("cid", [False, True])
+def test_aes_encrypted_roundtrip(cid):
+    """/V 4 /R 4 /AESV2: salted per-object keys, CBC with leading IV,
+    PKCS#7 — alone and composed with the CID font layout."""
+    raw = pdf_encode(PAGES, encrypt_bits=128, cipher="aes", cid_font=cid)
+    assert b"/AESV2" in raw and b"/StdCF" in raw
+    assert b"hello" not in raw and b"hello" not in zlib_any(raw)
+    assert pdf_texts(raw) == EXPECT
+
+
+def test_aes_padding_error_is_valueerror():
+    """Corrupting AES ciphertext must surface as ValueError (quarantine),
+    never a crash or silent garbage."""
+    from deepdoctection_spark.kernels.aes import (
+        aes128_cbc_decrypt,
+        aes128_cbc_encrypt,
+    )
+    import hashlib
+    key = hashlib.md5(b"k").digest()
+    blob = bytearray(aes128_cbc_encrypt(key, hashlib.md5(b"i").digest(),
+                                        b"payload bytes here"))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="padding|block-aligned"):
+        aes128_cbc_decrypt(key, bytes(blob))
+    with pytest.raises(ValueError, match="block-aligned"):
+        aes128_cbc_decrypt(key, b"short")
+
+
 def test_encrypt_objstm_writer_scope():
     with pytest.raises(ValueError, match="classic xref"):
         pdf_encode(PAGES, encrypt_bits=40, object_streams=True)
