@@ -646,3 +646,83 @@ def q_events_range_join(spark, sf_dir):
         "error_id", "click_id", "user_id",
         (F.col("click_us") - F.col("start_us")).cast("long").alias("delta_us"),
     )
+
+
+@register(
+    "rel_pivot",
+    """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END
+                 ::DECIMAL(20,4)), 2)::DOUBLE AS click_value,
+       round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END
+                 ::DECIMAL(20,4)), 2)::DOUBLE AS view_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                 ::DECIMAL(20,4)), 2)::DOUBLE AS purchase_value
+FROM events GROUP BY user_id
+""",
+)
+def q_rel_pivot(spark, sf_dir):
+    """Pivot (long→wide reshape): per-user value sums spread across event
+    types. An EXPLICIT values list keeps the plan single-pass — Spark's
+    pivot without one runs a distinct-scan first AND makes the output
+    schema data-dependent, both wrong at 100 TB. DECIMAL accumulation for
+    cross-engine exactness (the rel_pricing_summary policy); the unmatched
+    sum is 0, matching the SQL CASE ELSE 0."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.sum(
+            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(20,4)")
+        ), 2).cast("double"))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0.0)).alias("click_value"),
+        F.coalesce("view", F.lit(0.0)).alias("view_value"),
+        F.coalesce("purchase", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+@register(
+    "rel_unpivot",
+    """
+WITH wide AS (
+  SELECT user_id,
+         round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END
+                   ::DECIMAL(20,4)), 2)::DOUBLE AS click_value,
+         round(sum(CASE WHEN event_type = 'view'  THEN value ELSE 0 END
+                   ::DECIMAL(20,4)), 2)::DOUBLE AS view_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, kind, amount FROM (
+  SELECT user_id, 'click_value' AS kind, click_value AS amount FROM wide
+  UNION ALL
+  SELECT user_id, 'view_value', view_value FROM wide
+)
+""",
+)
+def q_rel_unpivot(spark, sf_dir):
+    """Unpivot (wide→long melt) via the DataFrame unpivot API — the inverse
+    reshape of rel_pivot, round-tripped over the same aggregate so the two
+    queries pin each other. Narrow operation: no shuffle beyond the
+    feeding aggregation (each wide row explodes to k long rows in place)."""
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.sum(
+            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(20,4)")
+        ), 2).cast("double"))
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0.0)).alias("click_value"),
+            F.coalesce("view", F.lit(0.0)).alias("view_value"),
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["click_value", "view_value"],
+        variableColumnName="kind",
+        valueColumnName="amount",
+    )
