@@ -46,17 +46,22 @@ for _c in (2, 3, 9, 11, 13, 14):
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """AES-128 key schedule → 11 round keys of 16 bytes."""
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
-    w = [key[i:i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule (FIPS-197 §5.2) → Nr+1 round keys of 16 bytes;
+    Nk=4 (AES-128, 10 rounds) or Nk=8 (AES-256, 14 rounds)."""
+    if len(key) not in (16, 32):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [key[i:i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(_SBOX[b] for b in t[1:] + t[:1])
-            t = bytes((t[0] ^ _RCON[i // 4 - 1],)) + t[1:]
-        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
-    return [b"".join(w[4 * r:4 * r + 4]) for r in range(11)]
+            t = bytes((t[0] ^ _RCON[i // nk - 1],)) + t[1:]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r:4 * r + 4]) for r in range(nr + 1)]
 
 
 def _shift_rows(s: bytearray, inv: bool) -> None:
@@ -81,8 +86,9 @@ def _mix_columns(s: bytearray, inv: bool) -> None:
 
 
 def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
+    nr = len(rks) - 1
     s = bytearray(a ^ b for a, b in zip(block, rks[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         for i in range(16):
             s[i] = _SBOX[s[i]]
         _shift_rows(s, inv=False)
@@ -93,16 +99,17 @@ def _encrypt_block(block: bytes, rks: list[bytes]) -> bytes:
         s[i] = _SBOX[s[i]]
     _shift_rows(s, inv=False)
     for i in range(16):
-        s[i] ^= rks[10][i]
+        s[i] ^= rks[nr][i]
     return bytes(s)
 
 
 def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rks[10]))
+    nr = len(rks) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rks[nr]))
     _shift_rows(s, inv=True)
     for i in range(16):
         s[i] = _INV_SBOX[s[i]]
-    for rnd in range(9, 0, -1):
+    for rnd in range(nr - 1, 0, -1):
         for i in range(16):
             s[i] ^= rks[rnd][i]
         _mix_columns(s, inv=True)
@@ -112,7 +119,54 @@ def _decrypt_block(block: bytes, rks: list[bytes]) -> bytes:
     return bytes(a ^ b for a, b in zip(s, rks[0]))
 
 
-def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC, block-aligned input, no padding, no IV prefix — the shape
+    the PDF R6 hardening loop (Algorithm 2.B) and /UE key wrap use."""
+    if len(data) % 16:
+        raise ValueError("no-pad CBC needs block-aligned input")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`cbc_encrypt_nopad`."""
+    if len(data) % 16:
+        raise ValueError("no-pad CBC needs block-aligned input")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    return bytes(out)
+
+
+def ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """Raw ECB over block-aligned data (the PDF R6 /Perms block)."""
+    if len(data) % 16:
+        raise ValueError("ECB needs block-aligned input")
+    rks = _expand_key(key)
+    return b"".join(_encrypt_block(data[i:i + 16], rks)
+                    for i in range(0, len(data), 16))
+
+
+def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`ecb_encrypt`."""
+    if len(data) % 16:
+        raise ValueError("ECB needs block-aligned input")
+    rks = _expand_key(key)
+    return b"".join(_decrypt_block(data[i:i + 16], rks)
+                    for i in range(0, len(data), 16))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """CBC with PKCS#7 padding; returns iv + ciphertext (the PDF AESV2
     stream layout: first 16 bytes are the IV)."""
     rks = _expand_key(key)
@@ -127,8 +181,8 @@ def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """Inverse of :func:`aes128_cbc_encrypt`: data = iv + ciphertext,
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`: data = iv + ciphertext,
     PKCS#7 unpad. Raises ValueError on malformed length or padding."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AESV2 stream not block-aligned (iv + n*16)")

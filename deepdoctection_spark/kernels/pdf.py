@@ -28,20 +28,22 @@ with latin-1-ish byte strings AND composite Type0/Identity-H CID fonts
 whose /ToUnicode CMap is honored (bfchar + bfrange, UTF-16BE targets incl.
 surrogate pairs; the writer emits the layout via ``pdf_encode(...,
 cid_font=True)`` with a deliberately non-identity code assignment so the
-CMap is load-bearing), AND standard-security-handler encrypted documents
-with an empty user password — RC4-40 /R 2, RC4-128 /R 3, and AES-128 /V 4
-/R 4 /AESV2 crypt filters (kernels/aes.py, FIPS-197-vector-pinned): file
-key from /O + /P + /ID, authenticated against /U, per-object keys for
-strings and streams; the writer emits all three via ``pdf_encode(...,
-encrypt_bits=40|128, cipher="rc4"|"aes")`` — the "owner-locked but opens
-everywhere" shape. Out of scope → ValueError → the callers' row quarantine
-turns it into an `error` column: non-empty user passwords, AES-256 (/R 6),
-and Type0 fonts WITHOUT /ToUnicode (text unrecoverable without glyph
-tables).
+CMap is load-bearing), AND the FULL standard-security-handler encryption
+matrix with an empty user password — RC4-40 /R 2, RC4-128 /R 3, AES-128
+/V 4 /R 4 /AESV2, and PDF 2.0 AES-256 /V 5 /R 6 /AESV3 (kernels/aes.py,
+pinned to the FIPS-197 C.1 + C.3 vectors): R2-R4 derive the file key from
+/O + /P + /ID and authenticate against /U with per-object keys; R6 runs
+the Algorithm 2.B hardening hash, unwraps the file key from /UE, and
+validates /Perms. The writer emits all four via ``pdf_encode(...,
+encrypt_bits=40|128|256, cipher="rc4"|"aes")`` — the "owner-locked but
+opens everywhere" shape. Out of scope → ValueError → the callers' row
+quarantine turns it into an `error` column: non-empty user passwords and
+Type0 fonts WITHOUT /ToUnicode (text unrecoverable without glyph tables).
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 import struct
@@ -98,6 +100,52 @@ def _std_key_OU(id0: bytes, revision: int, n: int,
             u = _rc4(bytes(b ^ i for b in key), u)
         u_entry = u + b"\x00" * 16  # 16 arbitrary padding bytes per spec
     return key, o_entry, u_entry
+
+
+@functools.lru_cache(maxsize=64)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B (the R6 password-hardening KDF): an iterated
+    SHA-256/384/512 chain keyed by AES-128-CBC rounds — ≥64 rounds, then
+    stop when the last AES byte ≤ round-32. Deliberately expensive (that is
+    its anti-brute-force job: ~2s in pure Python); lru_cached because a
+    corpus written with process-constant salts re-derives the same hash for
+    every document — the cache turns the per-doc cost into per-process."""
+    from deepdoctection_spark.kernels.aes import cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _r6_entries(id0: bytes) -> tuple[bytes, bytes, bytes, bytes, bytes, bytes]:
+    """Empty-password R6 credential set → (file_key, U, UE, O, OE, Perms).
+    The FILE KEY is per-document (sha256 of /ID[0]); the four salts are
+    process constants (spec-legal — salts guard the password hash, and the
+    password is empty) so Algorithm 2.B's multi-second hardening cost is
+    paid once per process, not once per document.
+    U/O = 2.B validation hash ‖ validation salt ‖ key salt (48 bytes);
+    UE/OE = AES-256-CBC-nopad(intermediate key, iv=0, file key);
+    Perms = AES-256-ECB(file key, P ‖ 0xFFFFFFFF ‖ 'T' ‖ 'adb' ‖ 4 bytes)."""
+    from deepdoctection_spark.kernels.aes import cbc_encrypt_nopad, ecb_encrypt
+
+    file_key = hashlib.sha256(b"filekey" + id0).digest()
+    uvs, uks = b"ddsprkUV", b"ddsprkUK"
+    ovs, oks = b"ddsprkOV", b"ddsprkOK"
+    u_entry = _hash_2b(b"", uvs) + uvs + uks
+    ue = cbc_encrypt_nopad(_hash_2b(b"", uks), bytes(16), file_key)
+    o_entry = _hash_2b(b"", ovs, u_entry) + ovs + oks
+    oe = cbc_encrypt_nopad(_hash_2b(b"", oks, u_entry), bytes(16), file_key)
+    perms_plain = (struct.pack("<i", -1) + b"\xff\xff\xff\xff" + b"T"
+                   + b"adb" + hashlib.sha256(b"rnd" + id0).digest()[:4])
+    perms = ecb_encrypt(file_key, perms_plain)
+    return file_key, u_entry, ue, o_entry, oe, perms
 
 
 def _obj_key(key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
@@ -246,26 +294,42 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
             raise ValueError(
                 "writer scope: encryption composes with the classic xref "
                 "layout only (parse side is layout-general)")
-        if encrypt_bits not in (40, 128):
-            raise ValueError("encrypt_bits must be 40 (R2) or 128 (R3/R4)")
+        if encrypt_bits not in (40, 128, 256):
+            raise ValueError(
+                "encrypt_bits must be 40 (R2), 128 (R3/R4) or 256 (R6)")
         if cipher not in ("rc4", "aes"):
             raise ValueError("cipher must be 'rc4' or 'aes'")
-        if cipher == "aes" and encrypt_bits != 128:
-            raise ValueError("AESV2 is 128-bit only")
-        revision = 4 if cipher == "aes" else (2 if encrypt_bits == 40 else 3)
+        if cipher == "aes" and encrypt_bits not in (128, 256):
+            raise ValueError("AES is 128 (AESV2) or 256 (AESV3) bit")
+        if cipher == "rc4" and encrypt_bits == 256:
+            raise ValueError("256-bit is AES-only (R6)")
         id0 = hashlib.md5(
             repr(pages).encode("utf-8", "backslashreplace")).digest()
-        ekey, o_entry, u_entry = _std_key_OU(id0, revision, encrypt_bits // 8)
+        if encrypt_bits == 256:
+            revision = 6
+            ekey, u_entry, ue_entry, o_entry, oe_entry, perms_entry = \
+                _r6_entries(id0)
 
-        def enc_data(num: int, data: bytes) -> bytes:
-            if cipher == "aes":
-                from deepdoctection_spark.kernels.aes import (
-                    aes128_cbc_encrypt,
-                )
+            def enc_data(num: int, data: bytes) -> bytes:
+                # V5: ONE file key for every object, AES-256-CBC
+                from deepdoctection_spark.kernels.aes import aes_cbc_encrypt
                 iv = hashlib.md5(b"iv%d:%d" % (num, len(data))).digest()
-                return aes128_cbc_encrypt(
-                    _obj_key(ekey, num, aes=True), iv, data)
-            return _rc4(_obj_key(ekey, num), data)
+                return aes_cbc_encrypt(ekey, iv, data)
+        else:
+            revision = 4 if cipher == "aes" else (
+                2 if encrypt_bits == 40 else 3)
+            ekey, o_entry, u_entry = _std_key_OU(
+                id0, revision, encrypt_bits // 8)
+
+            def enc_data(num: int, data: bytes) -> bytes:
+                if cipher == "aes":
+                    from deepdoctection_spark.kernels.aes import (
+                        aes_cbc_encrypt,
+                    )
+                    iv = hashlib.md5(b"iv%d:%d" % (num, len(data))).digest()
+                    return aes_cbc_encrypt(
+                        _obj_key(ekey, num, aes=True), iv, data)
+                return _rc4(_obj_key(ekey, num), data)
     else:
         ekey = None
         enc_data = None
@@ -353,7 +417,17 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
         ohex = o_entry.hex().upper().encode("ascii")
         uhex = u_entry.hex().upper().encode("ascii")
         # the /Encrypt dict itself is NEVER encrypted (spec §7.6.2)
-        if revision == 4:  # crypt-filter layout: /AESV2 for streams+strings
+        if revision == 6:  # PDF 2.0 AES-256 crypt-filter layout
+            objs[enc_id] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /OE <%s> "
+                b"/UE <%s> /Perms <%s> /P -1 >>"
+                % (ohex, uhex,
+                   oe_entry.hex().upper().encode("ascii"),
+                   ue_entry.hex().upper().encode("ascii"),
+                   perms_entry.hex().upper().encode("ascii")))
+        elif revision == 4:  # crypt-filter layout: /AESV2 for streams+strings
             objs[enc_id] = (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
@@ -611,6 +685,7 @@ class _Doc:
         self._key: bytes | None = None
         self._enc_num: int | None = None
         self._aes = False
+        self._v5 = False
         self._setup_decryption(raw)
         self._expand_object_streams()
 
@@ -648,11 +723,11 @@ class _Doc:
         if not isinstance(enc, dict) or enc.get("Filter") != "/Standard":
             raise ValueError("unsupported encryption filter (not /Standard)")
         v, r = self.resolve(enc.get("V")), self.resolve(enc.get("R"))
-        if v not in (1, 2, 4) or r not in (2, 3, 4):
+        if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 5, 6):
             raise ValueError(f"unsupported security handler V={v} R={r} "
-                             "(RC4 V1/V2 R2/R3 + AESV2 V4/R4 is the scope)")
+                             "(RC4 R2/R3, AESV2 R4, AESV3 R6 is the scope)")
         self._aes = False
-        if v == 4:
+        if v in (4, 5):
             cf = self.resolve(enc.get("CF"))
             stdcf = self.resolve(cf.get("StdCF")) if isinstance(cf, dict) \
                 else None
@@ -662,11 +737,14 @@ class _Doc:
                 sel = self.resolve(enc.get(which, "/Identity"))
                 if sel != "/StdCF":
                     raise ValueError(
-                        f"V4 {which}={sel}: only /StdCF is in scope")
-            if cfm == "/AESV2":
+                        f"V{v} {which}={sel}: only /StdCF is in scope")
+            if cfm in ("/AESV2", "/AESV3"):
                 self._aes = True
             elif cfm != "/V2":  # /V2 = RC4 under the crypt-filter layout
                 raise ValueError(f"unsupported crypt filter method {cfm}")
+        if v == 5:
+            self._setup_v5(enc)
+            return
         n = int(self.resolve(enc.get("Length", 40))) // 8
         o_entry, u_entry = enc.get("O"), enc.get("U")
         p = int(self.resolve(enc.get("P", -1)))
@@ -691,6 +769,39 @@ class _Doc:
             raise ValueError("password-protected PDF (user password is not "
                              "empty) — cannot decrypt")
         self._key = key
+        self._decrypt_all_strings()
+
+    def _setup_v5(self, enc: dict) -> None:
+        """R5/R6 (AES-256 /AESV3): authenticate the empty user password via
+        the Algorithm 2.B hash of /U's validation salt, unwrap the file key
+        from /UE with the key-salt intermediate key, verify /Perms ('adb'
+        marker) when present. One file key for all objects — no per-object
+        derivation in V5."""
+        from deepdoctection_spark.kernels.aes import (
+            cbc_decrypt_nopad,
+            ecb_decrypt,
+        )
+
+        u_entry, ue = enc.get("U"), enc.get("UE")
+        if not isinstance(u_entry, bytes) or len(u_entry) < 48 \
+                or not isinstance(ue, bytes) or len(ue) != 32:
+            raise ValueError("R6 encrypt dict missing /U(48) or /UE(32)")
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if _hash_2b(b"", vsalt) != u_entry[:32]:
+            raise ValueError("password-protected PDF (user password is not "
+                             "empty) — cannot decrypt")
+        ik = _hash_2b(b"", ksalt)
+        key = cbc_decrypt_nopad(ik, bytes(16), ue)
+        perms = enc.get("Perms")
+        if isinstance(perms, bytes) and len(perms) == 16:
+            pp = ecb_decrypt(key, perms)
+            if pp[9:12] != b"adb":
+                raise ValueError("R6 /Perms does not validate (wrong key)")
+        self._key = key
+        self._v5 = True
+        self._decrypt_all_strings()
+
+    def _decrypt_all_strings(self) -> None:
         for num in list(self.objs):
             if num == self._enc_num:
                 continue  # strings in the /Encrypt dict are never encrypted
@@ -698,10 +809,14 @@ class _Doc:
             self.objs[num] = (self._decrypt_strings(val, num), stream)
 
     def _dec(self, num: int, data: bytes) -> bytes:
-        """Per-object decrypt with the active cipher (RC4 or AESV2-CBC)."""
+        """Per-object decrypt with the active cipher (RC4, AESV2 with the
+        salted object key, or AESV3 with the single file key)."""
+        if self._v5:
+            from deepdoctection_spark.kernels.aes import aes_cbc_decrypt
+            return aes_cbc_decrypt(self._key, data)
         if self._aes:
-            from deepdoctection_spark.kernels.aes import aes128_cbc_decrypt
-            return aes128_cbc_decrypt(
+            from deepdoctection_spark.kernels.aes import aes_cbc_decrypt
+            return aes_cbc_decrypt(
                 _obj_key(self._key, num, aes=True), data)
         return _rc4(_obj_key(self._key, num), data)
 

@@ -410,6 +410,43 @@ def q_media_pdf_texts_aes(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_aes256",
+    """
+WITH sel AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM sel
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_aes256(spark, sf_dir):
+    """PDF 2.0 AES-256 path (/V 5 /R 6 /AESV3): the extractor authenticates
+    the empty user password through the Algorithm 2.B hardening hash
+    (iterated SHA-256/384/512 + AES-CBC rounds), unwraps the per-document
+    file key from /UE, validates /Perms, and AES-256-CBC-decrypts every
+    stream — kernels/aes.py pinned to the FIPS-197 C.3 AES-256 vector.
+    Runs over a doc_id % 5 slice: 2.B is DESIGNED to cost seconds per
+    distinct salt set (anti-brute-force), so the slice keeps the query wall
+    bounded while still proving the chain end-to-end under Spark; the salt
+    constants amortize the KDF to once per reused python worker."""
+    docs = _docs(spark, sf_dir).filter("doc_id % 5 = 0")
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(docs, encrypt_bits=256, cipher="aes")
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

@@ -172,22 +172,53 @@ def test_aes_encrypted_roundtrip(cid):
     assert pdf_texts(raw) == EXPECT
 
 
+def test_aes256_fips197_vector():
+    """AES-256 core pinned to FIPS-197 Appendix C.3."""
+    from deepdoctection_spark.kernels.aes import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+    )
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert _encrypt_block(pt, _expand_key(key)) == ct
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_aes256_r6_roundtrip():
+    """PDF 2.0 /V 5 /R 6 /AESV3: Algorithm 2.B password hardening, /UE file
+    key unwrap, /Perms validation, single-file-key CBC. (The 2.B KDF costs
+    seconds cold by design; the salt cache makes the second doc ~ms.)"""
+    raw = pdf_encode(PAGES, encrypt_bits=256, cipher="aes")
+    assert b"/AESV3" in raw and b"/R 6" in raw and b"/UE <" in raw
+    assert b"hello" not in raw and b"hello" not in zlib_any(raw)
+    assert pdf_texts(raw) == EXPECT
+    # corrupting the /U validation hash = a required user password
+    bad = bytearray(raw)
+    i = bad.find(b"/U <")
+    bad[i + 4:i + 12] = b"00000000"
+    with pytest.raises(ValueError, match="password"):
+        pdf_texts(bytes(bad))
+
+
 def test_aes_padding_error_is_valueerror():
     """Corrupting AES ciphertext must surface as ValueError (quarantine),
     never a crash or silent garbage."""
     from deepdoctection_spark.kernels.aes import (
-        aes128_cbc_decrypt,
-        aes128_cbc_encrypt,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
     )
     import hashlib
     key = hashlib.md5(b"k").digest()
-    blob = bytearray(aes128_cbc_encrypt(key, hashlib.md5(b"i").digest(),
+    blob = bytearray(aes_cbc_encrypt(key, hashlib.md5(b"i").digest(),
                                         b"payload bytes here"))
     blob[-1] ^= 0xFF
     with pytest.raises(ValueError, match="padding|block-aligned"):
-        aes128_cbc_decrypt(key, bytes(blob))
+        aes_cbc_decrypt(key, bytes(blob))
     with pytest.raises(ValueError, match="block-aligned"):
-        aes128_cbc_decrypt(key, b"short")
+        aes_cbc_decrypt(key, b"short")
 
 
 def test_encrypt_objstm_writer_scope():
