@@ -726,3 +726,33 @@ def q_rel_unpivot(spark, sf_dir):
         variableColumnName="kind",
         valueColumnName="amount",
     )
+
+
+@register(
+    "rel_grouping_sets",
+    """
+SELECT user_id, event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value::DECIMAL(20,4)), 2)::DOUBLE AS sum_value,
+       grouping(user_id)::INT AS g_user,
+       grouping(event_type)::INT AS g_type
+FROM events
+GROUP BY GROUPING SETS ((user_id), (event_type), ())
+""",
+)
+def q_rel_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — the general form rollup/cube specialize: per-user
+    totals, per-type totals, and the grand total in ONE pass (Spark expands
+    the sets into a single Expand + hash aggregate — one shuffle, not three
+    queries). grouping() flags disambiguate the null-keyed rows exactly as
+    the SQL oracle does."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupingSets(
+        [["user_id"], ["event_type"], []], "user_id", "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+        .cast("double").alias("sum_value"),
+        F.grouping("user_id").cast("int").alias("g_user"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+    )
