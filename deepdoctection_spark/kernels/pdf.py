@@ -519,6 +519,70 @@ def _write_15(objs: dict[int, bytes], compressed_ids: set[int]) -> bytes:
     return bytes(out)
 
 
+def _serialize_value(v) -> bytes:
+    """Parsed object model → PDF syntax (for incremental-update rewrites of
+    existing dicts)."""
+    if isinstance(v, _Ref):
+        return b"%d 0 R" % v.num
+    if isinstance(v, dict):
+        return (b"<< " + b" ".join(
+            b"/%s %s" % (k.encode("latin-1"), _serialize_value(x))
+            for k, x in v.items()) + b" >>")
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_serialize_value(x) for x in v) + b" ]"
+    if isinstance(v, str) and v.startswith("/"):
+        return v.encode("latin-1")
+    if isinstance(v, bytes):
+        return _pdf_bytes_literal(v)
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if v is None:
+        return b"null"
+    if isinstance(v, float):
+        return b"%.4f" % v
+    return b"%d" % v
+
+
+def pdf_update(raw: bytes, page_idx: int,
+               runs: list[tuple[float, float, float, str]]) -> bytes:
+    """Append an INCREMENTAL UPDATE section replacing one page's content —
+    the shape every interactive editor saves: the original bytes stay
+    untouched (byte-identical prefix), a new content stream + rewritten
+    page dict follow, then a new xref section whose trailer carries /Prev.
+    The parser's later-wins object scan (and real readers' xref chains)
+    must prefer the update. Writer scope: classic unencrypted input."""
+    doc = _Doc(raw)
+    if doc._key is not None:
+        raise ValueError("pdf_update scope: unencrypted input only")
+    pid = doc.catalog_pages()[page_idx]
+    page = dict(doc.objs[pid][0])
+    new_cid = max(doc.objs) + 1
+    body = b"\n".join(_run_ops(j, x, y, size, text)
+                      for j, (x, y, size, text) in enumerate(runs))
+    data = zlib.compress(body)
+    page["Contents"] = _Ref(new_cid)
+    out = bytearray(raw)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    offsets = {}
+    for num, obj_bytes in (
+        (pid, _serialize_value(page)),
+        (new_cid, (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                   % len(data)) + data + b"\nendstream"),
+    ):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + obj_bytes + b"\nendobj\n"
+    xref_pos = len(out)
+    prev_start = raw.rfind(b"startxref")
+    prev = int(raw[prev_start + 9:].split()[0]) if prev_start >= 0 else 0
+    out += b"xref\n"
+    for num in sorted(offsets):
+        out += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+    out += (b"trailer\n<< /Size %d /Root 1 0 R /Prev %d >>\nstartxref\n"
+            b"%d\n%%%%EOF\n" % (new_cid + 1, prev, xref_pos))
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # parser: object model
 # ---------------------------------------------------------------------------

@@ -431,7 +431,8 @@ def _paginate_words(text: str) -> list[list[str]]:
 def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                cid_font: bool = False,
                encrypt_bits: int | None = None,
-               cipher: str = "rc4") -> DataFrame:
+               cipher: str = "rc4",
+               incremental_update: bool = False) -> DataFrame:
     """documents → genuine PDF payload table (stdlib writer): each doc's
     text is paginated by the shared contract and laid out one line per
     text run (x=72, y descending 18pt steps, 12pt), so the extractor's
@@ -440,9 +441,13 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
     the parser must inflate the object stream to even find the page tree.
     ``cid_font`` writes Type0/Identity-H composite-font payloads whose text
     is 2-byte subset codes — recoverable only through the /ToUnicode CMap.
-    ``encrypt_bits`` (40 or 128) writes standard-security-handler encrypted
-    payloads (empty user password) the extractor must key-derive + RC4."""
-    from deepdoctection_spark.kernels.pdf import pdf_encode
+    ``encrypt_bits`` (40/128/256) writes standard-security-handler encrypted
+    payloads (empty user password) the extractor must key-derive + decrypt.
+    ``incremental_update`` writes page 0 as a DRAFT placeholder, then
+    appends an incremental-update section carrying the real page-0 content
+    — the extractor only matches the oracle if its later-wins update
+    semantics prefer the appended objects."""
+    from deepdoctection_spark.kernels.pdf import pdf_encode, pdf_update
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -453,12 +458,18 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                      for j, line in enumerate(page_lines)]
                     for page_lines in _paginate_words(text or "")
                 ]
+                if incremental_update and pages:
+                    draft = [[(72.0, 720.0, 12.0,
+                               "DRAFT superseded by update")]] + pages[1:]
+                    blob = pdf_encode(draft, object_streams=object_streams)
+                    blob = pdf_update(blob, 0, pages[0])
+                else:
+                    blob = pdf_encode(pages, object_streams=object_streams,
+                                      cid_font=cid_font,
+                                      encrypt_bits=encrypt_bits,
+                                      cipher=cipher)
                 rows.append(
-                    (int(mid), "application/pdf", len(pages),
-                     pdf_encode(pages, object_streams=object_streams,
-                                cid_font=cid_font,
-                                encrypt_bits=encrypt_bits,
-                                cipher=cipher))
+                    (int(mid), "application/pdf", len(pages), blob)
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "n_pages", "content"]

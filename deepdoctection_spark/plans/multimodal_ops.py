@@ -447,6 +447,39 @@ def q_media_pdf_texts_aes256(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_incremental",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_incremental(spark, sf_dir):
+    """INCREMENTALLY-UPDATED PDFs (the interactive-editor save shape): the
+    base file carries a DRAFT placeholder on page 0; an appended update
+    section (new content stream + rewritten page dict + xref with /Prev)
+    carries the real content. The oracle is the SAME pagination closed form
+    — a parser that ignored the update section would read 'DRAFT' on every
+    page 0 and hash-mismatch, so agreement proves later-wins update
+    semantics end-to-end."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), incremental_update=True)
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (

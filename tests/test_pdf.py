@@ -371,3 +371,33 @@ def test_spark_poison_pdf_quarantines(spark):
     rows = {r["media_id"]: r for r in pdf_texts_stage(media).collect()}
     assert rows[1]["page_text"] == "good page" and rows[1]["error"] is None
     assert rows[2]["error"] is not None and rows[2]["page_text"] is None
+
+
+def test_incremental_update_replaces_page():
+    """pdf_update appends an update section: original bytes are a
+    byte-identical prefix; the updated page wins, other pages unchanged."""
+    from deepdoctection_spark.kernels.pdf import pdf_update
+    raw = pdf_encode(PAGES)
+    new = pdf_update(raw, 0, [(72, 700, 12, "replacement body"),
+                              (72, 682, 12, "line two")])
+    assert new.startswith(raw)
+    assert b"/Prev" in new
+    got = pdf_texts(new)
+    assert got[0] == "replacement body\nline two"
+    assert got[1] == EXPECT[1]
+
+
+def test_incremental_update_on_objstm_layout():
+    """A classic update section appended to a PDF 1.5 xref-stream file —
+    the hybrid every editor produces when saving over a modern file."""
+    from deepdoctection_spark.kernels.pdf import pdf_update
+    raw = pdf_encode(PAGES, object_streams=True)
+    new = pdf_update(raw, 1, [(72, 700, 12, "modern page rewritten")])
+    assert pdf_texts(new) == [EXPECT[0], "modern page rewritten"]
+
+
+def test_incremental_update_encrypted_scope():
+    from deepdoctection_spark.kernels.pdf import pdf_update
+    raw = pdf_encode(PAGES, encrypt_bits=40)
+    with pytest.raises(ValueError, match="unencrypted"):
+        pdf_update(raw, 0, [(72, 700, 12, "x")])
