@@ -625,17 +625,23 @@ class IceTable:
                       key=lambda e: e["path"])
 
     def _check_partition_spec(self, prev: dict,
-                              partition_by: str | None) -> None:
-        """The partition spec is table metadata (as in Iceberg): every
-        commit must use the spec the table was created with — Spark's
-        partition discovery cannot mix Hive-layout and flat files under one
-        basePath, and a silent mix would corrupt reads."""
+                              partition_by: str | None,
+                              allow_spec_change: bool = False) -> None:
+        """The partition spec is table metadata (as in Iceberg): a commit
+        that silently changes it would corrupt the mixed-layout read, so a
+        drift raises unless the caller opts into PARTITION EVOLUTION
+        (``allow_spec_change=True``, Iceberg's spec-evolution semantics):
+        existing files keep their old layout forever, new files land under
+        the new spec, and the readers split the two eras (Hive-layout files
+        derive the partition column from the path; pre-evolution files
+        carry it in the data) and union them."""
         if prev.get("manifests") or prev.get("files"):
             prev_spec = prev.get("partition_by")
-            if prev_spec != partition_by:
+            if prev_spec != partition_by and not allow_spec_change:
                 raise ValueError(
                     f"partition spec drift: table uses partition_by="
-                    f"{prev_spec!r}, commit brings {partition_by!r}"
+                    f"{prev_spec!r}, commit brings {partition_by!r}; pass "
+                    "allow_spec_change=True to evolve the spec"
                 )
 
     def _check_schema(self, prev: dict, ddl: str, allow_change: bool) -> str:
@@ -709,7 +715,8 @@ class IceTable:
                sort_by: list[str] | None = None,
                sort_files: int | None = None,
                bloom_cols: list[str] | None = None,
-               zorder_by: list[str] | None = None) -> dict:
+               zorder_by: list[str] | None = None,
+               allow_spec_change: bool = False) -> dict:
         """Append-files commit (Iceberg ``append``): new snapshot = parent's
         manifests + one new manifest holding this df's files — commit
         metadata is O(added files), never O(table). ``partition_by`` =
@@ -721,7 +728,7 @@ class IceTable:
         not just the sort prefix — exclusive with sort_by)."""
         prev = self._raw_snapshot()
         ddl = self._check_schema(prev, _ddl(df), allow_schema_change)
-        self._check_partition_spec(prev, partition_by)
+        self._check_partition_spec(prev, partition_by, allow_spec_change)
         added = self._write_data_files(df, partition_by=partition_by,
                                        sort_by=sort_by, sort_files=sort_files,
                                        bloom_cols=bloom_cols,
@@ -732,7 +739,7 @@ class IceTable:
             # re-validate against the parent ACTUALLY observed this attempt:
             # a rebase onto a racing winner must satisfy the same invariants
             self._check_schema(parent, ddl, allow_schema_change)
-            self._check_partition_spec(parent, partition_by)
+            self._check_partition_spec(parent, partition_by, allow_spec_change)
             carried = self._carry_manifests(parent)
             return carried + ([new_ref] if new_ref else [])
 
@@ -1067,13 +1074,34 @@ class IceTable:
         harmless for unpartitioned files."""
         return spark.read.schema(schema).option("basePath", self.data_dir)
 
+    def _read_files(self, spark: SparkSession, schema: str,
+                    files: list[dict]) -> DataFrame:
+        """Read an explicit manifest-entry list, PARTITION-EVOLUTION-safe:
+        Hive-layout entries (they carry a manifest partition value) derive
+        the partition column from the path via basePath discovery;
+        pre-evolution flat entries carry the column in the data and read
+        without basePath (Spark rejects a single mixed-depth read). The two
+        eras union by name — one extra scan node, no shuffle."""
+        hive = [f for f in files if f.get("partition")]
+        flat = [f for f in files if not f.get("partition")]
+        parts = []
+        if flat:
+            parts.append(
+                spark.read.schema(schema).parquet(*self._paths(flat)))
+        if hive:
+            parts.append(
+                self._reader(spark, schema).parquet(*self._paths(hive)))
+        df = parts[0]
+        for extra_df in parts[1:]:
+            df = df.unionByName(extra_df)
+        return df
+
     def read(self, spark: SparkSession, seq: int | None = None) -> DataFrame:
         """Snapshot read (current, or time travel to ``seq``)."""
         snap = self.snapshot(seq)
         if not snap["files"]:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return self._reader(spark, snap["schema"]).parquet(
-            *self._paths(snap["files"]))
+        return self._read_files(spark, snap["schema"], snap["files"])
 
     def read_incremental(self, spark: SparkSession, after_seq: int,
                          until_seq: int | None = None) -> DataFrame:
@@ -1098,7 +1126,7 @@ class IceTable:
                           if p in by_path]
         if not added:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return self._reader(spark, snap["schema"]).parquet(*self._paths(added))
+        return self._read_files(spark, snap["schema"], added)
 
     def _bloom_cache_get(self):
         cache = getattr(self, "_bloom_cache", None)
@@ -1225,7 +1253,7 @@ class IceTable:
         raw = self._raw_snapshot(seq)
         if not keep:
             return spark.createDataFrame([], schema=raw["schema"] or "dummy int")
-        df = self._reader(spark, raw["schema"]).parquet(*self._paths(keep))
+        df = self._read_files(spark, raw["schema"], keep)
         if predicate is not None:
             preds = predicate if isinstance(predicate, list) else [predicate]
             df = df.where(reduce(

@@ -704,3 +704,41 @@ def test_zorder_row_identity_and_exclusivity(spark, tmp_path):
     with _pytest.raises(ValueError, match="1-4"):
         IceTable(str(tmp_path / "t3")).append(
             ev, zorder_by=["a", "b", "a", "b", "a"])
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition evolution: commit 1 unpartitioned, commit 2 under
+    partition_by (opt-in flag) — old files keep their flat layout, new
+    files land Hive-style, and every read path sees both eras with the
+    partition column populated (from data for era 1, from the path for
+    era 2). Pruning on the partition column works per era: partition-value
+    match for Hive files, footer stats for flat files."""
+    from pyspark.sql import functions as F
+
+    era1 = spark.range(100).select(
+        F.col("id").alias("event_id"), F.lit("en").alias("lang"))
+    era2 = spark.range(100, 200).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 2 == 0, "de").otherwise("fr").alias("lang"))
+    t = IceTable(str(tmp_path / "t"))
+    t.append(era1)
+    with pytest.raises(ValueError, match="spec drift"):
+        t.append(era2, partition_by="lang")
+    t.append(era2, partition_by="lang", allow_spec_change=True)
+
+    got = t.read(spark)
+    assert got.count() == 200
+    assert got.filter(F.col("lang") == "en").count() == 100
+    assert got.filter(F.col("lang") == "de").count() == 50
+
+    # scan pruning: lang='de' keeps only the de partition of era 2 plus any
+    # era-1 file whose footer range may contain 'de' (era 1 is all-'en' so
+    # its stats exclude 'de')
+    keep, pruned = t.plan_files(("lang", "=", "de"))
+    assert pruned >= 2, f"evolved-table pruning inert: pruned={pruned}"
+    rows = t.scan(spark, ("lang", "=", "de")).collect()
+    assert len(rows) == 50 and all(r.lang == "de" for r in rows)
+
+    # incremental read across the evolution boundary
+    inc = t.read_incremental(spark, after_seq=1)
+    assert inc.count() == 100 and inc.filter("lang = 'en'").count() == 0
