@@ -355,3 +355,32 @@ def q_ice_zorder_scan(spark, sf_dir):
     keep, pruned = t.plan_files(pred)
     assert pruned >= 6, f"z-order clustering inert: pruned={pruned}"
     return _materialize_then_rm(t.scan(spark, pred), tmp)
+
+
+@register(
+    "ice_evolved_scan",
+    f"""
+WITH slice AS (
+  SELECT e.* FROM events e WHERE e.event_type = 'click'
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_evolved_scan(spark, sf_dir):
+    """PARTITION EVOLUTION: commit 1 lands half the events unpartitioned,
+    commit 2 evolves the spec to partition_by=event_type
+    (allow_spec_change) — the scan must stitch the flat era (column in
+    data, footer-stats pruning) and the Hive era (column from the path,
+    partition-value pruning) into one exact result. Pruning asserted: the
+    evolved era's non-click partitions never reach Spark."""
+    ev = _events(spark, sf_dir)
+    cut = ev.agg(F.max("event_id")).first()[0] // 2
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_evolve_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.filter(F.col("event_id") <= cut).coalesce(2))
+    t.append(ev.filter(F.col("event_id") > cut),
+             partition_by="event_type", allow_spec_change=True)
+    keep, pruned = t.plan_files(("event_type", "=", "click"))
+    assert pruned >= 3, f"evolved-era partition pruning inert: {pruned}"
+    return _materialize_then_rm(
+        _summarize(t.scan(spark, ("event_type", "=", "click"))), tmp)
