@@ -76,10 +76,14 @@ Semantics carried over from Iceberg:
   (merge intersects the ranges of ALL key columns and consults Bloom
   sidecars for small sources); all other files carry over by reference —
   file-granular CoW, the Iceberg ``DELETE FROM`` / ``MERGE INTO`` shape.
+- **Named refs (tags)**: ``tag(name)`` pins a snapshot under an immutable
+  name (``read(spark, tag="v1")`` = VERSION AS OF by name); tagged
+  snapshots are retained through expiry until ``delete_tag`` — the
+  Iceberg ref-retention contract (refs live under ``metadata/refs/``).
 - **Maintenance**: ``expire_snapshots(keep_last=k)`` deletes expired
   snapshots, the manifests only they reference, and the data files only
   they reference (storage reclamation after overwrite/delete/compaction
-  churn).
+  churn) — except snapshots pinned by tags.
 
 Metadata harvest runs ON THE WRITE EXECUTORS (as Iceberg's writers do):
 after the staged files are renamed into place, a Spark job fans the new
@@ -101,6 +105,7 @@ import base64
 import hashlib
 import json
 import math
+import re
 import os
 import shutil
 import time
@@ -1008,6 +1013,7 @@ class IceTable:
         storage, and at 100 TB expiry IS the storage-reclamation path."""
         seqs = self._committed_seqs()
         retain = set(seqs[-keep_last:]) if keep_last > 0 else set()
+        retain.update(self.tags().values())  # named refs pin their snapshots
         live: set[str] = set()
         live_sidecars: set[str] = set()
         live_manifests: set[str] = set()
@@ -1051,6 +1057,48 @@ class IceTable:
                 "deleted_sidecars": deleted_sidecars,
                 "deleted_manifests": deleted_manifests,
                 "retained_seqs": sorted(retain)}
+
+    # -- named refs (Iceberg tags) ----------------------------------------
+
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.meta_dir, "refs")
+
+    def tag(self, name: str, seq: int | None = None) -> dict:
+        """Create an immutable named snapshot ref (Iceberg tag): a version
+        a consumer can read by name ('v1', 'prod') while the table moves on.
+        Tagged snapshots are RETAINED by expire_snapshots regardless of
+        keep_last — the Iceberg ref-retention contract — so 'pin the corpus
+        a model trained on' survives storage reclamation. Exclusive-create:
+        re-tagging an existing name raises (delete_tag first)."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"bad tag name {name!r}")
+        seq = self.current_seq() if seq is None else seq
+        self._raw_snapshot(seq)  # must exist
+        os.makedirs(self._refs_dir, exist_ok=True)
+        ref = {"name": name, "seq": seq,
+               "ts_ms": int(time.time() * 1000)}
+        with open(os.path.join(self._refs_dir, f"{name}.json"), "x") as f:
+            json.dump(ref, f)
+        return ref
+
+    def tags(self) -> dict[str, int]:
+        """{tag name: snapshot seq} for all named refs."""
+        if not os.path.isdir(self._refs_dir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(self._refs_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self._refs_dir, fn)) as f:
+                    ref = json.load(f)
+                out[ref["name"]] = ref["seq"]
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        path = os.path.join(self._refs_dir, f"{name}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no such tag {name!r}")
+        os.remove(path)
 
     def rollback(self, seq: int) -> dict:
         """Commit a new snapshot replaying an ancestor's manifest list
@@ -1096,8 +1144,17 @@ class IceTable:
             df = df.unionByName(extra_df)
         return df
 
-    def read(self, spark: SparkSession, seq: int | None = None) -> DataFrame:
-        """Snapshot read (current, or time travel to ``seq``)."""
+    def read(self, spark: SparkSession, seq: int | None = None,
+             tag: str | None = None) -> DataFrame:
+        """Snapshot read (current, time travel to ``seq``, or a named
+        ``tag`` — VERSION AS OF semantics by name)."""
+        if tag is not None:
+            if seq is not None:
+                raise ValueError("pass seq or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise ValueError(f"no such tag {tag!r}")
+            seq = refs[tag]
         snap = self.snapshot(seq)
         if not snap["files"]:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")

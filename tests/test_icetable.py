@@ -742,3 +742,33 @@ def test_partition_spec_evolution(spark, tmp_path):
     # incremental read across the evolution boundary
     inc = t.read_incremental(spark, after_seq=1)
     assert inc.count() == 100 and inc.filter("lang = 'en'").count() == 0
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tbl):
+    """Iceberg named refs: tag('v1') reads by name while the table moves on,
+    re-tagging raises, and expire_snapshots RETAINS tagged snapshots (and
+    their data files) regardless of keep_last — 'the corpus a model trained
+    on' survives storage reclamation."""
+    tbl.append(_df(spark, 0, 100))
+    tbl.tag("v1")
+    tbl.overwrite(_df(spark, 0, 10, tag="v2data"))
+    tbl.overwrite(_df(spark, 0, 5, tag="v3data"))
+    assert tbl.tags() == {"v1": 1}
+    assert tbl.read(spark, tag="v1").count() == 100
+    with pytest.raises(FileExistsError):
+        tbl.tag("v1", 2)
+    with pytest.raises(ValueError, match="no such tag"):
+        tbl.read(spark, tag="nope")
+
+    info = tbl.expire_snapshots(keep_last=1)
+    assert 1 in info["retained_seqs"]  # the tag pinned seq 1
+    assert 2 not in info["retained_seqs"]
+    assert tbl.read(spark, tag="v1").count() == 100  # data files survive
+    assert tbl.read(spark).count() == 5
+
+    # deleting the tag releases the pin: next expiry reclaims it
+    tbl.delete_tag("v1")
+    info2 = tbl.expire_snapshots(keep_last=1)
+    assert info2["retained_seqs"] == [3]
+    with pytest.raises(ValueError, match="no such tag"):
+        tbl.read(spark, tag="v1")
