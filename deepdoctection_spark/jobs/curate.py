@@ -228,6 +228,9 @@ def publish_curated(
     granularity); readers want a TABLE: one atomic version with snapshot
     isolation, history (each publish is an overwrite commit, so corpus v1
     remains time-travelable after v2 lands), and prunable file metadata.
+    Each publish also TAGS its snapshot ``corpus-v<seq>`` (Iceberg named
+    ref), so "the exact table a model trained on" is pinned by name and
+    survives expire_snapshots until the tag is deleted.
     The publish clusters on (pred_lang, doc_id) — training consumers slice
     by language, then by id range — and writes a Bloom sidecar on doc_id so
     single-document audits ("why is doc X in the set?") read one file, not
@@ -255,5 +258,8 @@ def publish_curated(
         bloom_cols=["doc_id"],
     )
     if t.snapshot()["files"]:
-        return t.overwrite(corpus, **kwargs)
-    return t.append(corpus, **kwargs)
+        snap = t.overwrite(corpus, **kwargs)
+    else:
+        snap = t.append(corpus, **kwargs)
+    t.tag(f"corpus-v{snap['sequence']}", snap["sequence"])
+    return snap

@@ -126,6 +126,12 @@ def test_publish_versions_are_time_travelable(spark, sf_small, tmp_path):
     # the overwrite re-applied the table's sort order (clustering persists
     # across versions without the caller restating it)
     assert t.snapshot()["sort_by"] == ["pred_lang", "doc_id"]
+    # each publish pins its version under a named tag, readable by name and
+    # retained through expiry (the "table the model trained on" guarantee)
+    assert t.tags() == {"corpus-v1": 1, "corpus-v2": 2}
+    assert t.read(spark, tag="corpus-v1").count() == n
+    t.expire_snapshots(keep_last=1)
+    assert t.read(spark, tag="corpus-v1").count() == n
 
 
 def test_publish_rejects_torn_run(spark, sf_small, tmp_path):
