@@ -294,6 +294,10 @@ def _pred_column(col: str, op: str, lit):
     c = F.col(col)
     if op == "in":
         return c.isin(list(lit))
+    if op == "isnull":
+        return c.isNull()
+    if op == "notnull":
+        return c.isNotNull()
     return {"=": c == F.lit(lit), "<": c < F.lit(lit), "<=": c <= F.lit(lit),
             ">": c > F.lit(lit), ">=": c >= F.lit(lit)}[op]
 
@@ -326,7 +330,9 @@ def _merge_entry_stats(entries: list[dict]) -> dict[str, dict]:
         common &= set(e["stats"])
     return {
         col: {"min": min(e["stats"][col]["min"] for e in entries),
-              "max": max(e["stats"][col]["max"] for e in entries)}
+              "max": max(e["stats"][col]["max"] for e in entries),
+              "nulls": sum(e["stats"][col].get("nulls", 0)
+                           for e in entries)}
         for col in sorted(common)
     }
 
@@ -1208,6 +1214,11 @@ class IceTable:
         alone (no manifest load): covered partition values, then aggregate
         min/max. Conservative: missing metadata always survives."""
         col, op, lit = predicate
+        if op in ("isnull", "notnull"):
+            s = (ref.get("stats") or {}).get(col)
+            if op == "isnull" and s is not None and s.get("nulls", 1) == 0:
+                return False  # zero nulls across every file in the manifest
+            return True
         parts = ref.get("partitions") or {}
         if col in parts:
             if op == "=" and str(lit) not in parts[col]:
@@ -1226,6 +1237,14 @@ class IceTable:
         bloom_cols column — the point-lookup path min/max can't serve), then
         footer min/max. A file with no usable metadata always survives."""
         col, op, lit = predicate
+        if op in ("isnull", "notnull"):
+            # null pruning from the footer null counts: nulls == 0 means no
+            # IS NULL row can exist in this file. notnull stays conservative
+            # (an all-null column records no min/max, hence no stats entry).
+            s = f["stats"].get(col)
+            if op == "isnull" and s is not None and s.get("nulls", 1) == 0:
+                return False
+            return True
         part = f.get("partition") or {}
         if col in part:
             # identity-partition pruning: exact (set-)match only; range ops

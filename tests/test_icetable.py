@@ -772,3 +772,26 @@ def test_tags_pin_snapshots_through_expiry(spark, tbl):
     assert info2["retained_seqs"] == [3]
     with pytest.raises(ValueError, match="no such tag"):
         tbl.read(spark, tag="v1")
+
+
+def test_isnull_pruning_from_footer_null_counts(spark, tbl):
+    """IS NULL / IS NOT NULL predicates: files whose footer null count is
+    zero are pruned for isnull (at both metadata levels); notnull stays
+    conservative; results exact either way."""
+    from pyspark.sql import functions as F
+
+    dense = spark.range(100).select(
+        F.col("id"), F.col("id").cast("string").alias("note"))
+    sparse = spark.range(100, 200).select(
+        "id",
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("string")).alias("note"))
+    tbl.append(dense.coalesce(1))
+    tbl.append(sparse.coalesce(1))
+    keep, pruned = tbl.plan_files(("note", "isnull", None))
+    assert pruned == 1  # the dense file has nulls == 0
+    rows = tbl.scan(spark, ("note", "isnull", None)).collect()
+    assert sorted(r.id for r in rows) == list(range(100, 200, 10))
+    keep_nn, pruned_nn = tbl.plan_files(("note", "notnull", None))
+    assert pruned_nn == 0  # conservative
+    assert tbl.scan(spark, ("note", "notnull", None)).count() == 190
