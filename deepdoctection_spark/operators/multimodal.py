@@ -432,7 +432,8 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                cid_font: bool = False,
                encrypt_bits: int | None = None,
                cipher: str = "rc4",
-               incremental_update: bool = False) -> DataFrame:
+               incremental_update: bool = False,
+               mixed: bool = False) -> DataFrame:
     """documents → genuine PDF payload table (stdlib writer): each doc's
     text is paginated by the shared contract and laid out one line per
     text run (x=72, y descending 18pt steps, 12pt), so the extractor's
@@ -446,7 +447,10 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
     ``incremental_update`` writes page 0 as a DRAFT placeholder, then
     appends an incremental-update section carrying the real page-0 content
     — the extractor only matches the oracle if its later-wins update
-    semantics prefer the appended objects."""
+    semantics prefer the appended objects. ``mixed`` rotates each document
+    through the real-world layout matrix by doc_id (classic / xref-stream
+    ObjStm / CID font / RC4-128 / AESV2 / incremental-update), the
+    heterogeneous-corpus shape a crawl actually has."""
     from deepdoctection_spark.kernels.pdf import pdf_encode, pdf_update
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -458,11 +462,20 @@ def synth_pdfs(docs: DataFrame, object_streams: bool = False,
                      for j, line in enumerate(page_lines)]
                     for page_lines in _paginate_words(text or "")
                 ]
-                if incremental_update and pages:
+                variant = int(mid) % 6 if mixed else None
+                if (incremental_update or variant == 5) and pages:
                     draft = [[(72.0, 720.0, 12.0,
                                "DRAFT superseded by update")]] + pages[1:]
                     blob = pdf_encode(draft, object_streams=object_streams)
                     blob = pdf_update(blob, 0, pages[0])
+                elif variant is not None:
+                    blob = pdf_encode(
+                        pages,
+                        object_streams=(variant == 1),
+                        cid_font=(variant == 2),
+                        encrypt_bits={3: 128, 4: 128}.get(variant),
+                        cipher="aes" if variant == 4 else "rc4",
+                    )
                 else:
                     blob = pdf_encode(pages, object_streams=object_streams,
                                       cid_font=cid_font,

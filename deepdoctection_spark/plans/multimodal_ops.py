@@ -480,6 +480,39 @@ def q_media_pdf_texts_incremental(spark, sf_dir):
 
 
 @register(
+    "media_pdf_texts_mixed",
+    """
+WITH w2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, wi // 6 AS li, string_agg(word, ' ' ORDER BY wi) AS line
+  FROM w2 GROUP BY doc_id, wi // 6
+)
+SELECT doc_id AS media_id, (li // 4)::INT AS page_idx,
+       string_agg(line, chr(10) ORDER BY li) AS page_text,
+       count(*)::INT AS n_lines,
+       length(string_agg(line, chr(10) ORDER BY li))::BIGINT AS n_chars,
+       NULL::VARCHAR AS error
+FROM lines GROUP BY doc_id, li // 4
+""",
+)
+def q_media_pdf_texts_mixed(spark, sf_dir):
+    """HETEROGENEOUS-CORPUS capstone: each document rotates through the
+    real-world layout matrix by doc_id — classic xref, PDF 1.5 ObjStm,
+    Type0 CID font, RC4-128, AESV2, incremental-update — and the ONE
+    extraction path must auto-detect and decode every shape in the same
+    Arrow batch (the crawl-corpus reality: a parser tuned to one layout
+    silently fails the other five). Same pagination closed form as
+    media_pdf_texts."""
+    return mm.pdf_texts_stage(
+        mm.synth_pdfs(_docs(spark, sf_dir), mixed=True)
+    )
+
+
+@register(
     "media_audio_rms",
     """
 WITH dims AS (
