@@ -141,3 +141,50 @@ def test_batch_words_matches_per_row(texts):
         for s in texts
     ]
     assert got == exp
+
+
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           blacklist_categories=("Cs",)),
+    min_size=1, max_size=40,
+).map(lambda s: s.strip() or "x")
+
+_pdf_pages = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(40, 500),        # x
+            st.integers(100, 740),       # y
+            st.sampled_from([9, 11, 12]),
+            _pdf_text,
+        ).map(lambda t: (float(t[0]), float(t[1]), float(t[2]), t[3])),
+        min_size=1, max_size=4,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(_pdf_pages)
+def test_pdf_layout_matrix_equivalence(pages):
+    """EVERY writer layout decodes to the same per-page text: classic,
+    ObjStm/xref-stream, CID font (which also survives non-latin-1 chars
+    the simple font would replace), RC4-128, AESV2 — the property the
+    mixed-corpus query relies on. CID is the reference decode (it is
+    lossless for the full generated alphabet); latin-1 layouts are
+    compared on their own encode of the same pages."""
+    from deepdoctection_spark.kernels.pdf import pdf_encode, pdf_texts
+
+    base = pdf_texts(pdf_encode(pages))
+    assert pdf_texts(pdf_encode(pages, object_streams=True)) == base
+    assert pdf_texts(pdf_encode(pages, encrypt_bits=128)) == base
+    assert pdf_texts(pdf_encode(pages, encrypt_bits=128,
+                                cipher="aes")) == base
+    cid = pdf_texts(pdf_encode(pages, cid_font=True))
+    cid_objstm = pdf_texts(pdf_encode(pages, cid_font=True,
+                                      object_streams=True))
+    assert cid == cid_objstm
+    # CID is exact on the full alphabet; the simple-font layouts agree
+    # with it whenever the text is latin-1-representable
+    if all(all(t == t.encode("latin-1", "replace").decode("latin-1")
+               for _x, _y, _s, t in page) for page in pages):
+        assert cid == base
