@@ -555,6 +555,12 @@ def pdf_update(raw: bytes, page_idx: int,
     if doc._key is not None:
         raise ValueError("pdf_update scope: unencrypted input only")
     pid = doc.catalog_pages()[page_idx]
+    if any(dec is not None for dec in doc.page_fonts(pid).values()):
+        # the update writes simple-font literal strings; against a Type0
+        # page font they would decode through the CMap into garbage codes
+        # (quarantined, but the writer should refuse up front)
+        raise ValueError("pdf_update scope: simple-font bases only "
+                         "(page uses a composite Type0 font)")
     page = dict(doc.objs[pid][0])
     new_cid = max(doc.objs) + 1
     body = b"\n".join(_run_ops(j, x, y, size, text)

@@ -37,6 +37,7 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     strict: bool = False,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_ts`` <= ``left_ts`` (``<`` when ``strict``) within the same
@@ -46,6 +47,11 @@ def asof_join(
     with ``last(payload, ignorenulls=True)`` rows-unbounded-preceding —
     right rows sort before left rows at equal ts (after, when strict), so
     the running last is exactly the as-of match. One shuffle, no join node.
+
+    When several RIGHT rows share the same ``right_ts`` within a group,
+    pass ``right_tiebreak`` (a right payload/ID column) to pick the row
+    with the greatest tiebreak value deterministically; without it the
+    winner among exact-ts duplicates is partition-order-dependent.
     """
     # right rows must be visible to a left row at the same ts iff not strict
     right_side, left_side = (0, 1) if not strict else (2, 1)
@@ -69,9 +75,17 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left_cols],
     )
+    order = ["_ts", "_side"]
+    if right_tiebreak is not None:
+        if right_tiebreak not in right_payload:
+            raise ValueError("right_tiebreak must be a right_payload column")
+        # left rows carry null here; nulls-first keeps them ordered before
+        # any real right row at the same (_ts, _side) — irrelevant for
+        # correctness (sides differ) but deterministic
+        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lsel.unionByName(rsel).select(

@@ -481,15 +481,32 @@ class IceTable:
         plain sort_by only clusters the sort prefix. The min/max bounds are
         one model-sized agg; the interleave is a pure column expression
         (whole-stage-codegen'd, no UDF). k columns use k*floor(48/k) bits."""
+        from pyspark.sql.types import DateType, NumericType, TimestampType
+
         if not 1 <= len(cols) <= 4:
             raise ValueError("zorder_by takes 1-4 columns")
+        for c in cols:
+            dt = df.schema[c].dataType
+            if not isinstance(dt, (NumericType, DateType, TimestampType)):
+                raise ValueError(
+                    f"zorder_by column {c!r} is {dt.simpleString()}: only "
+                    "numeric/date/timestamp columns have a meaningful "
+                    "min-max bucket space (a string column would silently "
+                    "collapse to one bucket)")
         k = len(cols)
         use_bits = min(bits, 48 // k)
         top = (1 << use_bits) - 1
+
+        def as_double(c: str):
+            dt = df.schema[c].dataType
+            if isinstance(dt, (DateType, TimestampType)):
+                return F.col(c).cast("timestamp").cast("double")
+            return F.col(c).cast("double")
+
         bounds = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"mn_{i}")
+            *[F.min(as_double(c)).alias(f"mn_{i}")
               for i, c in enumerate(cols)],
-            *[F.max(F.col(c).cast("double")).alias(f"mx_{i}")
+            *[F.max(as_double(c)).alias(f"mx_{i}")
               for i, c in enumerate(cols)],
         ).first()
         buckets = []
@@ -499,7 +516,7 @@ class IceTable:
                 buckets.append(F.lit(0).cast("long"))
                 continue
             scaled = (
-                (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - F.lit(mn))
+                (F.coalesce(as_double(c), F.lit(mn)) - F.lit(mn))
                 / F.lit(mx - mn) * F.lit(float(top))
             )
             buckets.append(

@@ -795,3 +795,18 @@ def test_isnull_pruning_from_footer_null_counts(spark, tbl):
     keep_nn, pruned_nn = tbl.plan_files(("note", "notnull", None))
     assert pruned_nn == 0  # conservative
     assert tbl.scan(spark, ("note", "notnull", None)).count() == 190
+
+
+def test_zorder_rejects_strings_accepts_timestamps(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("a"),
+        F.col("id").cast("string").alias("s"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("ts"))
+    with pytest.raises(ValueError, match="min-max bucket space"):
+        IceTable(str(tmp_path / "bad")).append(df, zorder_by=["a", "s"])
+    t = IceTable(str(tmp_path / "ok"))
+    t.append(df, zorder_by=["a", "ts"], sort_files=4)
+    assert sorted(r.a for r in t.read(spark).collect()) == list(range(200))

@@ -401,3 +401,10 @@ def test_incremental_update_encrypted_scope():
     raw = pdf_encode(PAGES, encrypt_bits=40)
     with pytest.raises(ValueError, match="unencrypted"):
         pdf_update(raw, 0, [(72, 700, 12, "x")])
+
+
+def test_incremental_update_cid_base_rejected():
+    from deepdoctection_spark.kernels.pdf import pdf_update
+    raw = pdf_encode(PAGES, cid_font=True)
+    with pytest.raises(ValueError, match="simple-font bases"):
+        pdf_update(raw, 0, [(72, 700, 12, "x")])

@@ -78,3 +78,17 @@ def test_range_join_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_right_ties_deterministic_with_tiebreak(spark):
+    """Multiple right rows at the SAME ts: right_tiebreak picks the
+    greatest tiebreak value deterministically regardless of partitioning."""
+    left = _df(spark, [(1, 100, "x")], "k int, ts int, tag string")
+    right = _df(spark, [(1, 50, 1.0), (1, 50, 9.0), (1, 50, 5.0)],
+                "k int, ts int, v double").repartition(4)
+    out = asof_join(left, right, "k", "ts", "ts", ["v"],
+                    right_tiebreak="v").collect()
+    assert out[0].v_right == 9.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="right_payload"):
+        asof_join(left, right, "k", "ts", "ts", ["v"], right_tiebreak="zz")
