@@ -756,3 +756,83 @@ def q_rel_grouping_sets(spark, sf_dir):
         F.grouping("user_id").cast("int").alias("g_user"),
         F.grouping("event_type").cast("int").alias("g_type"),
     )
+
+
+@register(
+    "rel_window_suite",
+    """
+SELECT event_id, user_id,
+       lag(event_id)  OVER w AS prev_event,
+       lead(event_id) OVER w AS next_event,
+       ntile(4)       OVER w AS quartile,
+       round(cume_dist() OVER w, 6)::DOUBLE AS cume,
+       round(percent_rank() OVER w, 6)::DOUBLE AS prank,
+       row_number()   OVER w AS rn
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_rel_window_suite(spark, sf_dir):
+    """The full analytic-window surface in one pass: lag/lead (event
+    adjacency), ntile (quartiling), cume_dist/percent_rank (rank
+    normalization), row_number — ALL over a single window spec, so Spark
+    plans ONE sort-shuffle on user_id, not six. Deterministic ordering via
+    the (ts, event_id) compound key; rounding pins the double rank math
+    cross-engine."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "rel_array_ops",
+    """
+SELECT vec_id, label,
+       len(embedding)::INT AS dim,
+       round(list_aggregate(list_transform(embedding, x -> (x*x)::DECIMAL(20,12)), 'sum'), 6)::DOUBLE AS sq_norm,
+       round(list_aggregate(list_filter(embedding, x -> x > 0), 'sum')::DECIMAL(20,8), 4)::DOUBLE AS pos_sum,
+       len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+       round(list_aggregate(embedding, 'max')::DECIMAL(20,8), 4)::DOUBLE AS vmax
+FROM embeddings
+""",
+)
+def q_rel_array_ops(spark, sf_dir):
+    """Higher-order array functions over the embedding column — transform /
+    filter / aggregate run INSIDE whole-stage codegen (no UDF, no explode
+    shuffle): squared norm, positive-component sum and count, max. DECIMAL
+    accumulation pins float-order differences cross-engine; this is the
+    JVM-side vector math the ANN operators build on."""
+    e = _t(spark, sf_dir, "embeddings")
+    dec = "decimal(20,12)"
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding",
+                            lambda x: (x * x).cast(dec)),
+                F.lit(0).cast(dec),
+                lambda acc, x: (acc + x).cast(dec)),
+            6).cast("double").alias("sq_norm"),
+        F.round(
+            F.aggregate(F.filter("embedding", lambda x: x > 0),
+                        F.lit(0).cast("decimal(20,8)"),
+                        lambda acc, x: (acc + x.cast("decimal(20,8)"))
+                        .cast("decimal(20,8)")),
+            4).cast("double").alias("pos_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("int")
+        .alias("n_pos"),
+        F.round(F.array_max("embedding").cast("decimal(20,8)"), 4)
+        .cast("double").alias("vmax"),
+    )
