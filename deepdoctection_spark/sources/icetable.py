@@ -80,6 +80,13 @@ Semantics carried over from Iceberg:
   name (``read(spark, tag="v1")`` = VERSION AS OF by name); tagged
   snapshots are retained through expiry until ``delete_tag`` — the
   Iceberg ref-retention contract (refs live under ``metadata/refs/``).
+- **Branches + write-audit-publish**: ``create_branch(name)`` forks the
+  current snapshot into a branch-local lineage (``metadata/branches/<n>/``)
+  sharing data files and manifests with main; branch commits leave main
+  untouched and readable; ``fast_forward(name)`` publishes the audited
+  branch tip to main as a metadata-only commit, refusing when main moved
+  past the fork point. Expiry retains everything any live branch
+  references; ``delete_branch`` releases it.
 - **Maintenance**: ``expire_snapshots(keep_last=k)`` deletes expired
   snapshots, the manifests only they reference, and the data files only
   they reference (storage reclamation after overwrite/delete/compaction
@@ -353,21 +360,28 @@ def _manifest_partitions(entries: list[dict]) -> dict[str, list[str]] | None:
 
 
 class IceTable:
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, branch: str | None = None) -> None:
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.meta_dir = os.path.join(path, "metadata")
+        self.branch_name = branch
+        # snapshots live per branch; data files, manifests, Bloom sidecars
+        # and refs are SHARED across branches (a branch commit only writes
+        # branch-local snapshot JSON — Iceberg's branch model)
+        self._snap_dir = (
+            os.path.join(self.meta_dir, "branches", branch)
+            if branch else self.meta_dir)
 
     # -- snapshot resolution --------------------------------------------
 
     def _snap_path(self, seq: int) -> str:
-        return os.path.join(self.meta_dir, f"snap-{seq:010d}.json")
+        return os.path.join(self._snap_dir, f"snap-{seq:010d}.json")
 
     def _committed_seqs(self) -> list[int]:
-        if not os.path.isdir(self.meta_dir):
+        if not os.path.isdir(self._snap_dir):
             return []
         return sorted(
-            int(fn[5:15]) for fn in os.listdir(self.meta_dir)
+            int(fn[5:15]) for fn in os.listdir(self._snap_dir)
             if fn.startswith("snap-") and fn.endswith(".json")
         )
 
@@ -700,6 +714,7 @@ class IceTable:
         (row-level rewrites planned against a specific parent) pass
         ``retryable=False`` and surface the race as :class:`CommitConflict`."""
         os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self._snap_dir, exist_ok=True)
         for _ in range(retries):
             seq = self.current_seq() + 1
             parent = self._raw_snapshot(seq - 1)
@@ -726,11 +741,11 @@ class IceTable:
                         f"{seq}; re-plan against the current snapshot"
                     ) from None
                 continue  # lost the race — rebase on the winner and retry
-            hint_tmp = os.path.join(self.meta_dir, "version-hint.tmp")
+            hint_tmp = os.path.join(self._snap_dir, "version-hint.tmp")
             with open(hint_tmp, "w") as f:
                 f.write(str(seq))
             os.rename(hint_tmp,
-                      os.path.join(self.meta_dir, "version-hint.text"))
+                      os.path.join(self._snap_dir, "version-hint.text"))
             snap["files"] = self._snap_files(snap)  # in-memory convenience
             return snap
         raise CommitConflict(
@@ -1040,8 +1055,13 @@ class IceTable:
         live: set[str] = set()
         live_sidecars: set[str] = set()
         live_manifests: set[str] = set()
-        for seq in retain:
-            raw = self._raw_snapshot(seq)
+        live_raws = [self._raw_snapshot(seq) for seq in retain]
+        # branch snapshots share data/manifests with main: everything any
+        # branch references stays live until the branch is deleted
+        for bname in self.branches():
+            b = IceTable(self.path, branch=bname)
+            live_raws.extend(b._raw_snapshot(s) for s in b._committed_seqs())
+        for raw in live_raws:
             live_manifests.update(
                 m["path"] for m in raw.get("manifests", []))
             for f in self._snap_files(raw):
@@ -1122,6 +1142,80 @@ class IceTable:
         if not os.path.exists(path):
             raise ValueError(f"no such tag {name!r}")
         os.remove(path)
+
+    # -- branches (Iceberg branch refs + write-audit-publish) -------------
+
+    def create_branch(self, name: str) -> "IceTable":
+        """Fork a branch at the CURRENT snapshot: the branch gets its own
+        snapshot lineage (seeded with a copy of the current snap file, so
+        time travel/incremental reads work within the branch) while data
+        files, manifests and Bloom sidecars stay shared — a branch commit
+        writes only branch-local snapshot JSON. This is the Iceberg WAP
+        shape: write to the branch, audit it, then :meth:`fast_forward`
+        main. Returns a handle onto the branch."""
+        if self.branch_name is not None:
+            raise ValueError("create_branch from the main handle only")
+        if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(f"bad branch name {name!r}")
+        bdir = os.path.join(self.meta_dir, "branches", name)
+        if os.path.isdir(bdir):
+            raise ValueError(f"branch {name!r} already exists")
+        os.makedirs(bdir)
+        seq = self.current_seq()
+        base = self._raw_snapshot(seq)
+        if seq > 0:
+            shutil.copyfile(self._snap_path(seq),
+                            os.path.join(bdir, f"snap-{seq:010d}.json"))
+        with open(os.path.join(bdir, "base.json"), "w") as f:
+            json.dump({"main_seq": seq,
+                       "main_snapshot_id": base["snapshot_id"]}, f)
+        return IceTable(self.path, branch=name)
+
+    def branch(self, name: str) -> "IceTable":
+        """Handle onto an existing branch."""
+        if not os.path.isdir(os.path.join(self.meta_dir, "branches", name)):
+            raise ValueError(f"no such branch {name!r}")
+        return IceTable(self.path, branch=name)
+
+    def branches(self) -> list[str]:
+        broot = os.path.join(self.meta_dir, "branches")
+        return sorted(os.listdir(broot)) if os.path.isdir(broot) else []
+
+    def delete_branch(self, name: str) -> None:
+        """Drop a branch ref (its exclusive data files become reclaimable
+        by the next expire_snapshots)."""
+        bdir = os.path.join(self.meta_dir, "branches", name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no such branch {name!r}")
+        shutil.rmtree(bdir)
+
+    def fast_forward(self, name: str) -> dict:
+        """Publish a branch to main (Iceberg ``fast_forward``): commit the
+        branch's CURRENT manifest list as a new main snapshot — metadata
+        only, no data movement. Strict WAP safety: refuses when main has
+        moved past the branch's fork point (the audited data was staged
+        against a main that no longer exists → re-branch and re-audit)."""
+        if self.branch_name is not None:
+            raise ValueError("fast_forward from the main handle only")
+        bdir = os.path.join(self.meta_dir, "branches", name)
+        if not os.path.isdir(bdir):
+            raise ValueError(f"no such branch {name!r}")
+        with open(os.path.join(bdir, "base.json")) as f:
+            base = json.load(f)
+        cur = self._raw_snapshot()
+        if cur["snapshot_id"] != base["main_snapshot_id"]:
+            raise CommitConflict(
+                f"fast_forward({name!r}): main moved past the branch fork "
+                f"point (forked at {base['main_snapshot_id']}, main is at "
+                f"{cur['snapshot_id']}); re-branch, re-audit, re-publish")
+        b = IceTable(self.path, branch=name)
+        tip = b._raw_snapshot()
+        refs = self._carry_manifests(tip)
+        return self._commit(
+            "fast-forward", [], tip["schema"], lambda _parent: refs,
+            extra={"added_manifests": [], "from_branch": name,
+                   "partition_by": tip.get("partition_by"),
+                   "sort_by": tip.get("sort_by")})
 
     def rollback(self, seq: int) -> dict:
         """Commit a new snapshot replaying an ancestor's manifest list

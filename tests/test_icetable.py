@@ -810,3 +810,47 @@ def test_zorder_rejects_strings_accepts_timestamps(spark, tmp_path):
     t = IceTable(str(tmp_path / "ok"))
     t.append(df, zorder_by=["a", "ts"], sort_files=4)
     assert sorted(r.a for r in t.read(spark).collect()) == list(range(200))
+
+
+def test_branch_write_audit_publish(spark, tbl):
+    """The Iceberg WAP flow: stage commits on a branch (main is untouched
+    and readable throughout), audit the branch, then fast_forward publishes
+    the branch tip to main as a metadata-only commit. A stale branch —
+    forked before main moved — refuses to publish."""
+    tbl.append(_df(spark, 0, 100))
+    b = tbl.create_branch("audit")
+    b.append(_df(spark, 100, 160, tag="staged"))
+    # isolation both ways: main doesn't see staged rows, the branch does
+    assert tbl.read(spark).count() == 100
+    assert b.read(spark).count() == 160
+    assert tbl.branches() == ["audit"]
+    # "audit" passes → publish
+    snap = tbl.fast_forward("audit")
+    assert snap["operation"] == "fast-forward"
+    assert tbl.read(spark).count() == 160
+    assert sorted(r.id for r in tbl.read(spark).collect()) == list(range(160))
+
+    # stale-branch safety: fork, let main move, then refuse the publish
+    b2 = tbl.create_branch("stale")
+    b2.append(_df(spark, 900, 910))
+    tbl.append(_df(spark, 160, 170))
+    with pytest.raises(CommitConflict, match="fork point"):
+        tbl.fast_forward("stale")
+
+
+def test_branch_files_survive_main_expiry(spark, tbl):
+    """Branch snapshots share data files with main: expire_snapshots on
+    main must not reclaim files a live branch references; deleting the
+    branch releases them."""
+    tbl.append(_df(spark, 0, 50))
+    b = tbl.create_branch("wip")
+    b.append(_df(spark, 50, 90, tag="wip"))
+    tbl.overwrite(_df(spark, 0, 5, tag="new"))
+    tbl.overwrite(_df(spark, 0, 6, tag="newer"))
+    tbl.expire_snapshots(keep_last=1)
+    assert b.read(spark).count() == 90  # branch data intact
+    tbl.delete_branch("wip")
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.read(spark).count() == 6
+    with pytest.raises(ValueError, match="no such branch"):
+        tbl.branch("wip")
