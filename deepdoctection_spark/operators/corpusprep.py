@@ -1,0 +1,278 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+benchmark decontamination, repetition filtering, importance weighting,
+and deterministic stratified sampling.
+
+These are the curation passes that run BETWEEN extraction and publish
+(reference analogue: the dataflow curation surface — MapData filters and
+the dataset split machinery, /root/reference/deepdoctection/datasets/
+dataflow_builder.py and mapper/maputils.py — reimagined as the passes a
+100 TB pretraining pipeline actually needs). Everything is pure column
+expressions + hash aggregations: no UDFs, no driver loops, every join an
+equi-join with a bounded small side.
+
+Determinism contract (shared with the DuckDB oracles in
+plans/training_ops.py): every floating-point score is either quantized to
+integer micro-units before aggregation (importance log-ratios) or produced
+by one identical IEEE-double expression and floor-quantized (fractions),
+so cross-engine comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deepdoctection_spark.operators.dedup import normalized_text
+from deepdoctection_spark.operators.textstats import _round4
+
+# Benchmark membership and the snippet window are deterministic functions of
+# the corpus itself, so tests and oracles rebuild the identical eval set.
+DECONTAM_BENCH_MOD = 37
+DECONTAM_SNIPPET_START = 3  # 1-based token position
+DECONTAM_SNIPPET_LEN = 18
+
+DSIR_NUM_BUCKETS = 64
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+REP_TOP2_THRESHOLD = 0.20
+REP_DUP5_THRESHOLD = 0.30
+
+
+def _ws(text_col: str = "text") -> Column:
+    """Whitespace tokens of the normalized text (unfiltered split — matches
+    DuckDB string_split; an empty document yields [''] which produces no
+    valid k-gram downstream)."""
+    return F.split(normalized_text(F.col(text_col)), " ")
+
+
+def _kgrams(arr: Column, k: int) -> Column:
+    """All positional k-grams of a token array as space-joined strings,
+    JVM-side (sequence → transform(slice+join)); partial grams from arrays
+    shorter than k are filtered by the word-count guard."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(arr, i + 1, k), " "))
+    return F.filter(grams, lambda g: F.size(F.split(g, " ")) == k)
+
+
+def decontaminate(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Benchmark decontamination — the n-gram-overlap pass every pretraining
+    pipeline runs before publish (the GPT-3/Llama recipe, published in both
+    papers: a training document is contaminated if it shares any k-gram with
+    the evaluation set; n=13 at production scale, n=5 here so the word-list
+    corpus actually collides).
+
+    The benchmark set is derived deterministically from the corpus: docs with
+    doc_id % 37 == 0 contribute tokens 3..20 of their normalized text as an
+    "eval prompt", which guarantees real overlap to detect. The oracle
+    rebuilds the identical set, so the parity check exercises the overlap
+    join itself.
+
+    Plan shape at 100 TB: the eval set is tiny (benchmarks are KBs against a
+    100 TB corpus), so its distinct k-gram set is BROADCAST; the corpus side
+    is one narrow k-gram explode → distinct → broadcast-hash semi-ish join →
+    per-doc count. No shuffle carries more than the per-doc distinct k-gram
+    stream, and the join never shuffles the corpus side.
+    """
+    ws = _ws()
+    corp = docs.select(
+        "doc_id", F.explode(_kgrams(ws, k)).alias("g")
+    ).distinct()
+    bench_arr = F.slice(ws, DECONTAM_SNIPPET_START, DECONTAM_SNIPPET_LEN)
+    bench = (
+        docs.where(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+        .select(F.explode(_kgrams(bench_arr, k)).alias("g"))
+        .distinct()
+    )
+    sizes = corp.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_ngrams"))
+    hits = (
+        corp.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    n = F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long")
+    h = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(sizes, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_ngrams"),
+            h.alias("n_hits"),
+            (h > 0).alias("contaminated"),
+            _round4(h / F.greatest(n, F.lit(1))).alias("contam_frac"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per document, the occurrence share of
+    the most frequent 2-gram and the share of 5-gram occurrences that are
+    duplicates — the two signals the Gopher/MassiveText quality rules use to
+    drop boilerplate and degenerate repetition (published thresholds; here
+    0.20 / 0.30 on occurrence fractions).
+
+    The word-list corpus barely repeats by construction, so deterministic
+    repetition is planted first: each document's token stream is extended
+    with (doc_id % 4) copies of its first 8 tokens — the oracle plants the
+    identical extension, so the parity check exercises the n-gram counting,
+    not the planting.
+
+    Plan shape: two hash aggregations on (doc_id, gram) — map-side
+    combinable, no join wider than doc_id — then one per-doc merge. At
+    corpus scale this is the same shape as word-count.
+    """
+    ws = _ws()
+    reps = (F.col("doc_id") % 4).cast("int")
+    aug = F.concat(
+        ws,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), reps),
+                lambda _: F.slice(ws, 1, 8),
+            )
+        ),
+    )
+    # sequence(1, 0) raises in Spark; guard empty via when
+    aug = F.when(reps > 0, aug).otherwise(ws)
+
+    g2 = docs.select("doc_id", F.explode(_kgrams(aug, 2)).alias("g"))
+    g5 = docs.select("doc_id", F.explode(_kgrams(aug, 5)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+    c5 = g5.groupBy("doc_id", "g").agg(F.count("*").cast("long").alias("c"))
+    s2 = c2.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n2"),
+        F.max("c").cast("long").alias("max2"),
+    )
+    s5 = c5.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n5"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup5"),
+    )
+    top2_frac = _round4(
+        F.coalesce(F.col("max2"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n2"), F.lit(0)), F.lit(1))
+    )
+    dup5_frac = _round4(
+        F.coalesce(F.col("dup5"), F.lit(0))
+        / F.greatest(F.coalesce(F.col("n5"), F.lit(0)), F.lit(1))
+    )
+    return (
+        docs.select("doc_id")
+        .join(s2, "doc_id", "left")
+        .join(s5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n2"), F.lit(0)).cast("long").alias("n2"),
+            top2_frac.alias("top2_frac"),
+            F.coalesce(F.col("n5"), F.lit(0)).cast("long").alias("n5"),
+            dup5_frac.alias("dup5_frac"),
+            (
+                (top2_frac > REP_TOP2_THRESHOLD)
+                | (dup5_frac > REP_DUP5_THRESHOLD)
+            ).alias("repetitive"),
+        )
+    )
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 8 hex chars of md5 as a bigint,
+    mod n_buckets (the similarity.py SimHash idiom)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_buckets
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    n_buckets: int = DSIR_NUM_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token into B
+    buckets, estimate the target-domain and raw-corpus bucket distributions
+    with Laplace smoothing, and score each document by the sum of per-token
+    log probability ratios. Documents that look like the target domain get
+    positive log-weights; importance resampling then samples by weight.
+
+    The target domain is docs from sources src0..src2 (a deterministic
+    stand-in for "high-quality domain"). Each bucket's log-ratio is
+    quantized to integer micro-units BEFORE the per-doc sum, so the
+    cross-engine aggregation is exact integer math in any order.
+
+    Plan shape at 100 TB: one token explode feeding a B-row (64) hash
+    aggregation, the B-row ratio table broadcast back onto the token stream
+    (broadcast hash equi-join on bucket), one per-doc sum. The only wide
+    shuffle is the per-doc aggregation, keyed on doc_id.
+    """
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_ws()).alias("token"),
+    ).where(F.length("token") > 0)
+    toks = toks.withColumn("bucket", _bucket(F.col("token"), n_buckets))
+    is_tgt = F.col("source").isin(*target_sources)
+    buckets = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("raw_cnt"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).cast("long").alias("tgt_cnt"),
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    buckets = buckets.select(
+        "bucket",
+        "raw_cnt",
+        "tgt_cnt",
+        F.sum("raw_cnt").over(w_all).cast("long").alias("raw_total"),
+        F.sum("tgt_cnt").over(w_all).cast("long").alias("tgt_total"),
+    )
+    b = F.lit(float(n_buckets))
+    lr = F.log(
+        ((F.col("tgt_cnt") + 1.0) * (F.col("raw_total") + b))
+        / ((F.col("raw_cnt") + 1.0) * (F.col("tgt_total") + b))
+    )
+    lr_q6 = F.floor(lr * 1000000 + F.lit(0.5)).cast("long")
+    ratio_table = buckets.select("bucket", lr_q6.alias("lr_q6"))
+    scored = (
+        toks.join(F.broadcast(ratio_table), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lr_q6").cast("long").alias("logw_q6"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("logw_q6"), F.lit(0)).cast("long").alias("logw_q6"),
+            (F.coalesce(F.col("logw_q6"), F.lit(0)) / 1000000.0).alias("logw"),
+        )
+    )
+
+
+def stratified_sample(docs: DataFrame, frac: float = 0.3) -> DataFrame:
+    """Deterministic stratified sampling: within each source stratum, rank
+    documents by a salted md5 of their id (a fixed uniform permutation) and
+    keep the first ceil(frac·|stratum|) — reproducible train-subset /
+    ablation sampling with exact per-stratum proportions, no RNG state.
+
+    Plan shape: one window sort per stratum (partitionBy source); nothing
+    else. At corpus scale the per-stratum sort is the cost of any exact
+    without-replacement sample; for approximate sampling the keep decision
+    degenerates to a pure hash filter (no window) — that variant is the
+    md5-threshold filter used by jobs/curate.py's wave sampling.
+    """
+    key = F.md5(F.concat(F.lit("samp#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key, "doc_id")
+    ws_cnt = Window.partitionBy("source")
+    rn = F.row_number().over(w).cast("long")
+    n_src = F.count("*").over(ws_cnt).cast("long")
+    return docs.select(
+        "doc_id",
+        "source",
+        rn.alias("sample_rank"),
+        n_src.alias("n_source"),
+        (rn <= F.ceil(n_src * F.lit(float(frac)))).alias("keep"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from deepdoctection_spark.operators import dedup, similarity, textstats
+from deepdoctection_spark.operators import corpusprep, dedup, similarity, textstats
 from deepdoctection_spark.operators.similarity import ANN_NUM_PLANES, hyperplanes
 from deepdoctection_spark.operators.textstats import BPE_ISH_PATTERN, STOPWORDS
 from deepdoctection_spark.plans.registry import register
@@ -959,3 +959,147 @@ def q_pii_scrub(spark, sf_dir):
     check exercises the scrub expressions themselves. Pure column
     expressions; the at-scale shape is a narrow map over the corpus scan."""
     return textstats.pii_scrub(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# corpus preparation: decontamination, repetition, importance weights, sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+corp AS (
+  SELECT DISTINCT doc_id,
+         ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS g
+  FROM toks, unnest(range(1, greatest(len(ws) - 3, 1))) AS t(i)
+),
+bench AS (
+  SELECT DISTINCT ws2[i]||' '||ws2[i+1]||' '||ws2[i+2]||' '||ws2[i+3]||' '||ws2[i+4] AS g
+  FROM (SELECT ws[3:20] AS ws2 FROM toks WHERE doc_id % 37 = 0) b,
+       unnest(range(1, greatest(len(ws2) - 3, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM corp GROUP BY doc_id),
+hits AS (SELECT c.doc_id, count(*)::BIGINT AS n_hits
+         FROM corp c JOIN bench USING (g) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.n_ngrams, 0)::BIGINT AS n_ngrams,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) > 0) AS contaminated,
+       floor(coalesce(h.n_hits, 0) / greatest(coalesce(s.n_ngrams, 0), 1)
+             * 10000 + 0.5) / 10000 AS contam_frac
+FROM documents d LEFT JOIN sizes s USING (doc_id) LEFT JOIN hits h USING (doc_id)
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama recipe): flag training docs
+    sharing any 5-gram with a deterministically derived eval set. The eval
+    n-gram set is broadcast; the corpus side never shuffles through the
+    overlap join."""
+    return corpusprep.decontaminate(_docs(spark, sf_dir), k=5)
+
+
+@register(
+    "repetition_filters",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+augt AS (
+  SELECT doc_id,
+         list_concat(ws, flatten(list_transform(range(doc_id % 4),
+                                                x -> ws[1:8]))) AS a
+  FROM toks
+),
+g2 AS (SELECT doc_id, a[i]||' '||a[i+1] AS g
+       FROM augt, unnest(range(1, greatest(len(a), 1))) AS t(i)),
+g5 AS (SELECT doc_id, a[i]||' '||a[i+1]||' '||a[i+2]||' '||a[i+3]||' '||a[i+4] AS g
+       FROM augt, unnest(range(1, greatest(len(a) - 3, 1))) AS t(i)),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2),
+c5 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g5 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS max2
+       FROM c2 GROUP BY 1),
+s5 AS (SELECT doc_id, sum(c)::BIGINT AS n5,
+              sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS dup5
+       FROM c5 GROUP BY 1),
+fr AS (
+  SELECT d.doc_id,
+         coalesce(n2, 0)::BIGINT AS n2,
+         floor(coalesce(max2, 0) / greatest(coalesce(n2, 0), 1)
+               * 10000 + 0.5) / 10000 AS top2_frac,
+         coalesce(n5, 0)::BIGINT AS n5,
+         floor(coalesce(dup5, 0) / greatest(coalesce(n5, 0), 1)
+               * 10000 + 0.5) / 10000 AS dup5_frac
+  FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+)
+SELECT doc_id, n2, top2_frac, n5, dup5_frac,
+       (top2_frac > 0.20 OR dup5_frac > 0.30) AS repetitive
+FROM fr
+""",
+)
+def q_repetition_filters(spark, sf_dir):
+    """Gopher-style repetition filters over planted deterministic repetition:
+    top-2-gram occurrence share + duplicate-5-gram occurrence share, with the
+    published-rule-shaped thresholds. Word-count-shaped plan (two hash aggs
+    keyed (doc_id, gram))."""
+    return corpusprep.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tk AS (SELECT doc_id, source, token,
+              ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket
+       FROM toks WHERE length(token) > 0),
+bk AS (SELECT bucket, count(*)::BIGINT AS raw_cnt,
+              sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                       THEN 1 ELSE 0 END)::BIGINT AS tgt_cnt
+       FROM tk GROUP BY bucket),
+bk2 AS (SELECT bucket, raw_cnt, tgt_cnt,
+               sum(raw_cnt) OVER ()::BIGINT AS raw_total,
+               sum(tgt_cnt) OVER ()::BIGINT AS tgt_total
+        FROM bk),
+lrtab AS (SELECT bucket,
+                 floor(ln(((tgt_cnt + 1.0) * (raw_total + 64.0))
+                          / ((raw_cnt + 1.0) * (tgt_total + 64.0)))
+                       * 1000000 + 0.5)::BIGINT AS lr_q6
+          FROM bk2),
+sc AS (SELECT t.doc_id, count(*)::BIGINT AS n_feats, sum(l.lr_q6)::BIGINT AS logw_q6
+       FROM tk t JOIN lrtab l USING (bucket) GROUP BY 1)
+SELECT d.doc_id, d.source,
+       coalesce(n_feats, 0)::BIGINT AS n_feats,
+       coalesce(logw_q6, 0)::BIGINT AS logw_q6,
+       (coalesce(logw_q6, 0) / 1000000.0) AS logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style hashed-n-gram importance weights (target = src0..src2):
+    64-bucket token hash, Laplace-smoothed target/raw log-ratios quantized to
+    integer micro-units before the per-doc sum — exact cross-engine
+    aggregation in any order."""
+    return corpusprep.dsir_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "stratified_sample",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source
+              ORDER BY md5('samp#' || doc_id::VARCHAR), doc_id))::BIGINT AS sample_rank,
+         (count(*) OVER (PARTITION BY source))::BIGINT AS n_source
+  FROM documents
+)
+SELECT doc_id, source, sample_rank, n_source,
+       (sample_rank <= ceil(n_source * 0.3)) AS keep
+FROM r
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: salted-md5 permutation rank within
+    each source stratum, keep the first ceil(0.3·|stratum|). Exact
+    per-stratum proportions, reproducible with no RNG state."""
+    return corpusprep.stratified_sample(_docs(spark, sf_dir), frac=0.3)

@@ -118,3 +118,70 @@ def test_tfidf_bm25_rank_contract(spark):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         assert all(a["bm25"] >= b["bm25"] for a, b in zip(rs, rs[1:]))
         assert all(r["tfidf"] >= 0.0 and r["df"] >= 1 for r in rs)
+
+
+def test_decontaminate_flags_bench_sources(spark):
+    """Benchmark-source docs (doc_id %% 37 == 0) contain their own snippet, so
+    they must be contaminated; counts are consistent and bounded."""
+    from deepdoctection_spark.operators.corpusprep import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = decontaminate(docs, k=5).collect()
+    assert len(rows) == docs.count()
+    bench_ids = {r["doc_id"] for r in rows if r["doc_id"] % 37 == 0}
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_ngrams"]
+        assert r["contaminated"] == (r["n_hits"] > 0)
+        if r["doc_id"] in bench_ids and r["n_ngrams"] >= 14:
+            # the snippet (tokens 3..20) lives inside the doc -> self-overlap
+            assert r["contaminated"], f"bench doc {r['doc_id']} not flagged"
+
+
+def test_repetition_planted_docs_have_duplicates(spark):
+    """Docs with doc_id %% 4 >= 1 get their first-8-token prefix appended, so
+    the prefix 5-grams occur at least twice -> dup5_frac > 0; fractions stay
+    in [0, 1]."""
+    from deepdoctection_spark.operators.corpusprep import repetition_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["top2_frac"] <= 1.0 and 0.0 <= r["dup5_frac"] <= 1.0
+        if r["doc_id"] % 4 >= 1 and r["n5"] >= 20:
+            assert r["dup5_frac"] > 0.0, f"doc {r['doc_id']} planted but clean"
+
+
+def test_dsir_weights_are_deterministic_token_sums(spark):
+    """n_feats equals the doc's token count and logw is the micro-unit sum
+    (exact integer contract)."""
+    from deepdoctection_spark.operators.corpusprep import dsir_weights
+    from deepdoctection_spark.operators.textstats import token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+    toks = {r["doc_id"]: r["ws_tokens"] for r in token_counts(docs).collect()}
+    assert set(w) == set(toks)
+    for doc_id, r in w.items():
+        assert r["n_feats"] == toks[doc_id]
+        assert abs(r["logw"] - r["logw_q6"] / 1e6) < 1e-12
+
+
+def test_stratified_sample_exact_proportions(spark):
+    """Per stratum: ranks are a dense permutation 1..n and exactly
+    ceil(0.3*n) docs are kept."""
+    import math
+
+    from deepdoctection_spark.operators.corpusprep import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = stratified_sample(docs, frac=0.3).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        n = len(rs)
+        assert sorted(r["sample_rank"] for r in rs) == list(range(1, n + 1))
+        assert all(r["n_source"] == n for r in rs)
+        kept = sum(r["keep"] for r in rs)
+        assert kept == math.ceil(0.3 * n)
