@@ -276,3 +276,112 @@ def stratified_sample(docs: DataFrame, frac: float = 0.3) -> DataFrame:
         n_src.alias("n_source"),
         (rn <= F.ceil(n_src * F.lit(float(frac)))).alias("keep"),
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+PACK_SEQ_LEN = 256
+PACK_BUCKET_WIDTH = 64
+
+
+def chunk_documents(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document into windows of
+    `chunk` tokens advancing by `stride` (overlap = chunk - stride), the
+    retrieval-index preparation pass. Start positions are 0, stride, 2·stride,
+    …; the window count is 1 + ceil(max(0, n - chunk)/stride) so every token
+    is covered and only the last window may be short.
+
+    Embarrassingly parallel — one narrow projection + posexplode, no shuffle
+    at all; at 100 TB this runs at scan speed."""
+    ws = _ws()
+    n = F.size(ws)
+    n_starts = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda s: F.array_join(F.slice(ws, s * stride + 1, chunk), " "),
+    )
+    exploded = docs.select(
+        "doc_id", n.alias("n_tokens"), F.posexplode(pieces).alias("chunk_idx", "chunk_text")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        "n_tokens",
+        F.size(F.split("chunk_text", " ")).cast("int").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = PACK_SEQ_LEN,
+    bucket_width: int = PACK_BUCKET_WIDTH,
+) -> DataFrame:
+    """Sequence packing (the GPT-style concat-and-chunk recipe): concatenate
+    all documents in a fixed global order (doc_id) and cut fixed windows of
+    `seq_len` tokens; report each document's byte-exact placement — global
+    token offset, first/last training sequence touched, and how many
+    sequences it spans.
+
+    The interesting part at 100 TB is the GLOBAL EXCLUSIVE PREFIX SUM of
+    token counts. A naive `sum() over (order by doc_id)` is a single-partition
+    window — the whole corpus through one task. This uses the scalable
+    two-level formulation instead: (1) per-bucket token sums (hash agg,
+    bucket = floor(doc_id / width), monotone in the global order), (2) an
+    exclusive cumsum over the tiny bucket table (the only ordered window,
+    |buckets| = n_docs/width rows; at extreme scale this level recurses), (3)
+    a broadcast join back and a within-bucket exclusive cumsum (window
+    partitioned BY BUCKET — parallel). Offsets are exact longs, so the DuckDB
+    oracle's single global cumsum must agree bit-for-bit; agreement proves
+    the distributed decomposition."""
+    ws = _ws()
+    n_tok = F.size(F.filter(ws, lambda w: F.length(w) > 0)).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_width).cast("long").alias("bucket"),
+    )
+    bucket_sums = base.groupBy("bucket").agg(
+        F.sum("n_tokens").cast("long").alias("bucket_tokens")
+    )
+    w_buckets = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offsets = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0))
+        .cast("long")
+        .alias("bucket_offset"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = base.join(F.broadcast(bucket_offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("bucket_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+        )
+        .cast("long")
+        .alias("offset"),
+    )
+    first = F.floor(F.col("offset") / seq_len).cast("long")
+    last = F.floor((F.col("offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / seq_len).cast("long")
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "offset",
+        first.alias("seq_first"),
+        last.alias("seq_last"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_seqs"),
+    )

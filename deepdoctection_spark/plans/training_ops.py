@@ -1103,3 +1103,66 @@ def q_stratified_sample(spark, sf_dir):
     each source stratum, keep the first ceil(0.3·|stratum|). Exact
     per-stratum proportions, reproducible with no RNG state."""
     return corpusprep.stratified_sample(_docs(spark, sf_dir), frac=0.3)
+
+
+@register(
+    "chunk_documents",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+st AS (
+  SELECT doc_id, ws, len(ws)::INT AS n_tokens,
+         (1 + ceil(greatest(len(ws) - 32, 0) / 24.0))::INT AS n_starts
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, n_tokens, i::INT AS chunk_idx,
+         array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text
+  FROM st, unnest(range(0, n_starts)) AS t(i)
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       len(string_split(chunk_text, ' '))::INT AS n_chunk_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM ch
+""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """RAG sliding-window chunking (32-token windows, stride 24): one narrow
+    projection + posexplode, zero shuffle — runs at scan speed at 100 TB.
+    The md5 of each chunk text makes the window arithmetic (start positions,
+    short last window) byte-checkable against the serial oracle."""
+    return corpusprep.chunk_documents(_docs(spark, sf_dir))
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+base AS (SELECT doc_id,
+                len(list_filter(ws, w -> len(w) > 0))::BIGINT AS n_tokens
+         FROM toks),
+placed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS "offset"
+  FROM base
+)
+SELECT doc_id, n_tokens, "offset",
+       floor("offset" / 256)::BIGINT AS seq_first,
+       floor(("offset" + greatest(n_tokens - 1, 0)) / 256)::BIGINT AS seq_last,
+       (CASE WHEN n_tokens > 0
+             THEN floor(("offset" + greatest(n_tokens - 1, 0)) / 256)
+                  - floor("offset" / 256) + 1
+             ELSE 0 END)::BIGINT AS n_seqs
+FROM placed
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing placement (concat-and-chunk at seq_len=256): each
+    doc's exact global token offset and the training sequences it spans. The
+    Spark side computes the global exclusive prefix sum with the scalable
+    two-level decomposition (per-bucket sums -> tiny ordered window over
+    buckets -> broadcast back + per-bucket parallel window); the oracle is
+    the naive single global cumsum — exact long agreement proves the
+    distributed decomposition."""
+    return corpusprep.pack_sequences(_docs(spark, sf_dir))

@@ -185,3 +185,61 @@ def test_stratified_sample_exact_proportions(spark):
         assert all(r["n_source"] == n for r in rs)
         kept = sum(r["keep"] for r in rs)
         assert kept == math.ceil(0.3 * n)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Window starts advance by stride; every token position is covered;
+    only the last window may be short; chunk 0 md5 equals the md5 of the
+    first `chunk` tokens."""
+    import hashlib
+
+    from deepdoctection_spark.operators.corpusprep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+        normalized_text,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    norm = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", normalized_text(F.col("text")).alias("t")).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(norm)
+    for doc_id, chunks in by_doc.items():
+        ws = norm[doc_id].split(" ")
+        n = len(ws)
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        assert all(c["n_tokens"] == n for c in chunks)
+        # coverage: last window reaches the end token
+        last_start = (len(chunks) - 1) * CHUNK_STRIDE
+        assert last_start + CHUNK_TOKENS >= n
+        # only the last window may be short
+        for c in chunks[:-1]:
+            assert c["n_chunk_tokens"] == CHUNK_TOKENS
+        first_text = " ".join(ws[:CHUNK_TOKENS])
+        assert chunks[0]["chunk_md5"] == hashlib.md5(first_text.encode()).hexdigest()
+
+
+def test_pack_sequences_offsets_are_exact_prefix_sums(spark):
+    """Offsets from the two-level decomposition equal the serial exclusive
+    prefix sum in doc_id order, and seq spans follow from the offsets."""
+    from deepdoctection_spark.operators.corpusprep import PACK_SEQ_LEN, pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(pack_sequences(docs).collect(), key=lambda r: r["doc_id"])
+    running = 0
+    for r in rows:
+        assert r["offset"] == running, f"doc {r['doc_id']}: {r['offset']} != {running}"
+        running += r["n_tokens"]
+        if r["n_tokens"] > 0:
+            assert r["seq_first"] == r["offset"] // PACK_SEQ_LEN
+            assert r["seq_last"] == (r["offset"] + r["n_tokens"] - 1) // PACK_SEQ_LEN
+            assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        else:
+            assert r["n_seqs"] == 0
