@@ -385,3 +385,119 @@ def pack_sequences(
         .cast("long")
         .alias("n_seqs"),
     )
+
+
+LINE_SEG_TOKENS = 8
+
+MIX_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature), exact via IEEE sqrt"
+
+
+def line_dedup(docs: DataFrame, seg: int = LINE_SEG_TOKENS) -> DataFrame:
+    """CCNet-style corpus-wide segment dedup: cut each document into
+    consecutive `seg`-token segments ("paragraphs" — the synthetic corpus
+    has no newlines), hash each, and keep a segment only if it is the
+    GLOBAL first occurrence of its hash in (doc_id, seg_idx) order. Per
+    document: segment counts, drop counts, kept-token count, and the md5 of
+    the deduplicated text (byte-checkable reassembly).
+
+    Scale shape (the CCNet recipe at 100 TB): segments explode narrowly
+    (no shuffle), first-occurrence is ONE hash aggregation keyed by segment
+    hash (min over a (doc_id, seg_idx) struct — no global window, no sort),
+    the keep flag is the equi-join back on the same hash key (the exchange
+    is reused), and the per-doc rollup is a second hash agg. Every stage is
+    key-parallel; nothing touches a single partition."""
+    ws = _ws()
+    n_segs_c = F.ceil(F.size(ws) / F.lit(float(seg))).cast("int")
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_segs_c - 1),
+        lambda s: F.array_join(F.slice(ws, s * seg + 1, seg), " "),
+    )
+    segs = docs.select(
+        "doc_id", F.posexplode(pieces).alias("seg_idx", "seg_text")
+    ).select("doc_id", "seg_idx", "seg_text", F.md5("seg_text").alias("h"))
+    firsts = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("first_key")
+    )
+    flagged = segs.join(firsts, "h").select(
+        "doc_id",
+        "seg_idx",
+        "seg_text",
+        (
+            (F.col("doc_id") == F.col("first_key.doc_id"))
+            & (F.col("seg_idx") == F.col("first_key.seg_idx"))
+        ).alias("keep"),
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg_text"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("keep"), F.size(F.split("seg_text", " "))).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["seg_text"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled data-mixture weights per source (the multilingual
+    upsampling recipe: w_i ∝ p_i^α with α = 0.5): token share p, the
+    resampled weight, and the oversample factor weight/p for each source.
+
+    Determinism contract: every float step is an exactly-rounded IEEE
+    operation on exact integers — p is quantized to parts-per-million by
+    INTEGER division, p^0.5 is one `sqrt` call (exactly rounded per
+    IEEE-754, unlike `pow`) quantized to milli-units, and the
+    normalizations are integer divisions over exact integer sums — so the
+    DuckDB oracle agrees bit-for-bit regardless of aggregation order.
+
+    Scale shape: one hash agg per source (map-side partial), a 1-row global
+    total broadcast back; the per-source table is tiny at any corpus size."""
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.filter(_ws(), lambda w: F.length(w) > 0)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("long").alias("tot_tokens"))
+    with_p = per_src.join(F.broadcast(total)).withColumn(
+        "p_q6",
+        F.floor(F.col("n_tokens") * F.lit(1000000) / F.col("tot_tokens")).cast("long"),
+    )
+    with_s = with_p.withColumn(
+        "s_q3",
+        F.floor(F.sqrt(F.col("p_q6").cast("double")) * 1000 + F.lit(0.5)).cast("long"),
+    )
+    s_total = with_s.agg(F.sum("s_q3").cast("long").alias("s_tot"))
+    return (
+        with_s.join(F.broadcast(s_total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "p_q6",
+            "s_q3",
+            F.floor(F.col("s_q3") * F.lit(1000000) / F.col("s_tot"))
+            .cast("long")
+            .alias("weight_q6"),
+            F.floor(
+                F.col("s_q3")
+                * F.lit(1000000000)
+                / (F.col("s_tot") * F.greatest(F.col("p_q6"), F.lit(1)))
+            )
+            .cast("long")
+            .alias("oversample_q3"),
+        )
+    )

@@ -1166,3 +1166,78 @@ def q_pack_sequences(spark, sf_dir):
     the naive single global cumsum — exact long agreement proves the
     distributed decomposition."""
     return corpusprep.pack_sequences(_docs(spark, sf_dir))
+
+
+@register(
+    "line_dedup_ccnet",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, i::INT AS seg_idx,
+         array_to_string(ws[i*8+1 : i*8+8], ' ') AS seg_text
+  FROM toks, unnest(range(0, ceil(len(ws)/8.0)::BIGINT)) AS t(i)
+),
+firsts AS (
+  SELECT md5(seg_text) AS h,
+         min(struct_pack(d := doc_id, s := seg_idx)) AS fk
+  FROM segs GROUP BY 1
+),
+flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg_text,
+         (s.doc_id = f.fk.d AND s.seg_idx = f.fk.s) AS keep
+  FROM segs s JOIN firsts f ON md5(s.seg_text) = f.h
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segs,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+       sum(CASE WHEN keep THEN len(string_split(seg_text, ' ')) ELSE 0 END)::BIGINT
+         AS n_tokens_kept,
+       md5(coalesce(array_to_string(
+             list(seg_text ORDER BY seg_idx) FILTER (WHERE keep), ' '), ''))
+         AS kept_md5
+FROM flagged GROUP BY doc_id
+""",
+)
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide segment dedup (8-token segments, keep the
+    global first occurrence in (doc_id, seg_idx) order): hash-agg
+    first-occurrence + equi-join back, no global window or sort anywhere.
+    kept_md5 byte-checks the deduplicated reassembly against the serial
+    oracle."""
+    return corpusprep.line_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "mixture_weights",
+    f"""
+WITH toks AS (SELECT source, string_split({_NORM}, ' ') AS ws FROM documents),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(ws, w -> len(w) > 0)))::BIGINT AS n_tokens
+  FROM toks GROUP BY source
+),
+withp AS (
+  SELECT *, sum(n_tokens) OVER ()::BIGINT AS tot_tokens FROM per_src
+),
+q AS (
+  SELECT source, n_docs, n_tokens,
+         floor(n_tokens * 1000000 / tot_tokens)::BIGINT AS p_q6
+  FROM withp
+),
+s AS (
+  SELECT *, floor(sqrt(p_q6::DOUBLE) * 1000 + 0.5)::BIGINT AS s_q3 FROM q
+),
+st AS (SELECT *, sum(s_q3) OVER ()::BIGINT AS s_tot FROM s)
+SELECT source, n_docs, n_tokens, p_q6, s_q3,
+       floor(s_q3 * 1000000 / s_tot)::BIGINT AS weight_q6,
+       floor(s_q3 * 1000000000 / (s_tot * greatest(p_q6, 1)))::BIGINT
+         AS oversample_q3
+FROM st
+""",
+)
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled mixture weights per source (w ∝ p^0.5): exact
+    integer quantization at every step (integer-division ppm share, one
+    IEEE-exact sqrt, integer normalization sums) so aggregation order can
+    never shift a bit. One hash agg + a broadcast 1-row total."""
+    return corpusprep.mixture_weights(_docs(spark, sf_dir))

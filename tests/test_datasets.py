@@ -243,3 +243,50 @@ def test_pack_sequences_offsets_are_exact_prefix_sums(spark):
             assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
         else:
             assert r["n_seqs"] == 0
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """Duplicate segments are dropped everywhere EXCEPT their global first
+    (doc_id, seg_idx) occurrence; a corpus with no duplicate segments drops
+    nothing; totals are conserved."""
+    from deepdoctection_spark.operators.corpusprep import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h x y z w q r s t"),  # segs: [a..h], [x..t]
+            (2, "a b c d e f g h n o p q u v w k"),  # first seg dupes doc 1
+            (3, "n o p q u v w k a b c d e f g h"),  # both dupe earlier segs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert rows[1]["n_dropped"] == 0 and rows[1]["n_segs"] == 2
+    assert rows[2]["n_dropped"] == 1 and rows[2]["n_tokens_kept"] == 8
+    assert rows[3]["n_dropped"] == 2 and rows[3]["n_tokens_kept"] == 0
+    import hashlib
+
+    assert rows[3]["kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert rows[2]["kept_md5"] == hashlib.md5(b"n o p q u v w k").hexdigest()
+
+
+def test_mixture_weights_sum_and_monotonicity(spark):
+    """Weights are a probability-like vector in micro-units (sum within
+    rounding of 1e6), sqrt temperature compresses the range (oversample > 1
+    for under-represented sources, < 1 for over-represented), and shares
+    are exact integer ppm."""
+    from deepdoctection_spark.operators.corpusprep import mixture_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = mixture_weights(docs).collect()
+    n_src = len(rows)
+    assert n_src == 20
+    tot = sum(r["n_tokens"] for r in rows)
+    wsum = sum(r["weight_q6"] for r in rows)
+    assert 1000000 - n_src <= wsum <= 1000000  # floor loses < 1 unit per row
+    mean_p = 1000000 / n_src
+    for r in rows:
+        assert r["p_q6"] == r["n_tokens"] * 1000000 // tot
+        if r["p_q6"] < mean_p * 0.95:
+            assert r["oversample_q3"] > 1000
+        if r["p_q6"] > mean_p * 1.05:
+            assert r["oversample_q3"] < 1000
