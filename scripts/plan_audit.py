@@ -28,6 +28,7 @@ BNLJ_WHITELIST = {
     "ann_ivf_search_trained", "ann_ivf_search_pruned",
     "eval_coco_map", "knn_bruteforce", "quality_surprisal", "rel_repeated",
     "tfidf_bm25_terms",  # 1-row corpus stats (n_docs, avgdl) broadcast
+    "mixture_weights",  # two 1-row global-total broadcasts (token + weight sums)
 }
 
 
