@@ -333,3 +333,74 @@ def q_pdf_layout_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="conv_id string, turn_idx int, role string, text string, tool string",
     )
     return block_spans(extract_transcripts(transcripts, with_words=False))
+
+
+# ---------------------------------------------------------------------------
+# agent-transcript analytics (role / tool / ts surface of the input schema)
+# ---------------------------------------------------------------------------
+
+def _oracle_conv_tool_stats() -> str:
+    from deepdoctection_spark.sources.transcripts import (
+        EPOCH_2024,
+        TRANSCRIPT_BASE_SQL,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT *, ({EPOCH_2024} + doc_id * 30)::BIGINT AS ts_sec,
+         ('0x' || substr(md5('lat#' || conv_id || '#' || turn_idx::VARCHAR),
+                         1, 8))::BIGINT % 10000 AS latency_ms
+  FROM ({TRANSCRIPT_BASE_SQL})
+)
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+       sum(CASE WHEN tool != '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+       count(DISTINCT CASE WHEN tool != '' THEN tool END)::INT AS n_distinct_tools,
+       coalesce(array_to_string(
+         list(tool ORDER BY turn_idx) FILTER (WHERE tool != ''), ','), '')
+         AS tool_seq,
+       sum(latency_ms)::BIGINT AS sum_latency_ms,
+       max(latency_ms)::BIGINT AS max_latency_ms,
+       (max(ts_sec) - min(ts_sec))::BIGINT AS span_sec
+FROM t GROUP BY conv_id
+"""
+
+
+@register("conv_tool_stats", _oracle_conv_tool_stats())
+def q_conv_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation agent-loop rollup: role mix, tool-call counts, the
+    ordered tool-call sequence, planted deterministic latency totals, and
+    the ts wall-clock span — ONE conv_id hash agg (map-side combined), the
+    ordered sequence via array_sort of grouped structs, never a
+    sort-shuffle."""
+    from deepdoctection_spark.operators.transcriptstats import conv_tool_stats
+
+    return conv_tool_stats(build_transcripts(spark, sf_dir))
+
+
+def _oracle_role_bigrams() -> str:
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH t AS (SELECT * FROM ({TRANSCRIPT_BASE_SQL})),
+p AS (
+  SELECT lag(role, 1, '<start>')
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         role
+  FROM t
+)
+SELECT prev_role, role, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
+"""
+
+
+@register("role_bigrams", _oracle_role_bigrams())
+def q_role_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide role-transition matrix with a '<start>' pseudo-role per
+    conversation: a conv_id-partitioned lag window (parallel, bounded
+    groups) into a |roles|²-row hash agg — output size is independent of
+    corpus size."""
+    from deepdoctection_spark.operators.transcriptstats import role_bigrams
+
+    return role_bigrams(build_transcripts(spark, sf_dir))

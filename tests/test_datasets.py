@@ -290,3 +290,56 @@ def test_mixture_weights_sum_and_monotonicity(spark):
             assert r["oversample_q3"] > 1000
         if r["p_q6"] > mean_p * 1.05:
             assert r["oversample_q3"] < 1000
+
+
+def test_conv_tool_stats_counts_and_sequence(spark):
+    """Role mix follows the doc_id%3 synthesis, the tool sequence is
+    turn-ordered, latency totals are the exact planted integers, and the ts
+    span matches the 30 s cadence."""
+    import hashlib
+
+    from deepdoctection_spark.operators.transcriptstats import conv_tool_stats
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    t = build_transcripts(spark, "/root/testdata/sf0.001")
+    rows = {r["conv_id"]: r for r in conv_tool_stats(t).collect()}
+    turns = t.select("conv_id", "turn_idx", "role", "tool").collect()
+    by_conv: dict[str, list] = {}
+    for r in turns:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert set(rows) == set(by_conv)
+    for conv, ts in by_conv.items():
+        r = rows[conv]
+        assert r["n_turns"] == len(ts)
+        assert r["n_user"] == sum(x["role"] == "user" for x in ts)
+        assert r["n_tool_calls"] == sum(x["tool"] != "" for x in ts)
+        seq = ",".join(
+            x["tool"] for x in sorted(ts, key=lambda x: x["turn_idx"]) if x["tool"]
+        )
+        assert r["tool_seq"] == seq
+        lat = [
+            int(
+                hashlib.md5(f"lat#{conv}#{x['turn_idx']}".encode()).hexdigest()[:8],
+                16,
+            )
+            % 10000
+            for x in ts
+        ]
+        assert r["sum_latency_ms"] == sum(lat) and r["max_latency_ms"] == max(lat)
+        assert r["span_sec"] == 30 * (
+            max(x["turn_idx"] for x in ts) - min(x["turn_idx"] for x in ts)
+        )
+
+
+def test_role_bigrams_totals_conserved(spark):
+    """Every turn contributes exactly one transition; '<start>' rows equal
+    the number of conversations."""
+    from deepdoctection_spark.operators.transcriptstats import role_bigrams
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    t = build_transcripts(spark, "/root/testdata/sf0.001")
+    rows = role_bigrams(t).collect()
+    n_turns = t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_turns
+    assert sum(r["n"] for r in rows if r["prev_role"] == "<start>") == n_convs
