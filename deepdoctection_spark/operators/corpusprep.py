@@ -501,3 +501,51 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             .alias("oversample_q3"),
         )
     )
+
+
+BPE_TOP_K = 20
+
+
+def bpe_pair_counts(docs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
+    """One BPE-training merge step at corpus scale: count adjacent
+    character-pair occurrences across the corpus, weighted by word
+    frequency, and rank the top-k merge candidates (count desc, then pair
+    asc — the deterministic tie-break real tokenizer trainers need for
+    reproducible vocab builds).
+
+    Scale shape (the tokenizer-training inner loop over 100 TB): the corpus
+    collapses to a DISTINCT-word vocabulary first (one hash agg — the only
+    shuffle proportional to data size), pairs then explode over the tiny
+    vocab (narrow), a second hash agg keys the |alphabet|²-bounded pair
+    space, and the top-k is a TakeOrdered (per-partition heaps + driver
+    merge of k rows), never a global sort."""
+    vocab = (
+        docs.select(F.explode(_ws()).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
+    )
+    idx = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = vocab.where(F.length("word") >= 2).select(
+        "n_word",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.col("word").substr(i, F.lit(1)),
+                    F.col("word").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("n_word").cast("long").alias("pair_count"))
+    ranked = counted.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).limit(
+        top_k
+    )
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return ranked.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.substring("pair", 1, 1).alias("left_sym"),
+        F.substring("pair", 2, 1).alias("right_sym"),
+        "pair_count",
+    )

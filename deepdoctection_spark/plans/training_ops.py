@@ -1241,3 +1241,39 @@ def q_mixture_weights(spark, sf_dir):
     IEEE-exact sqrt, integer normalization sums) so aggregation order can
     never shift a bit. One hash agg + a broadcast 1-row total."""
     return corpusprep.mixture_weights(_docs(spark, sf_dir))
+
+
+@register(
+    "bpe_merge_pairs",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word, count(*)::BIGINT AS n_word
+  FROM toks WHERE length(word) > 0 GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 1) || substr(word, i + 1, 1) AS pair,
+         sum(n_word)::BIGINT AS pair_count
+  FROM vocab, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+  GROUP BY 1
+),
+ranked AS (
+  SELECT pair, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, pair ASC)::INT AS rank
+  FROM pairs
+)
+SELECT rank, substr(pair, 1, 1) AS left_sym, substr(pair, 2, 1) AS right_sym,
+       pair_count
+FROM ranked WHERE rank <= 20
+""",
+)
+def q_bpe_merge_pairs(spark, sf_dir):
+    """One BPE-training merge step: corpus-weighted adjacent char-pair
+    counts, top-20 merge candidates with the deterministic (count desc,
+    pair asc) tie-break. Corpus collapses to a distinct-word vocab first
+    (the only data-proportional shuffle); pair counting and ranking run
+    over vocab-sized inputs; top-k is TakeOrdered, never a global sort."""
+    return corpusprep.bpe_pair_counts(_docs(spark, sf_dir))

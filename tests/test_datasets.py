@@ -343,3 +343,32 @@ def test_role_bigrams_totals_conserved(spark):
     n_convs = t.select("conv_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_turns
     assert sum(r["n"] for r in rows if r["prev_role"] == "<start>") == n_convs
+
+
+def test_bpe_pair_counts_rank_contract(spark):
+    """Ranks are 1..k, counts are non-increasing, ties broken by pair text
+    ascending, and the top pair's count equals a hand recount."""
+    from collections import Counter
+
+    from deepdoctection_spark.operators.corpusprep import bpe_pair_counts
+    from deepdoctection_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(bpe_pair_counts(docs).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        pa, pb = a["left_sym"] + a["right_sym"], b["left_sym"] + b["right_sym"]
+        assert (a["pair_count"], pa) >= (b["pair_count"], pa) and (
+            a["pair_count"] > b["pair_count"] or pa < pb
+        )
+    counts: Counter = Counter()
+    norm = docs.select(normalized_text(F.col("text")).alias("t")).collect()
+    for r in norm:
+        for w in r["t"].split(" "):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    # recount is per-OCCURRENCE; the operator weights the distinct-word vocab
+    # by word frequency — identical totals
+    best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    assert rows[0]["pair_count"] == best[1]
