@@ -26,7 +26,7 @@ Output contract (pinned once — SURVEY.md §7 hard-part #1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from deepdoctection_spark.kernels.html import extract_blocks, looks_like_html
+from deepdoctection_spark.kernels.html import extract_blocks_stream, looks_like_html
 from deepdoctection_spark.kernels.ids import span_id
 from deepdoctection_spark.kernels.layout import extract_layout_blocks, looks_like_layout
 from deepdoctection_spark.kernels.table import TableCell, cells_to_html
@@ -83,7 +83,9 @@ def extract_turn(
     if tool == "browser" or (tool not in ("pdf_reader",) and looks_like_html(text)):
         # HtmlBlock is duck-compatible with Block (category/text/cells) —
         # re-wrapping every block in a second dataclass was pure alloc churn
-        return extract_blocks(text, link_density_threshold, tag_density_threshold)
+        # the single-pass streaming extractor (no tree materialization);
+        # block-identical to kernels/html.extract_blocks (property-tested)
+        return extract_blocks_stream(text, link_density_threshold, tag_density_threshold)
     if tool == "pdf_reader" or looks_like_layout(text):
         # LayoutBlock carries category/text and an empty shared .cells
         return extract_layout_blocks(text, column_gap)

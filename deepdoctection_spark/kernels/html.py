@@ -376,3 +376,330 @@ def extract_blocks(
 
 def looks_like_html(text: str) -> bool:
     return "<" in text and _TAG_RE.search(text) is not None
+
+
+# ---------------------------------------------------------------------------
+# Streaming single-pass extractor (round 4): same output as the tree fold
+# ---------------------------------------------------------------------------
+
+# Scope list indices (plain lists, not objects — the hot loop touches these
+# per text node and per tag; attribute-protocol overhead on a slotted class
+# measured ~15% of the whole kernel in the tree version).
+_S_WORDS, _S_TOTAL, _S_LINKED, _S_TAGS, _S_OPENW, _S_LINKBASE, _S_WANT, _S_ITEM = (
+    range(8)
+)
+
+# Frame roles
+_R_CONTAINER = 0  # reached container: direct blockish children become blocks
+_R_TITLE = 1      # reached heading
+_R_TEXT = 2       # reached p / pre
+_R_LIST = 3       # reached ul/ol: stats scope + per-li text captures
+_R_ITEM = 4       # direct li child of a reached list (capture, tees to list)
+_R_TABLE = 5      # reached table: stats scope + materialized subtree
+_R_PLAIN = 6      # everything else (inline, non-reached blockish, table guts)
+
+
+
+
+def _new_scope(want_text: bool, link_base: int, is_item: bool = False) -> list:
+    # [words, total, linked, tags, open_word, link_base, want_text, is_item]
+    return [[], 0, 0, 0, False, link_base, want_text, is_item]
+
+
+def extract_blocks_stream(
+    html: str,
+    link_density_threshold: float = 0.5,
+    tag_density_threshold: float = 8.0,
+    tag_density_min_tags: int = 3,
+) -> list[HtmlBlock]:
+    """Single-pass streaming equivalent of :func:`extract_blocks`: lexer,
+    density-stats gather, and block walk FUSED into one scan — no element
+    tree is materialized except under a reached ``<table>`` (whose grid
+    segmentation genuinely needs the subtree). Output is block-for-block
+    identical to the tree fold; the permanent property test
+    (tests/test_property.py::test_stream_matches_tree_extractor) and the
+    template/golden oracles enforce it.
+
+    Mechanics: the frame stack mirrors parse_html's element stack exactly
+    (same MAX_DEPTH cap, skip-content fast-skip, auto-close, void and
+    entity handling — tolerant parsing is decision-identical), and a
+    parallel SCOPE stack accumulates (words, total, linked, tags,
+    open_word) for the innermost emission scope. Blocks emit at element
+    CLOSE; a container's pending inline run flushes as an anonymous text
+    block the instant its first blockish direct child OPENS (the same
+    instant the tree version commits to walking the container). Word-seam,
+    blockish-boundary (post-order), and link/tag-density rules are the
+    _gather_text semantics verbatim; li captures TEE into their list's
+    stats scope — the one case with two live scopes per event. The hot
+    paths (text feed, plain-frame open/close, tag bumps) are inlined in
+    the main loop; only reached-element open/close — a handful per
+    document — pays a function call."""
+    out: list[HtmlBlock] = []
+    split = _WS_RE.split
+    search = _TAG_RE.search
+    n = len(html)
+    blockish_set = _BLOCKISH
+    void_set = _VOID
+    skip_set = _SKIP_CONTENT
+
+    def emit_from(
+        scope: list, category: str, text: str | None, cells: list | None = None
+    ) -> None:
+        total = scope[1]
+        if total == 0:
+            return
+        if scope[2] / total > link_density_threshold:
+            return
+        tags = scope[3]
+        if (
+            category == "text"
+            and tags >= tag_density_min_tags
+            and total / tags < tag_density_threshold
+        ):
+            return
+        if text is None:
+            text = " ".join(scope[0])
+        if text:
+            out.append(HtmlBlock(category, text, cells or []))
+
+    # frame: [tag, role, scope_or_None, aux]
+    #   aux: list frames -> item-text list; table frames -> root Node
+    root_scope = _new_scope(True, 0)
+    stack: list[list] = [["#root", _R_CONTAINER, root_scope, None]]
+    scopes: list[list] = [root_scope]
+    link_depth = 0
+    table_depth = 0
+    node_stack: list[Node] = []  # materialization pointers inside a table
+
+    def close_reached(frame: list) -> None:
+        """Emission for a popped reached frame (rare: a few per document)."""
+        nonlocal table_depth
+        role, scope, aux = frame[1], frame[2], frame[3]
+        if role == _R_CONTAINER or role == _R_TEXT:
+            emit_from(scope, "text", None)
+        elif role == _R_TITLE:
+            emit_from(scope, "title", None)
+        elif role == _R_LIST:
+            emit_from(scope, "list", "\n".join(t for t in aux if t))
+        elif role == _R_ITEM:
+            aux.append(" ".join(scope[0]))  # aux = parent list's item texts
+        else:  # _R_TABLE
+            table_depth -= 1
+            node_stack.pop()
+            cells = segment_table_grid(aux)
+            rows: dict[int, list[TableCell]] = {}
+            for cell in cells:
+                rows.setdefault(cell.row_number, []).append(cell)
+            text = "\n".join(
+                " ".join(
+                    cl.text
+                    for cl in sorted(rows[r], key=lambda x: x.column_number)
+                    if cl.text
+                )
+                for r in sorted(rows)
+            )
+            emit_from(scope, "table", text, cells)
+        scopes.pop()
+        if scopes:  # blockish-close boundary on whatever lies beneath
+            top = scopes[-1]
+            top[4] = False
+            if top[7]:
+                scopes[-2][4] = False
+
+    def open_reached(tag: str, parent: list, rawattrs) -> None:
+        """Open a reached blockish element (rare): push frame + scope."""
+        nonlocal table_depth, link_depth
+        if tag in _HEADINGS:
+            scope = _new_scope(True, link_depth)
+            stack.append([tag, _R_TITLE, scope, None])
+        elif tag == "p" or tag == "pre":
+            scope = _new_scope(True, link_depth)
+            stack.append([tag, _R_TEXT, scope, None])
+        elif tag in _LISTS:
+            scope = _new_scope(False, link_depth)
+            stack.append([tag, _R_LIST, scope, []])
+        elif tag == "table":
+            scope = _new_scope(False, link_depth)
+            if rawattrs and "=" in rawattrs:
+                tnode = Node(tag, _raw=rawattrs)
+            else:
+                tnode = Node(tag, attrs=_NO_ATTRS)
+            stack.append([tag, _R_TABLE, scope, tnode])
+            node_stack.append(tnode)
+            table_depth += 1
+        elif parent[1] == _R_LIST:  # tag == "li"
+            scope = _new_scope(True, link_depth, is_item=True)
+            stack.append([tag, _R_ITEM, scope, parent[3]])
+        else:
+            scope = _new_scope(True, link_depth)
+            stack.append([tag, _R_CONTAINER, scope, None])
+        scopes.append(scope)
+
+    pos = 0
+    while pos < n:
+        m = search(html, pos)
+        if m is None:
+            start = n
+        else:
+            start = m.start()
+        if start > pos:
+            # ---- text feed (inlined hot path; _gather_text word-seam rules)
+            txt = html[pos:start]
+            if "&" in txt:
+                txt = _unescape(txt)
+            if table_depth:
+                node_stack[-1].children.append(Node("", text=txt))
+            top = scopes[-1]
+            pieces = split(txt)
+            ws = [w for w in pieces if w]
+            if not ws:
+                if len(pieces) > 1:
+                    top[4] = False
+                    if top[7]:
+                        scopes[-2][4] = False
+            else:
+                stripped = sum(map(len, ws)) + len(ws) - 1
+                last_open = bool(pieces[-1])
+                top[1] += stripped
+                if link_depth > top[5]:
+                    top[2] += stripped
+                if top[6]:
+                    words = top[0]
+                    if top[4] and pieces[0] and words:
+                        words[-1] += ws[0]
+                        words.extend(ws[1:])
+                    else:
+                        words.extend(ws)
+                top[4] = last_open
+                if top[7]:  # li capture: tee counters into the list scope
+                    s = scopes[-2]
+                    s[1] += stripped
+                    if link_depth > s[5]:
+                        s[2] += stripped
+                    s[4] = last_open
+        if m is None:
+            break
+        pos = m.end()
+        g1, tag, rawattrs = m.group(1, 2, 3)
+        if tag is None:  # comment / declaration / processing instruction
+            continue
+        tag = tag.lower()
+        if g1 == "/":
+            # ---- close tag: pop to the matching frame, innermost-out
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i][0] == tag:
+                    for j in range(len(stack) - 1, i - 1, -1):
+                        f = stack[j]
+                        if f[1] == _R_PLAIN:  # inlined common case
+                            ftag = f[0]
+                            if table_depth:
+                                node_stack.pop()
+                            if ftag == "a":
+                                link_depth -= 1
+                            if ftag in blockish_set:
+                                top = scopes[-1]
+                                top[4] = False
+                                if top[7]:
+                                    scopes[-2][4] = False
+                        else:
+                            close_reached(f)
+                    del stack[i:]
+                    break
+            continue
+        # ---- open tag ----
+        if tag in skip_set:
+            # parse_html `continue`s BEFORE appending the node: script/style
+            # elements exist in NO tree and count in NO stats
+            close = html.find(f"</{tag}", pos)
+            if close < 0:
+                pos = n
+            else:
+                gt = html.find(">", close)
+                pos = n if gt < 0 else gt + 1
+            continue
+        parent = stack[-1]
+        blockish = tag in blockish_set
+        prole = parent[1]
+        if (
+            blockish
+            and not table_depth
+            and (prole == _R_CONTAINER or (prole == _R_LIST and tag == "li"))
+        ):
+            # reached block child. A container's pending inline run flushes
+            # NOW (walk-commit instant); the child never counts in it.
+            if prole == _R_CONTAINER:
+                scope = parent[2]
+                if scope[1]:
+                    emit_from(scope, "text", None)
+                    scope = parent[2] = _new_scope(True, link_depth)
+                    scopes[-1] = scope
+                elif scope[0] or scope[3] or scope[4]:
+                    scope[0] = []
+                    scope[1] = scope[2] = scope[3] = 0
+                    scope[4] = False
+            if len(stack) < MAX_DEPTH:
+                open_reached(tag, parent, rawattrs)
+            continue  # past the cap: childless in the tree -> emits nothing
+        # ---- plain element (inline, non-reached blockish, table guts) ----
+        top = scopes[-1]
+        top[3] += 1
+        if top[7]:
+            scopes[-2][3] += 1
+        if table_depth:
+            if rawattrs and "=" in rawattrs:
+                node = Node(tag, _raw=rawattrs)
+            else:
+                node = Node(tag, attrs=_NO_ATTRS)
+            node_stack[-1].children.append(node)
+            if tag == "br":
+                node_stack[-1].children.append(Node("", text="\n"))
+                top[4] = False
+                if top[7]:
+                    scopes[-2][4] = False
+                continue
+            if tag in void_set:
+                continue
+            if len(stack) < MAX_DEPTH:
+                stack.append([tag, _R_PLAIN, None, None])
+                node_stack.append(node)
+                if tag == "a":
+                    link_depth += 1
+            elif blockish:
+                top[4] = False
+                if top[7]:
+                    scopes[-2][4] = False
+            continue
+        if tag == "br":  # the "\n" text node is pure whitespace: boundary
+            top[4] = False
+            if top[7]:
+                scopes[-2][4] = False
+            continue
+        if tag in void_set:
+            continue
+        if len(stack) < MAX_DEPTH:
+            stack.append([tag, _R_PLAIN, None, None])
+            if tag == "a":
+                link_depth += 1
+        elif blockish:
+            top[4] = False
+            if top[7]:
+                scopes[-2][4] = False
+        continue
+    # EOF: close every open frame innermost-out; the root frame flushes its
+    # final pending run (identical to walk(root)'s trailing flush())
+    for j in range(len(stack) - 1, -1, -1):
+        f = stack[j]
+        if f[1] == _R_PLAIN:
+            ftag = f[0]
+            if table_depth:
+                node_stack.pop()
+            if ftag == "a":
+                link_depth -= 1
+            if ftag in blockish_set:
+                top = scopes[-1]
+                top[4] = False
+                if top[7]:
+                    scopes[-2][4] = False
+        else:
+            close_reached(f)
+    return out

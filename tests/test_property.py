@@ -188,3 +188,68 @@ def test_pdf_layout_matrix_equivalence(pages):
     if all(all(t == t.encode("latin-1", "replace").decode("latin-1")
                for _x, _y, _s, t in page) for page in pages):
         assert cid == base
+
+
+@settings(max_examples=400, deadline=None, derandomize=True)
+@given(_soup)
+def test_stream_matches_tree_extractor(s):
+    """The single-pass streaming extractor (the production hot path since
+    round 4) is block-for-block identical to the tree fold on arbitrary tag
+    soup — categories, texts, and full table-cell grids."""
+    from deepdoctection_spark.kernels.html import (
+        extract_blocks,
+        extract_blocks_stream,
+    )
+
+    def key(bs):
+        return [
+            (
+                b.category,
+                b.text,
+                [
+                    (c.row_number, c.column_number, c.row_span, c.column_span, c.text)
+                    for c in b.cells
+                ],
+            )
+            for b in bs
+        ]
+
+    assert key(extract_blocks(s)) == key(extract_blocks_stream(s))
+
+
+def test_stream_matches_tree_on_structured_nesting():
+    """Deterministic structured-nesting sweep (deep lists, unclosed tags,
+    tables in containers) — heavier structure than the flat soup strategy."""
+    import random
+
+    from deepdoctection_spark.kernels.html import (
+        MAX_DEPTH,
+        extract_blocks,
+        extract_blocks_stream,
+    )
+
+    def key(bs):
+        return [(b.category, b.text, [(c.row_number, c.column_number, c.text) for c in b.cells]) for b in bs]
+
+    tags = ["div", "p", "span", "ul", "li", "table", "tr", "td", "h2", "a",
+            "b", "nav", "pre", "blockquote", "ol", "th", "dd", "dl", "section"]
+    rng = random.Random(7)
+
+    def gen(depth):
+        if depth > 6 or rng.random() < 0.3:
+            return rng.choice(["hello", "x y z", " ", "&amp;", "w" * rng.randint(1, 8), ""])
+        t = rng.choice(tags)
+        inner = "".join(gen(depth + 1) for _ in range(rng.randint(0, 4)))
+        if rng.random() < 0.15:
+            return f"<{t}>{inner}"  # unclosed
+        return f"<{t}>{inner}</{t}>"
+
+    for _ in range(3000):
+        s = "".join(gen(0) for _ in range(rng.randint(1, 4)))
+        assert key(extract_blocks(s)) == key(extract_blocks_stream(s)), s[:200]
+    for s in (
+        "<div>" * (MAX_DEPTH + 5) + "<p>past cap</p>x" + "</div>" * (MAX_DEPTH + 5),
+        "<a>" * 260 + "linky" + "</a>" * 260,
+        "<ul>" + "<li>i<div>" * 200 + "</div></li>" * 200 + "</ul>",
+    ):
+        assert key(extract_blocks(s)) == key(extract_blocks_stream(s))
