@@ -549,3 +549,47 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
         F.substring("pair", 2, 1).alias("right_sym"),
         "pair_count",
     )
+
+
+RES_SAMPLE_K = 100
+_DYADIC = 4503599627370496.0  # 2^52: 52-bit hash + 1 over 2^52 is an EXACT double
+
+
+def weighted_sample_es(docs: DataFrame, k: int = RES_SAMPLE_K) -> DataFrame:
+    """Distributed weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, the A-ES scheme production pipelines use to draw a
+    quality-weighted subset from a corpus too large to sort): each document
+    gets key = ln(u)/w with u uniform in (0,1] and w its weight (token
+    count here); the global top-k keys ARE a weighted sample without
+    replacement.
+
+    Determinism contract: u is an exact dyadic rational from a 52-bit md5
+    prefix ((h+1)/2^52 — exactly representable, no rounding), so ln(u) is
+    one libm call on identical doubles in both engines; the key is
+    quantized to 1e-12 before ranking (ln agrees across libms to ~1 ulp ≈
+    1e-15 at these magnitudes, far inside the quantization), and ties break
+    on doc_id. Scale shape: narrow map to (key, doc_id), then TakeOrdered
+    top-k (per-partition heaps + a k-row driver merge) — the whole corpus
+    is never sorted, shuffled, or collected."""
+    ws = _ws()
+    w = F.greatest(
+        F.size(F.filter(ws, lambda t: F.length(t) > 0)), F.lit(1)
+    ).cast("long")
+    h52 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("res#"), F.col("doc_id").cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h52 + F.lit(1)).cast("double") / F.lit(_DYADIC)
+    key_q12 = F.floor(F.log(u) / w * F.lit(1.0e12)).cast("long")
+    scored = docs.select(
+        "doc_id", w.alias("weight"), key_q12.alias("key_q12")
+    )
+    top = scored.orderBy(F.col("key_q12").desc(), F.col("doc_id").asc()).limit(k)
+    rank_w = Window.orderBy(F.col("key_q12").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(rank_w).cast("int").alias("sample_rank"),
+        "doc_id",
+        "weight",
+        "key_q12",
+    )

@@ -1277,3 +1277,31 @@ def q_bpe_merge_pairs(spark, sf_dir):
     (the only data-proportional shuffle); pair counting and ranking run
     over vocab-sized inputs; top-k is TakeOrdered, never a global sort."""
     return corpusprep.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id,
+         greatest(len(list_filter(ws, t -> len(t) > 0)), 1)::BIGINT AS weight,
+         floor(ln((('0x' || substr(md5('res#' || doc_id::VARCHAR), 1, 13))::BIGINT
+                   + 1) / 4503599627370496.0)
+               / greatest(len(list_filter(ws, t -> len(t) > 0)), 1)
+               * 1000000000000)::BIGINT AS key_q12
+  FROM toks
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY key_q12 DESC, doc_id ASC)::INT AS sample_rank,
+         doc_id, weight, key_q12
+  FROM scored
+)
+SELECT * FROM ranked WHERE sample_rank <= 100
+""",
+)
+def q_weighted_sample_es(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: global
+    top-100 of ln(u)/w keys (u = exact dyadic md5 uniform, key quantized to
+    1e-12, doc_id tie-break). Narrow map + TakeOrdered — no corpus sort."""
+    return corpusprep.weighted_sample_es(_docs(spark, sf_dir))

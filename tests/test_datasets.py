@@ -372,3 +372,34 @@ def test_bpe_pair_counts_rank_contract(spark):
     # by word frequency — identical totals
     best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
     assert rows[0]["pair_count"] == best[1]
+
+
+def test_weighted_sample_es_is_exact_topk(spark):
+    """The returned rows are EXACTLY the serial top-k of ln(u)/w keys with
+    the doc_id tie-break, and every key recomputes from the planted md5
+    uniform."""
+    import hashlib, math
+
+    from deepdoctection_spark.operators.corpusprep import (
+        RES_SAMPLE_K,
+        weighted_sample_es,
+    )
+    from deepdoctection_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    norm = docs.select("doc_id", normalized_text(F.col("text")).alias("t")).collect()
+    serial = []
+    for r in norm:
+        w = max(sum(1 for x in r["t"].split(" ") if x), 1)
+        h = int(hashlib.md5(f"res#{r['doc_id']}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / 4503599627370496.0
+        key = math.floor(math.log(u) / w * 1.0e12)
+        serial.append((-key, r["doc_id"], w, key))
+    serial.sort()
+    expect = [(i + 1, d, w, k) for i, (_, d, w, k) in enumerate(serial[:RES_SAMPLE_K])]
+    got = [
+        (r["sample_rank"], r["doc_id"], r["weight"], r["key_q12"])
+        for r in sorted(weighted_sample_es(docs).collect(), key=lambda r: r["sample_rank"])
+    ]
+    assert got == expect
