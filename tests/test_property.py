@@ -27,8 +27,11 @@ _soup = st.lists(_frag, max_size=80).map("".join)
 @settings(max_examples=120, deadline=None, derandomize=True)
 @given(_soup)
 def test_parser_total_on_tag_soup(s):
+    from deepdoctection_spark.kernels.html import extract_blocks_stream
+
     parse_html(s)  # must not raise on any input
     extract_blocks(s)
+    extract_blocks_stream(s)  # the production hot path is total too
 
 
 @settings(max_examples=120, deadline=None, derandomize=True)
