@@ -27,7 +27,7 @@ from deepdoctection_spark.kernels.textnorm import normalize_ws
 _LINE_RE = re.compile(r"^@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?):(.*)$")
 
 
-@dataclass
+@dataclass(slots=True)
 class PositionedLine:
     x: float
     y: float
