@@ -315,6 +315,7 @@ def extract_blocks(
         if (
             category == "text"
             and tags >= tag_density_min_tags
+            and tags > 0  # a tag-free block is never markup-heavy (min_tags=0 guard)
             and total / tags < tag_density_threshold
         ):
             return  # boilerplate: markup-heavy, text-poor
@@ -454,6 +455,7 @@ def extract_blocks_stream(
         if (
             category == "text"
             and tags >= tag_density_min_tags
+            and tags > 0  # a tag-free block is never markup-heavy (min_tags=0 guard)
             and total / tags < tag_density_threshold
         ):
             return
