@@ -323,3 +323,89 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def _lsh_candidates(
+    docs: DataFrame, num_perm: int, bands: int, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, per-doc shingle sets) from banded MinHash — the
+    shared candidate generator behind minhash_lsh_pairs and
+    edit_distance_pairs. Same banding arithmetic as minhash_lsh_pairs."""
+    rows_per_band = num_perm // bands
+    sets = _sets_with_signatures(docs, num_perm, k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sets.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return cand, sets
+
+
+def edit_distance_pairs(
+    docs: DataFrame, num_perm: int = 8, bands: int = 4, k: int = 3
+) -> DataFrame:
+    """Fuzzy near-dup refinement by EDIT DISTANCE over LSH candidates: the
+    banded-MinHash join bounds the candidate set (never a quadratic
+    cross join), then JVM-native levenshtein scores each surviving pair on
+    the normalized text — the character-level complement to the
+    shingle-Jaccard verify, catching small in-word edits Jaccard's 3-gram
+    granularity blurs. sim_q4 = floor((1 - d/max_len)·10⁴ + ½), exact
+    integer parity with the serial oracle.
+
+    Byte/char caveat (documented corpus contract): DuckDB's levenshtein
+    counts UTF-8 bytes, Spark counts characters; the synthetic corpus is
+    pure ASCII at every SF (asserted in tests), where the two agree."""
+    cand, _ = _lsh_candidates(docs, num_perm, bands, k)
+    texts = docs.select("doc_id", normalized_text(F.col("text")).alias("nt"))
+    ta = texts.alias("ta")
+    tb = texts.alias("tb")
+    d = F.levenshtein(F.col("ta.nt"), F.col("tb.nt"))
+    la = F.length("ta.nt")
+    lb = F.length("tb.nt")
+    return (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            la.cast("int").alias("len_a"),
+            lb.cast("int").alias("len_b"),
+            d.cast("int").alias("edit_distance"),
+            F.floor(
+                (F.lit(1.0) - d / F.greatest(la, lb, F.lit(1)))
+                * 10000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_q4"),
+        )
+    )

@@ -1305,3 +1305,44 @@ def q_weighted_sample_es(spark, sf_dir):
     top-100 of ln(u)/w keys (u = exact dyadic md5 uniform, key quantized to
     1e-12, doc_id tie-break). Narrow map + TakeOrdered — no corpus sort."""
     return corpusprep.weighted_sample_es(_docs(spark, sf_dir))
+
+
+def _edit_distance_oracle(num_perm: int = 8, bands: int = 4) -> str:
+    r = num_perm // bands
+    sig_cols = ", ".join(
+        f"min(('0x' || substr(md5('{j}#' || shingle), 1, 15))::BIGINT) AS sig_{j}"
+        for j in range(num_perm)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ',' || ".join(f"(sig_{b * r + i}::VARCHAR)" for i in range(r))
+        + ") AS band_key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+nt AS (SELECT doc_id, {_NORM} AS t FROM documents)
+SELECT doc_a, doc_b,
+       length(ta.t)::INT AS len_a, length(tb.t)::INT AS len_b,
+       levenshtein(ta.t, tb.t)::INT AS edit_distance,
+       floor((1.0 - levenshtein(ta.t, tb.t)
+                    / greatest(length(ta.t), length(tb.t), 1)) * 10000 + 0.5)::BIGINT
+         AS sim_q4
+FROM cand JOIN nt ta ON ta.doc_id = doc_a JOIN nt tb ON tb.doc_id = doc_b
+"""
+
+
+@register("dedup_edit_distance", _edit_distance_oracle())
+def q_dedup_edit_distance(spark, sf_dir):
+    """Edit-distance refinement over banded-MinHash candidates: JVM-native
+    levenshtein on each LSH-surviving pair (bounded candidate set — never
+    quadratic), the character-level complement to shingle-Jaccard verify.
+    ASCII corpus contract makes DuckDB's byte-based levenshtein agree."""
+    return dedup.edit_distance_pairs(_docs(spark, sf_dir))

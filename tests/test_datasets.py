@@ -403,3 +403,38 @@ def test_weighted_sample_es_is_exact_topk(spark):
         for r in sorted(weighted_sample_es(docs).collect(), key=lambda r: r["sample_rank"])
     ]
     assert got == expect
+
+
+def test_edit_distance_pairs_metrics_and_ascii_contract(spark):
+    """Every candidate pair's metrics recompute serially (difflib-free exact
+    Levenshtein), sim_q4 follows from the distance, and the corpus is pure
+    ASCII (the byte/char levenshtein equivalence contract)."""
+    from deepdoctection_spark.operators.dedup import (
+        edit_distance_pairs,
+        normalized_text,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert docs.where(F.col("text").rlike("[^\\x00-\\x7F]")).count() == 0
+    nt = {r["doc_id"]: r["t"] for r in
+          docs.select("doc_id", normalized_text(F.col("text")).alias("t")).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = edit_distance_pairs(docs).collect()
+    assert rows, "LSH should surface at least one candidate pair"
+    for r in rows:
+        a, b = nt[r["doc_a"]], nt[r["doc_b"]]
+        assert (r["len_a"], r["len_b"]) == (len(a), len(b))
+        d = lev(a, b)
+        assert r["edit_distance"] == d
+        import math
+        assert r["sim_q4"] == math.floor((1.0 - d / max(len(a), len(b), 1)) * 10000 + 0.5)
