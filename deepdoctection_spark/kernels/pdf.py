@@ -278,8 +278,9 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
     (PDF user space, y-up). Returns a complete classic-xref PDF — or, with
     ``object_streams``, a PDF 1.5 file whose non-stream objects (catalog,
     page tree, page dicts, font) live inside ONE FlateDecode /ObjStm and
-    whose cross-reference table is a /Type /XRef stream (/W [1 2 1],
-    type-2 entries pointing into the object stream) — the layout every
+    whose cross-reference table is a /Type /XRef stream (/W [1 4 2],
+    PNG Up predictor /Predictor 12, type-2 entries pointing into the
+    object stream) — the layout every
     modern writer emits. ``cid_font`` swaps the simple Type1 font for a
     composite Type0/Identity-H font (CIDFontType2 descendant + /ToUnicode
     CMap) and shows text as 2-byte-code hex strings under a subset-order
@@ -461,7 +462,7 @@ def pdf_encode(pages: list[list[tuple[float, float, float, str]]],
 def _write_15(objs: dict[int, bytes], compressed_ids: set[int]) -> bytes:
     """Assemble the PDF 1.5 object-stream layout: members packed into one
     /ObjStm, stream objects top-level, one /Type /XRef cross-reference
-    stream (binary /W [1 2 1] rows, no predictor — spec-optional)."""
+    stream (binary /W [1 4 2] rows, PNG Up predictor /Predictor 12)."""
     max_id = max(objs)
     objstm_id = max_id + 1
     xref_id = max_id + 2

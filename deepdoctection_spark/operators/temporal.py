@@ -52,6 +52,11 @@ def asof_join(
     pass ``right_tiebreak`` (a right payload/ID column) to pick the row
     with the greatest tiebreak value deterministically; without it the
     winner among exact-ts duplicates is partition-order-dependent.
+
+    All payload columns travel as ONE struct carried by a single
+    ``last(ignorenulls=True)``: a matched right row's legitimately-NULL
+    payload field stays NULL in the output (merge_asof / ASOF JOIN
+    semantics) instead of being backfilled per-column from an older row.
     """
     # right rows must be visible to a left row at the same ts iff not strict
     right_side, left_side = (0, 1) if not strict else (2, 1)
@@ -59,19 +64,21 @@ def asof_join(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.lit(right_side).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.struct(*[F.col(c).alias(c) for c in right_payload]).alias("_r"),
     )
     left_cols = left.columns
     lsel = left.select(
         F.col(on).alias(on),
         F.col(left_ts).alias("_ts"),
         F.lit(left_side).alias("_side"),
-        *[F.lit(None).cast(rsel.schema[f"_r_{c}"].dataType).alias(f"_r_{c}")
-          for c in right_payload],
+        F.lit(None).cast(rsel.schema["_r"].dataType).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols],
     )
     rsel = rsel.select(
-        *lsel.columns[:3 + len(right_payload)],
+        on,
+        "_ts",
+        "_side",
+        "_r",
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left_cols],
     )
@@ -79,23 +86,21 @@ def asof_join(
     if right_tiebreak is not None:
         if right_tiebreak not in right_payload:
             raise ValueError("right_tiebreak must be a right_payload column")
-        # left rows carry null here; nulls-first keeps them ordered before
-        # any real right row at the same (_ts, _side) — irrelevant for
-        # correctness (sides differ) but deterministic
-        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
+        # left rows carry a null struct; nulls-first keeps them ordered
+        # before any real right row at the same (_ts, _side) — irrelevant
+        # for correctness (sides differ) but deterministic
+        order.append(F.col("_r").getField(right_tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lsel.unionByName(rsel).select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-          for c in right_payload],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = carried.filter(F.col("_side") == left_side).select(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
-        *[F.col(f"_m_{c}").alias(f"{c}_right") for c in right_payload],
+        *[F.col("_m").getField(c).alias(f"{c}_right") for c in right_payload],
     )
     return out
 

@@ -706,18 +706,36 @@ class IceTable:
 
     def _commit(self, operation: str, added: list[dict], schema: str,
                 manifests_fn, retries: int = 5, extra: dict | None = None,
-                retryable: bool = True) -> dict:
+                retryable: bool = True,
+                planned_parent: tuple | None = None) -> dict:
         """Optimistic-concurrency commit. ``manifests_fn(parent_raw)`` builds
         the manifest list ON TOP OF the parent observed in that attempt — a
         retried append therefore carries the racing winner's manifests
         instead of silently dropping them. Non-rebasable operations
-        (row-level rewrites planned against a specific parent) pass
-        ``retryable=False`` and surface the race as :class:`CommitConflict`."""
+        (rewrites whose manifest list was computed from a SPECIFIC parent:
+        delete_where, merge_upsert, compact, rewrite_manifests) pass
+        ``retryable=False`` plus ``planned_parent=(sequence, snapshot_id)``
+        of the snapshot they planned against; if the parent observed at
+        commit time differs — even when no same-sequence file collision
+        occurs, i.e. a writer landed between planning and commit —
+        :class:`CommitConflict` is raised instead of silently dropping the
+        racing writer's files."""
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self._snap_dir, exist_ok=True)
         for _ in range(retries):
             seq = self.current_seq() + 1
             parent = self._raw_snapshot(seq - 1)
+            if planned_parent is not None and (
+                    (parent.get("sequence", 0), parent.get("snapshot_id"))
+                    != tuple(planned_parent)):
+                raise CommitConflict(
+                    f"{operation} on {self.path} planned against snapshot "
+                    f"{planned_parent[1]} (seq {planned_parent[0]}) but the "
+                    f"current parent is {parent.get('snapshot_id')} (seq "
+                    f"{parent.get('sequence', 0)}); a concurrent writer "
+                    f"committed since planning — re-plan against the current "
+                    f"snapshot"
+                )
             snap = {
                 "sequence": seq,
                 "snapshot_id": uuid.uuid4().hex[:16],
@@ -836,6 +854,9 @@ class IceTable:
         refs = [self._write_manifest(added)] if added else []
         return self._commit("replace", added, prev["schema"],
                             lambda _parent: refs,
+                            retryable=False,
+                            planned_parent=(prev.get("sequence", 0),
+                                            prev.get("snapshot_id")),
                             extra={"added_manifests": [],
                                    "partition_by": spec})
 
@@ -853,6 +874,9 @@ class IceTable:
         return self._commit(
             "rewrite-manifests", [], prev["schema"],
             lambda _parent: [ref] if ref else [],
+            retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
             extra={"added_manifests": [],
                    "partition_by": prev.get("partition_by"),
                    "sort_by": prev.get("sort_by")})
@@ -932,6 +956,8 @@ class IceTable:
             "delete", added, prev["schema"],
             lambda _parent: carried_refs + new_refs,
             retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
             extra={"added_manifests": [r["path"] for r in new_refs],
                    "partition_by": spec, "sort_by": prev.get("sort_by"),
                    "rewrote_files": len(candidates),
@@ -1023,6 +1049,8 @@ class IceTable:
             "merge", added, ddl,
             lambda _parent: carried_refs + new_refs,
             retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
             extra={"added_manifests": [r["path"] for r in new_refs],
                    "partition_by": spec, "sort_by": prev.get("sort_by"),
                    "rewrote_files": len(candidates),
@@ -1048,7 +1076,20 @@ class IceTable:
         and data files referenced ONLY by expired ones. Time travel to
         expired sequences is gone afterwards — that is the contract; after
         overwrite/compaction/delete churn, unreferenced files dominate
-        storage, and at 100 TB expiry IS the storage-reclamation path."""
+        storage, and at 100 TB expiry IS the storage-reclamation path.
+
+        Main-handle-only: data/, puffin/ and manifests are SHARED across
+        branches, but a branch handle resolves snapshots against its
+        branch-local dir — running the deletion sweep from one would treat
+        everything referenced only by main as dead. (Main already retains
+        everything any branch references, so expiry from main is safe.)"""
+        if self.branch_name is not None:
+            raise ValueError(
+                "expire_snapshots must run on the main table handle, not a "
+                f"branch ({self.branch_name!r}): data files and manifests "
+                "are shared across branches and the sweep would delete "
+                "files referenced only by main"
+            )
         seqs = self._committed_seqs()
         retain = set(seqs[-keep_last:]) if keep_last > 0 else set()
         retain.update(self.tags().values())  # named refs pin their snapshots
