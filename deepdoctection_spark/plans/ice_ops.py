@@ -187,6 +187,117 @@ def q_ice_merge_upsert(spark, sf_dir):
     return _materialize_then_rm(_summarize(t.read(spark)), tmp)
 
 
+@register(
+    "ice_mor_delete",
+    f"""
+WITH bounds AS (
+  SELECT max(user_id) // 4 + 1 AS qsize FROM events
+),
+slice AS (
+  SELECT e.* FROM events e, bounds b
+  WHERE NOT (e.user_id < b.qsize) AND e.event_id % 7 <> 3
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_mor_delete(spark, sf_dir):
+    """MERGE-ON-READ row-level delete (Iceberg v2 positional delete
+    files): four user_id-quartile commits, then TWO stacked MoR deletes —
+    a bulk one (bottom quartile) and a scattered one (event_id % 7 = 3,
+    hits every file). Asserted: neither delete rewrites a single data file
+    (rewrote_files == 0, carried_files == 4) and the bulk delete's bytes
+    are a small fraction of the data it masks. The read must equal the
+    double complement — proving position harvest, delete-file binding and
+    the anti-join read path end-to-end, stacked."""
+    import glob
+    import os
+
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("user_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_mord_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            ev.where(
+                (F.col("user_id") >= k * qsize)
+                & (F.col("user_id") < (k + 1) * qsize)
+            ).coalesce(1)
+        )
+    data_glob = f"{tmp}/tbl/data/*.parquet"
+    bytes_before = sum(os.path.getsize(p) for p in glob.glob(data_glob))
+    s1 = t.delete_where(spark, ("user_id", "<", qsize), mode="mor")
+    assert s1["rewrote_files"] == 0 and s1["carried_files"] == 4, s1
+    # scattered second delete (hits every file): event_id % 7 == 3 as an
+    # IN-list predicate, stacking a broad positional delete on the bulk one
+    ids = [r[0] for r in ev.where("event_id % 7 = 3")
+           .select("event_id").collect()]
+    s2 = t.delete_where(spark, ("event_id", "in", ids), mode="mor")
+    assert s2["rewrote_files"] == 0, s2
+    bytes_after = sum(os.path.getsize(p) for p in glob.glob(data_glob))
+    assert bytes_after - bytes_before < bytes_before // 2, (
+        f"MoR delete wrote {bytes_after - bytes_before} bytes over "
+        f"{bytes_before} of data")
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
+    "ice_mor_merge",
+    f"""
+WITH bounds AS (
+  SELECT max(event_id) AS hi, max(event_id) // 4 + 1 AS qsize FROM events
+),
+slice AS (
+  SELECT e.* FROM events e, bounds b WHERE e.event_id < 3 * b.qsize
+  UNION ALL
+  SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value * 2 AS value,
+         e.props
+  FROM events e, bounds b WHERE e.event_id >= 3 * b.qsize
+  UNION ALL
+  SELECT e.event_id + b.hi + 1, e.ts, e.user_id, e.event_type,
+         e.value * 3 AS value, e.props
+  FROM events e, bounds b WHERE e.event_id < b.qsize // 2
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_mor_merge(spark, sf_dir):
+    """MERGE-ON-READ upsert (Iceberg v2 equality deletes): same update +
+    insert source as ice_merge_upsert, but mode="mor" — the commit must
+    read/rewrite ZERO target files (asserted), landing the source as new
+    data plus one equality-delete file; the read must equal the CoW
+    result exactly (carried ∪ updated ∪ inserted), with the per-file
+    key-range disjointness keeping the three low-quartile files on the
+    clean scan path."""
+    ev = _events(spark, sf_dir)
+    hi = ev.agg(F.max("event_id")).first()[0]
+    qsize = hi // 4 + 1
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_morm_")
+    t = IceTable(f"{tmp}/tbl")
+    for k in range(4):
+        t.append(
+            ev.where(
+                (F.col("event_id") >= k * qsize)
+                & (F.col("event_id") < (k + 1) * qsize)
+            ).coalesce(1)
+        )
+    updates = ev.where(F.col("event_id") >= 3 * qsize).withColumn(
+        "value", F.col("value") * 2
+    )
+    inserts = ev.where(F.col("event_id") < qsize // 2).select(
+        (F.col("event_id") + hi + 1).alias("event_id"),
+        "ts", "user_id", "event_type",
+        (F.col("value") * 3).alias("value"),
+        "props",
+    )
+    snap = t.merge_upsert(spark, updates.unionByName(inserts), "event_id",
+                          mode="mor")
+    assert snap["operation"] == "merge"
+    assert snap["row_op_mode"] == "merge-on-read", snap
+    assert snap["rewrote_files"] == 0 and snap["carried_files"] == 4, snap
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
 def _oracle_ice_extract() -> str:
     from deepdoctection_spark.plans import oracles
 

@@ -71,11 +71,18 @@ Semantics carried over from Iceberg:
 - **Rollback**: ``rollback(snapshot_id)`` commits a NEW snapshot whose
   manifest list is the old one (history is append-only, like Iceberg — no
   snapshot is ever destroyed).
-- **Row-level ops (copy-on-write)**: ``delete_where`` and ``merge_upsert``
-  rewrite ONLY the files whose manifest stats may contain affected rows
-  (merge intersects the ranges of ALL key columns and consults Bloom
-  sidecars for small sources); all other files carry over by reference —
-  file-granular CoW, the Iceberg ``DELETE FROM`` / ``MERGE INTO`` shape.
+- **Row-level ops, copy-on-write AND merge-on-read**: ``delete_where`` and
+  ``merge_upsert`` default to CoW — rewrite ONLY the files whose manifest
+  stats may contain affected rows (merge intersects the ranges of ALL key
+  columns and consults Bloom sidecars for small sources); all other files
+  carry over by reference. With ``mode="mor"`` they instead write Iceberg
+  v2-style DELETE FILES: positional deletes ((file_path, pos) rows bound
+  to exact target files) for DELETE, equality deletes (key tuples applied
+  to data files with ``data_seq < delete_seq``) for MERGE — no data file
+  is rewritten, a point delete writes O(matching rows) bytes. Snapshots
+  carry a separate ``delete_manifests`` list; readers bind deletes to
+  files at plan time and anti-join only the affected files; ``compact()``
+  folds deletes in physically and ``overwrite`` drops them.
 - **Named refs (tags)**: ``tag(name)`` pins a snapshot under an immutable
   name (``read(spark, tag="v1")`` = VERSION AS OF by name); tagged
   snapshots are retained through expiry until ``delete_tag`` — the
@@ -707,7 +714,8 @@ class IceTable:
     def _commit(self, operation: str, added: list[dict], schema: str,
                 manifests_fn, retries: int = 5, extra: dict | None = None,
                 retryable: bool = True,
-                planned_parent: tuple | None = None) -> dict:
+                planned_parent: tuple | None = None,
+                delete_manifests_fn=None) -> dict:
         """Optimistic-concurrency commit. ``manifests_fn(parent_raw)`` builds
         the manifest list ON TOP OF the parent observed in that attempt — a
         retried append therefore carries the racing winner's manifests
@@ -719,7 +727,16 @@ class IceTable:
         commit time differs — even when no same-sequence file collision
         occurs, i.e. a writer landed between planning and commit —
         :class:`CommitConflict` is raised instead of silently dropping the
-        racing writer's files."""
+        racing writer's files.
+
+        ``delete_manifests_fn(parent_raw)`` builds the snapshot's DELETE
+        manifest list (merge-on-read row-level deletes, Iceberg v2); the
+        default carries the parent's delete manifests unchanged. Rewriting
+        operations that materialize delete effects (overwrite, compact)
+        pass ``lambda _parent: []``."""
+        if delete_manifests_fn is None:
+            def delete_manifests_fn(parent):
+                return parent.get("delete_manifests", [])
         os.makedirs(self.meta_dir, exist_ok=True)
         os.makedirs(self._snap_dir, exist_ok=True)
         for _ in range(retries):
@@ -744,6 +761,7 @@ class IceTable:
                 "schema": schema,
                 "added": [f["path"] for f in added],
                 "manifests": manifests_fn(parent),
+                "delete_manifests": delete_manifests_fn(parent),
                 "ts_ms": int(time.time() * 1000),
                 **(extra or {}),
             }
@@ -794,7 +812,7 @@ class IceTable:
                                        sort_by=sort_by, sort_files=sort_files,
                                        bloom_cols=bloom_cols,
                                        zorder_by=zorder_by)
-        new_ref = self._write_manifest(added) if added else None
+        state: dict = {"seq": None, "ref": None}
 
         def manifests_fn(parent: dict) -> list[dict]:
             # re-validate against the parent ACTUALLY observed this attempt:
@@ -802,15 +820,34 @@ class IceTable:
             self._check_schema(parent, ddl, allow_schema_change)
             self._check_partition_spec(parent, partition_by, allow_spec_change)
             carried = self._carry_manifests(parent)
-            return carried + ([new_ref] if new_ref else [])
+            if not added:
+                return carried
+            # stamp each entry's data sequence with the sequence THIS attempt
+            # commits at (Iceberg's data sequence number): equality deletes
+            # apply only to files with data_seq < delete_seq, so a retried
+            # append that rebases past a merge-on-read commit must re-stamp —
+            # a stale lower data_seq would wrongly subject its rows to the
+            # racing equality delete. Lost attempts' manifests are orphans
+            # reclaimed by expire_snapshots.
+            seq = parent.get("sequence", 0) + 1
+            if state["seq"] != seq:
+                for e in added:
+                    e["data_seq"] = seq
+                state["ref"] = self._write_manifest(added)
+                state["seq"] = seq
+            # snap's dict literal evaluates "manifests": manifests_fn(parent)
+            # BEFORE unpacking **extra, so this attempt's ref lands in the
+            # committed snapshot even after a rebase
+            extra_dyn["added_manifests"] = [state["ref"]["path"]]
+            return carried + [state["ref"]]
 
+        extra_dyn = {**(extra or {}),
+                     "added_manifests": [],
+                     "partition_by": partition_by,
+                     "sort_by": sort_by,
+                     "zorder_by": zorder_by}
         return self._commit("append", added, ddl, manifests_fn,
-                            extra={**(extra or {}),
-                                   "added_manifests":
-                                       [new_ref["path"]] if new_ref else [],
-                                   "partition_by": partition_by,
-                                   "sort_by": sort_by,
-                                   "zorder_by": zorder_by})
+                            extra=extra_dyn)
 
     def overwrite(self, df: DataFrame, allow_schema_change: bool = False,
                   sort_by: list[str] | None = None,
@@ -832,8 +869,14 @@ class IceTable:
         added = self._write_data_files(df, partition_by=spec,
                                        sort_by=sort_by, sort_files=sort_files,
                                        bloom_cols=bloom_cols)
+        # planned data_seq; a lost race lands later, but that staleness is
+        # harmless here — overwrite DROPS every prior delete manifest, and
+        # any future equality delete carries a strictly higher delete_seq
+        for e in added:
+            e["data_seq"] = prev.get("sequence", 0) + 1
         refs = [self._write_manifest(added)] if added else []
         return self._commit("overwrite", added, ddl, lambda _parent: refs,
+                            delete_manifests_fn=lambda _parent: [],
                             extra={"added_manifests": [r["path"] for r in refs],
                                    "partition_by": spec, "sort_by": sort_by})
 
@@ -848,15 +891,21 @@ class IceTable:
         if not prev["files"]:
             return prev
         spec = prev.get("partition_by")
-        df = self._reader(spark, prev["schema"]).parquet(
-            *self._paths(prev["files"])).coalesce(target_files)
+        # read WITH merge-on-read deletes applied, then drop every delete
+        # manifest: compaction is where delete files get folded in
+        # physically (Iceberg rewrite_data_files' delete compaction)
+        df = self._read_with_deletes(
+            spark, prev["schema"], prev["files"], prev).coalesce(target_files)
         added = self._write_data_files(df, partition_by=spec)
+        for e in added:
+            e["data_seq"] = prev.get("sequence", 0) + 1
         refs = [self._write_manifest(added)] if added else []
         return self._commit("replace", added, prev["schema"],
                             lambda _parent: refs,
                             retryable=False,
                             planned_parent=(prev.get("sequence", 0),
                                             prev.get("snapshot_id")),
+                            delete_manifests_fn=lambda _parent: [],
                             extra={"added_manifests": [],
                                    "partition_by": spec})
 
@@ -905,17 +954,38 @@ class IceTable:
         return sink
 
     def delete_where(self, spark: SparkSession,
-                     predicate: tuple[str, str, object]) -> dict:
-        """Copy-on-write row-level DELETE (Iceberg ``DELETE FROM … WHERE``
-        with copy-on-write): manifest-list aggregates prune whole manifests,
-        per-file stats select the candidate files that MAY contain matching
-        rows; ONLY those are read and rewritten with the complement filter.
-        Untouched manifests carry over by reference; a manifest that loses
-        some files is rewritten minus them (O(manifest), not O(table)).
-        Rows where the predicate is NULL are retained (SQL DELETE
-        semantics: only rows where the condition is TRUE are removed).
-        Old files stay on disk for time travel (expire_snapshots reclaims).
+                     predicate: tuple[str, str, object],
+                     mode: str = "cow") -> dict:
+        """Row-level DELETE (Iceberg ``DELETE FROM … WHERE``), two modes:
+
+        ``mode="cow"`` (copy-on-write, the default): manifest-list
+        aggregates prune whole manifests, per-file stats select the
+        candidate files that MAY contain matching rows; ONLY those are
+        read and rewritten with the complement filter. Untouched manifests
+        carry over by reference; a manifest that loses some files is
+        rewritten minus them (O(manifest), not O(table)). Best when
+        deletes are bulky (a whole partition): reads stay join-free.
+
+        ``mode="mor"`` (merge-on-read, Iceberg v2 positional delete
+        files): matching row positions are written to a small delete file;
+        NO data file is rewritten — a 1-row delete into a 10 GB file
+        writes O(matching rows) bytes. Readers anti-join the delete rows
+        onto exactly the targeted files; :meth:`compact` folds deletes in
+        physically. Best for point deletes into hot partitions at 100 TB,
+        where CoW would rewrite whole files per deleted row.
+
+        Rows where the predicate is NULL are retained in both modes (SQL
+        DELETE semantics: only rows where the condition is TRUE are
+        removed). Old files stay on disk for time travel
+        (expire_snapshots reclaims).
+
+        Reference analogue: idempotent deterministic-id re-runs
+        (deepdoctection annotation.py:154-169) — here made transactional.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if mode == "mor":
+            return self._delete_where_mor(spark, predicate)
         prev = self._raw_snapshot()
         refs = self._carry_manifests(prev)
         if not refs:
@@ -945,12 +1015,17 @@ class IceTable:
                 carried_refs.append(self._write_manifest(survivors))
         added: list[dict] = []
         if candidates:
-            df = self._reader(spark, prev["schema"]).parquet(
-                *self._paths(candidates))
+            # apply pending MoR deletes while rewriting: the new files
+            # materialize their effect, and their fresh data_seq/path keeps
+            # the carried delete manifests from re-applying to them
+            df = self._read_with_deletes(spark, prev["schema"], candidates,
+                                         prev)
             kept = df.where(
                 ~F.coalesce(_pred_column(col, op, lit), F.lit(False)))
             added = [f for f in self._write_data_files(kept, partition_by=spec)
                      if f["rows"] > 0]
+            for e in added:
+                e["data_seq"] = prev.get("sequence", 0) + 1
         new_refs = [self._write_manifest(added)] if added else []
         return self._commit(
             "delete", added, prev["schema"],
@@ -963,11 +1038,75 @@ class IceTable:
                    "rewrote_files": len(candidates),
                    "carried_files": n_carried_files})
 
+    def _delete_where_mor(self, spark: SparkSession,
+                          predicate: tuple[str, str, object]) -> dict:
+        """Positional-delete DELETE (see :meth:`delete_where` mode="mor"):
+        stats-pruned candidate files are scanned once for matching row
+        positions via the parquet reader's generated ``_metadata`` columns
+        (no payload rewrite), the (file_path, pos) rows land in a delete
+        file, and the commit carries EVERY data manifest by reference —
+        data bytes written are O(matching rows)."""
+        prev = self._raw_snapshot()
+        col, op, lit = predicate
+        candidates = self.plan(predicate)["files"]
+        if not candidates:
+            return self.snapshot()
+        # read with pending deletes applied so already-masked rows don't
+        # land in the new delete file again (exact delete_rows accounting)
+        df = self._read_with_deletes(spark, prev["schema"], candidates,
+                                     prev, lineage=True)
+        matches = df.where(
+            F.coalesce(_pred_column(col, op, lit), F.lit(False))
+        ).select(F.col("__ice_file").alias("file_path"),
+                 F.col("__ice_pos").alias("pos"))
+        dentries = [e for e in self._write_data_files(matches)
+                    if e["rows"] > 0]
+        if not dentries:
+            return self.snapshot()  # predicate matched no live row
+        # exact target binding: only files that actually lost rows pay the
+        # read-time anti-join (the delete file itself is tiny — reading it
+        # back for the distinct set is O(deleted rows))
+        targets = sorted(
+            r[0] for r in spark.read.parquet(
+                *[os.path.join(self.data_dir, e["path"]) for e in dentries]
+            ).select("file_path").distinct().collect())
+        dels = [{"path": e["path"], "rows": e["rows"], "kind": "pos",
+                 "targets": targets, "stats": e.get("stats") or {}}
+                for e in dentries]
+        dref = self._write_manifest(dels)
+        carried = self._carry_manifests(prev)
+        return self._commit(
+            "delete", [], prev["schema"],
+            lambda _parent: carried,
+            retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
+            delete_manifests_fn=lambda parent: (
+                parent.get("delete_manifests", []) + [dref]),
+            extra={"added_manifests": [],
+                   "added_delete_manifests": [dref["path"]],
+                   "row_op_mode": "merge-on-read",
+                   "partition_by": prev.get("partition_by"),
+                   "sort_by": prev.get("sort_by"),
+                   "rewrote_files": 0,
+                   "carried_files": sum(r["n_files"] for r in carried),
+                   "delete_rows": sum(e["rows"] for e in dentries),
+                   "delete_targets": len(targets)})
+
     def merge_upsert(self, spark: SparkSession, source: DataFrame,
-                     key_cols: str | list[str]) -> dict:
-        """Copy-on-write MERGE (Iceberg ``MERGE INTO`` upsert): target rows
-        whose key matches a source row are REPLACED by the source row;
-        source rows with unmatched keys are INSERTED. Candidate files are
+                     key_cols: str | list[str], mode: str = "cow") -> dict:
+        """MERGE (Iceberg ``MERGE INTO`` upsert): target rows whose key
+        matches a source row are REPLACED by the source row; source rows
+        with unmatched keys are INSERTED.
+
+        ``mode="mor"`` (merge-on-read, Iceberg v2 equality deletes) never
+        reads or rewrites a target file: the source lands as new data
+        files and the matched keys are masked by an equality-delete file
+        applied at read to older data files — commit cost O(source), the
+        shape for continuous small upserts into a 100 TB table. See
+        :meth:`_merge_upsert_mor`.
+
+        ``mode="cow"`` (the default): candidate files are
         pruned by intersecting the manifest stats of EVERY key column with
         the source's key span (a file is untouched if ANY key column proves
         disjointness — compound keys prune far better than key[0] alone),
@@ -979,6 +1118,10 @@ class IceTable:
         that lose files are rewritten minus them). The anti-join is a plain
         Spark join, so Catalyst broadcasts a small source and sort-merges a
         big one — the same physical strategy Iceberg's Spark MERGE uses."""
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if mode == "mor":
+            return self._merge_upsert_mor(spark, source, key_cols)
         prev = self._raw_snapshot()
         ddl = self._check_schema(prev, _ddl(source), False)
         has_data = bool(prev.get("manifests") or prev.get("files"))
@@ -1035,8 +1178,8 @@ class IceTable:
             if survivors:
                 carried_refs.append(self._write_manifest(survivors))
         if candidates:
-            tgt = self._reader(spark, prev["schema"]).parquet(
-                *self._paths(candidates))
+            tgt = self._read_with_deletes(spark, prev["schema"], candidates,
+                                          prev)
             survivors_df = tgt.join(
                 source.select(*keys).distinct(), on=keys, how="left_anti")
             merged = survivors_df.unionByName(source)
@@ -1044,6 +1187,8 @@ class IceTable:
             merged = source
         added = [f for f in self._write_data_files(merged, partition_by=spec)
                  if f["rows"] > 0]
+        for e in added:
+            e["data_seq"] = prev.get("sequence", 0) + 1
         new_refs = [self._write_manifest(added)] if added else []
         return self._commit(
             "merge", added, ddl,
@@ -1055,6 +1200,62 @@ class IceTable:
                    "partition_by": spec, "sort_by": prev.get("sort_by"),
                    "rewrote_files": len(candidates),
                    "carried_files": n_carried_files})
+
+    def _merge_upsert_mor(self, spark: SparkSession, source: DataFrame,
+                          key_cols: str | list[str]) -> dict:
+        """Equality-delete MERGE (see :meth:`merge_upsert` mode="mor"):
+        the source lands as new data files (stamped with this commit's
+        data_seq) and ONE equality-delete file of the distinct source key
+        tuples masks matching rows in every OLDER data file
+        (``data_seq < delete_seq``) at read. No target file is read or
+        rewritten; per-file key-range disjointness against the delete
+        file's footer stats keeps non-overlapping files on the clean scan
+        path. Incremental consumers see exactly the source rows (the only
+        added data manifest)."""
+        prev = self._raw_snapshot()
+        ddl = self._check_schema(prev, _ddl(source), False)
+        has_data = bool(prev.get("manifests") or prev.get("files"))
+        spec = prev.get("partition_by") if has_data else None
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        for k in keys:
+            if k not in source.columns:
+                raise ValueError(f"key column {k!r} not in source")
+        planned_seq = prev.get("sequence", 0) + 1
+        added = [f for f in self._write_data_files(source, partition_by=spec)
+                 if f["rows"] > 0]
+        if not added:
+            return self.snapshot()  # empty source: MERGE is a no-op
+        for e in added:
+            e["data_seq"] = planned_seq
+        new_data_ref = self._write_manifest(added)
+        dref = None
+        n_delete_rows = 0
+        if has_data:
+            dkeys = source.select(*keys).distinct()
+            dentries = [e for e in self._write_data_files(dkeys)
+                        if e["rows"] > 0]
+            dels = [{"path": e["path"], "rows": e["rows"], "kind": "eq",
+                     "eq_cols": keys, "delete_seq": planned_seq,
+                     "stats": e.get("stats") or {}} for e in dentries]
+            n_delete_rows = sum(d["rows"] for d in dels)
+            dref = self._write_manifest(dels) if dels else None
+        carried = self._carry_manifests(prev)
+        return self._commit(
+            "merge", added, ddl,
+            lambda _parent: carried + [new_data_ref],
+            retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
+            delete_manifests_fn=lambda parent: (
+                parent.get("delete_manifests", [])
+                + ([dref] if dref else [])),
+            extra={"added_manifests": [new_data_ref["path"]],
+                   "added_delete_manifests": [dref["path"]] if dref else [],
+                   "row_op_mode": "merge-on-read",
+                   "partition_by": spec, "sort_by": prev.get("sort_by"),
+                   "rewrote_files": 0,
+                   "carried_files": sum(r["n_files"] for r in carried),
+                   "delete_rows": n_delete_rows})
 
     _MERGE_BLOOM_MAX_KEYS = 1024
 
@@ -1108,6 +1309,13 @@ class IceTable:
             for f in self._snap_files(raw):
                 live.add(f["path"])
                 live_sidecars.update((f.get("bloom") or {}).values())
+            # merge-on-read delete files live in data/ and their manifests
+            # in metadata/ — both stay live while a retained snapshot's
+            # delete manifest list references them
+            live_manifests.update(
+                m["path"] for m in raw.get("delete_manifests", []))
+            for d in self._delete_entries(raw):
+                live.add(d["path"])
         deleted_files = 0
         if os.path.isdir(self.data_dir):
             for root, _dirs, files in os.walk(self.data_dir, topdown=False):
@@ -1254,6 +1462,8 @@ class IceTable:
         refs = self._carry_manifests(tip)
         return self._commit(
             "fast-forward", [], tip["schema"], lambda _parent: refs,
+            delete_manifests_fn=lambda _parent: tip.get(
+                "delete_manifests", []),
             extra={"added_manifests": [], "from_branch": name,
                    "partition_by": tip.get("partition_by"),
                    "sort_by": tip.get("sort_by")})
@@ -1265,6 +1475,8 @@ class IceTable:
         refs = self._carry_manifests(target)
         return self._commit("rollback", [], target["schema"],
                             lambda _parent: refs,
+                            delete_manifests_fn=lambda _parent: target.get(
+                                "delete_manifests", []),
                             extra={"added_manifests": [],
                                    "partition_by": target.get("partition_by"),
                                    "sort_by": target.get("sort_by")})
@@ -1280,26 +1492,145 @@ class IceTable:
         harmless for unpartitioned files."""
         return spark.read.schema(schema).option("basePath", self.data_dir)
 
+    def _rel_file_expr(self):
+        """Column expression: a scanned row's data-file path relative to
+        data/ — the same key positional delete files store. Both the
+        delete writer and the reader derive it with THIS expression, so
+        the anti-join key is consistent by construction."""
+        pat = re.escape(os.path.abspath(self.data_dir) + "/")
+        return F.element_at(F.split(F.col("_metadata.file_path"), pat), -1)
+
     def _read_files(self, spark: SparkSession, schema: str,
-                    files: list[dict]) -> DataFrame:
+                    files: list[dict], lineage: bool = False) -> DataFrame:
         """Read an explicit manifest-entry list, PARTITION-EVOLUTION-safe:
         Hive-layout entries (they carry a manifest partition value) derive
         the partition column from the path via basePath discovery;
         pre-evolution flat entries carry the column in the data and read
         without basePath (Spark rejects a single mixed-depth read). The two
-        eras union by name — one extra scan node, no shuffle."""
+        eras union by name — one extra scan node, no shuffle.
+
+        ``lineage`` adds ``__ice_file`` (path relative to data/) and
+        ``__ice_pos`` (row position within the file) from the scan's
+        ``_metadata`` columns — generated JVM-side by the parquet reader,
+        no payload cost — the binding keys for positional deletes."""
+
+        def tag(df: DataFrame) -> DataFrame:
+            if not lineage:
+                return df
+            return df.select(
+                "*",
+                self._rel_file_expr().alias("__ice_file"),
+                F.col("_metadata.row_index").alias("__ice_pos"))
+
         hive = [f for f in files if f.get("partition")]
         flat = [f for f in files if not f.get("partition")]
         parts = []
         if flat:
             parts.append(
-                spark.read.schema(schema).parquet(*self._paths(flat)))
+                tag(spark.read.schema(schema).parquet(*self._paths(flat))))
         if hive:
             parts.append(
-                self._reader(spark, schema).parquet(*self._paths(hive)))
+                tag(self._reader(spark, schema).parquet(*self._paths(hive))))
         df = parts[0]
         for extra_df in parts[1:]:
             df = df.unionByName(extra_df)
+        return df
+
+    # Delete sides at or below this many rows get an explicit broadcast
+    # hint: a point delete's (file, pos) set is model-sized next to the
+    # data scan it masks, and a shuffle there would dominate the read.
+    _BROADCAST_DELETE_ROWS = 4_000_000
+
+    def _delete_entries(self, raw: dict) -> list[dict]:
+        """Delete-file entries (positional + equality) reachable from a
+        snapshot's delete manifest list."""
+        out: list[dict] = []
+        for ref in raw.get("delete_manifests", []):
+            out.extend(self._load_manifest(ref["path"]))
+        return out
+
+    def _read_with_deletes(self, spark: SparkSession, schema: str,
+                           files: list[dict], raw: dict,
+                           lineage: bool = False) -> DataFrame:
+        """Delete-aware read — the Iceberg v2 merge-on-read reader shape:
+        each file is bound to its applicable delete files at PLAN time
+        (positional deletes by exact target path; equality deletes by
+        ``data_seq < delete_seq`` plus key-range disjointness from the
+        footer stats), files with no applicable delete scan clean, and
+        only the bound files pay the anti-joins. Tables with no delete
+        manifests take the identical code path as before MoR existed."""
+        dels = self._delete_entries(raw)
+        if not files:
+            return spark.createDataFrame(
+                [], schema=schema or "dummy int")
+        tsets = {d["path"]: set(d["targets"])
+                 for d in dels if d["kind"] == "pos"}
+
+        def applies(f: dict, d: dict) -> bool:
+            if d["kind"] == "pos":
+                return f["path"] in tsets[d["path"]]
+            if (f.get("data_seq") or 0) >= d["delete_seq"]:
+                return False  # file written at/after the delete committed
+            for k in d.get("eq_cols", []):
+                fs = (f.get("stats") or {}).get(k)
+                ds = (d.get("stats") or {}).get(k)
+                if fs and ds and (fs["max"] < ds["min"]
+                                  or fs["min"] > ds["max"]):
+                    return False  # key ranges disjoint: no row can match
+            return True
+
+        dirty = [f for f in files if any(applies(f, d) for d in dels)]
+        if not dirty:
+            return self._read_files(spark, schema, files, lineage=lineage)
+        clean = [f for f in files
+                 if not any(applies(f, d) for d in dels)]
+        df = self._read_files(spark, schema, dirty, lineage=True)
+        pos = [d for d in dels if d["kind"] == "pos"
+               and any(applies(f, d) for f in dirty)]
+        eqs = [d for d in dels if d["kind"] == "eq"
+               and any(applies(f, d) for f in dirty)]
+        if pos:
+            pdel = spark.read.parquet(
+                *[os.path.join(self.data_dir, d["path"]) for d in pos]
+            ).select(F.col("file_path").alias("__ice_file"),
+                     F.col("pos").alias("__ice_pos"))
+            if sum(d["rows"] for d in pos) <= self._BROADCAST_DELETE_ROWS:
+                pdel = F.broadcast(pdel)
+            df = df.join(pdel, ["__ice_file", "__ice_pos"], "left_anti")
+        if eqs:
+            # per-row data_seq via a files-sized broadcast map — the same
+            # per-task state an Iceberg reader carries per FileScanTask
+            seq_map = spark.createDataFrame(
+                [(f["path"], int(f.get("data_seq") or 0)) for f in dirty],
+                "__ice_file string, __ice_dseq long")
+            df = df.join(F.broadcast(seq_map), "__ice_file", "left")
+            # one equality delete spans several key files (the distinct-key
+            # write shuffles); group by (delete_seq, eq_cols) so each
+            # DELETE pays ONE anti-join however many files hold its keys
+            groups: dict[tuple, list[dict]] = {}
+            for d in eqs:
+                groups.setdefault(
+                    (int(d["delete_seq"]), tuple(d["eq_cols"])), []
+                ).append(d)
+            for (dseq, cols), grp in sorted(groups.items()):
+                ed = spark.read.parquet(
+                    *[os.path.join(self.data_dir, d["path"]) for d in grp]
+                ).select(*cols)
+                if sum(d["rows"] for d in grp) <= self._BROADCAST_DELETE_ROWS:
+                    ed = F.broadcast(ed)
+                # equality deletes match NULL keys null-safely (Iceberg
+                # equality-delete semantics); the data_seq guard keeps
+                # rows written after the delete untouched
+                cond = F.col("__ice_dseq") < F.lit(dseq)
+                for k in cols:
+                    cond = cond & df[k].eqNullSafe(ed[k])
+                df = df.join(ed, cond, "left_anti")
+            df = df.drop("__ice_dseq")
+        if not lineage:
+            df = df.drop("__ice_file", "__ice_pos")
+        if clean:
+            df = self._read_files(
+                spark, schema, clean, lineage=lineage).unionByName(df)
         return df
 
     def read(self, spark: SparkSession, seq: int | None = None,
@@ -1316,7 +1647,8 @@ class IceTable:
         snap = self.snapshot(seq)
         if not snap["files"]:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return self._read_files(spark, snap["schema"], snap["files"])
+        return self._read_with_deletes(spark, snap["schema"], snap["files"],
+                                       snap)
 
     def read_incremental(self, spark: SparkSession, after_seq: int,
                          until_seq: int | None = None) -> DataFrame:
@@ -1341,7 +1673,10 @@ class IceTable:
                           if p in by_path]
         if not added:
             return spark.createDataFrame([], schema=snap["schema"] or "dummy int")
-        return self._read_files(spark, snap["schema"], added)
+        # the until-snapshot's deletes apply to the added files too, so an
+        # incremental consumer never re-surfaces rows a later-in-window
+        # merge-on-read delete already masked
+        return self._read_with_deletes(spark, snap["schema"], added, snap)
 
     def _bloom_cache_get(self):
         cache = getattr(self, "_bloom_cache", None)
@@ -1481,7 +1816,7 @@ class IceTable:
         raw = self._raw_snapshot(seq)
         if not keep:
             return spark.createDataFrame([], schema=raw["schema"] or "dummy int")
-        df = self._read_files(spark, raw["schema"], keep)
+        df = self._read_with_deletes(spark, raw["schema"], keep, raw)
         if predicate is not None:
             preds = predicate if isinstance(predicate, list) else [predicate]
             df = df.where(reduce(

@@ -854,3 +854,258 @@ def test_branch_files_survive_main_expiry(spark, tbl):
     assert tbl.read(spark).count() == 6
     with pytest.raises(ValueError, match="no such branch"):
         tbl.branch("wip")
+
+
+# -- merge-on-read row-level ops (Iceberg v2 delete files) -----------------
+
+
+def _data_bytes(tbl):
+    total = 0
+    for root, _dirs, files in os.walk(tbl.data_dir):
+        total += sum(os.path.getsize(os.path.join(root, fn))
+                     for fn in files if fn.endswith(".parquet"))
+    return total
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_mor_delete_writes_o1_bytes_and_matches_cow(spark, tmp_path):
+    """The MoR contract: a 1-row delete into a 500-row file writes O(1)
+    data bytes (a tiny positional delete file, NO data rewrite), and the
+    pre-compaction MoR read equals the CoW result row-for-row."""
+    cow = IceTable(str(tmp_path / "cow"))
+    mor = IceTable(str(tmp_path / "mor"))
+    for t in (cow, mor):
+        t.append(_df(spark, 0, 500).coalesce(1))
+    base_bytes = _data_bytes(mor)
+    scow = cow.delete_where(spark, ("id", "=", 137), mode="cow")
+    smor = mor.delete_where(spark, ("id", "=", 137), mode="mor")
+    assert scow["rewrote_files"] == 1
+    assert smor["rewrote_files"] == 0 and smor["delete_rows"] == 1
+    assert smor["delete_targets"] == 1
+    written = _data_bytes(mor) - base_bytes
+    # CoW rewrote the whole 500-row file; MoR wrote one (file,pos) row —
+    # orders of magnitude apart even at toy scale
+    assert written < base_bytes // 3, (written, base_bytes)
+    assert _sorted_rows(mor.read(spark)) == _sorted_rows(cow.read(spark))
+    assert mor.read(spark).count() == 499
+
+
+def test_mor_delete_stacks_and_time_travels(spark, tbl):
+    """Stacked positional deletes bind independently; time travel to any
+    pre-delete snapshot resurrects exactly that snapshot's rows."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))        # seq 1
+    tbl.append(_df(spark, 100, 200).coalesce(1))      # seq 2
+    tbl.delete_where(spark, ("id", "<", 10), mode="mor")    # seq 3
+    tbl.delete_where(spark, ("id", ">=", 190), mode="mor")  # seq 4
+    assert tbl.read(spark).count() == 180
+    assert tbl.read(spark, seq=3).count() == 190  # second delete not yet
+    assert tbl.read(spark, seq=2).count() == 200
+    ids = {r.id for r in tbl.read(spark).select("id").collect()}
+    assert ids == set(range(10, 190))
+
+
+def test_mor_delete_null_predicate_rows_survive(spark, tbl):
+    """SQL DELETE semantics in MoR mode: rows where the predicate is NULL
+    are retained (only TRUE rows get delete positions)."""
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 10), (2, NULL), (3, 30) AS t(id, v)")
+    tbl.append(df.coalesce(1))
+    tbl.delete_where(spark, ("v", ">", 5), mode="mor")
+    got = {r.id for r in tbl.read(spark).collect()}
+    assert got == {2}
+
+
+def test_mor_merge_matches_cow_and_guards_new_rows(spark, tmp_path):
+    """Equality-delete MERGE equals the CoW MERGE row-for-row with ZERO
+    rewritten files, and the data_seq guard keeps rows written AT or
+    AFTER the delete's sequence unmasked: the merge's own inserted rows
+    share keys with the delete file and must survive."""
+    cow = IceTable(str(tmp_path / "cow"))
+    mor = IceTable(str(tmp_path / "mor"))
+    for t in (cow, mor):
+        t.append(_df(spark, 0, 100).coalesce(1))
+        t.append(_df(spark, 100, 200).coalesce(1))
+    src = _df(spark, 50, 150, tag="upd")  # overlaps both files
+    scow = cow.merge_upsert(spark, src, "id", mode="cow")
+    smor = mor.merge_upsert(spark, src, "id", mode="mor")
+    assert scow["rewrote_files"] == 2
+    assert smor["rewrote_files"] == 0 and smor["carried_files"] == 2
+    assert smor["row_op_mode"] == "merge-on-read"
+    assert _sorted_rows(mor.read(spark)) == _sorted_rows(cow.read(spark))
+    assert mor.read(spark).where("tag = 'upd'").count() == 100
+    # a LATER append with the same keys must not be masked by the older
+    # equality delete (its data_seq exceeds the delete_seq)
+    mor.append(_df(spark, 50, 60, tag="after"))
+    assert mor.read(spark).where("tag = 'after'").count() == 10
+
+
+def test_mor_merge_key_range_disjoint_files_scan_clean(spark, tbl):
+    """Files whose key range is disjoint from the equality-delete span are
+    bound to NO delete at plan time: the binding criterion (older than the
+    delete AND key ranges overlap) must hold for the high-range file only,
+    and the read stays exact."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.append(_df(spark, 1000, 1100).coalesce(1))
+    tbl.merge_upsert(spark, _df(spark, 1000, 1010, tag="u"), "id",
+                     mode="mor")
+    raw = tbl._raw_snapshot()
+    files = tbl._snap_files(raw)
+    dels = [d for d in tbl._delete_entries(raw) if d["kind"] == "eq"]
+    assert len({(d["delete_seq"], tuple(d["eq_cols"])) for d in dels}) == 1
+
+    def bound(f):  # the reader's plan-time binding criterion, any entry
+        def one(d):
+            if (f.get("data_seq") or 0) >= d["delete_seq"]:
+                return False
+            fs, ds = f["stats"]["id"], d["stats"]["id"]
+            return not (fs["max"] < ds["min"] or fs["min"] > ds["max"])
+        return any(one(d) for d in dels)
+
+    bound_files = [f for f in files if bound(f)]
+    assert len(bound_files) == 1  # only the old high-range file
+    assert bound_files[0]["stats"]["id"]["min"] >= 1000
+    got = tbl.read(spark)
+    assert got.count() == 200
+    assert got.where("tag = 'u'").count() == 10
+
+
+def test_mor_compact_folds_deletes_physically(spark, tbl):
+    """compact() must apply pending delete files while rewriting and drop
+    every delete manifest — the post-compaction table is byte-equal with
+    zero delete state left."""
+    tbl.append(_df(spark, 0, 300).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 50), mode="mor")
+    tbl.merge_upsert(spark, _df(spark, 100, 120, tag="m"), "id", mode="mor")
+    before = _sorted_rows(tbl.read(spark))
+    snap = tbl.compact(spark, target_files=1)
+    assert snap["delete_manifests"] == []
+    assert _sorted_rows(tbl.read(spark)) == before
+    # post-compaction expire reclaims the now-unreferenced delete files
+    res = tbl.expire_snapshots(keep_last=1)
+    assert res["deleted_files"] > 0
+    assert _sorted_rows(tbl.read(spark)) == before
+
+
+def test_mor_expire_retains_live_delete_files(spark, tbl):
+    """expire_snapshots must keep delete files referenced by retained
+    snapshots: the read after expiry still masks the deleted rows."""
+    tbl.append(_df(spark, 0, 200).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 20), mode="mor")
+    tbl.expire_snapshots(keep_last=1)
+    assert tbl.read(spark).count() == 180
+
+
+def test_mor_then_cow_materializes_pending_deletes(spark, tbl):
+    """A CoW rewrite over files with pending MoR deletes must apply them
+    while rewriting (no resurrection), and the rewritten files must not be
+    re-masked by the carried delete manifests."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.delete_where(spark, ("id", "=", 7), mode="mor")
+    tbl.delete_where(spark, ("id", ">=", 90), mode="cow")
+    ids = {r.id for r in tbl.read(spark).select("id").collect()}
+    assert ids == set(range(0, 90)) - {7}
+
+
+def test_mor_incremental_read_applies_window_deletes(spark, tbl):
+    """Incremental consumption across a window containing a MoR delete
+    must not re-surface masked rows."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))           # seq 1
+    tbl.append(_df(spark, 100, 200).coalesce(1))         # seq 2
+    tbl.delete_where(spark, ("id", "<", 110), mode="mor")  # seq 3
+    inc = tbl.read_incremental(spark, after_seq=1)
+    assert {r.id for r in inc.select("id").collect()} == set(range(110, 200))
+
+
+def test_mor_rollback_and_branch_carry_delete_state(spark, tbl):
+    """Rollback replays the target's delete manifests; a branch forked
+    after a MoR delete keeps masking on the branch read."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))              # seq 1
+    tbl.delete_where(spark, ("id", "<", 10), mode="mor")    # seq 2
+    b = tbl.create_branch("wip")
+    assert b.read(spark).count() == 90
+    tbl.delete_where(spark, ("id", ">=", 95), mode="mor")   # seq 3 (main)
+    tbl.rollback(2)                                          # seq 4
+    assert tbl.read(spark).count() == 90  # seq-3 delete undone, seq-2 kept
+
+
+# -- concurrent-writer conflict matrix -------------------------------------
+
+
+def test_race_append_vs_append_both_land(spark, tbl, monkeypatch):
+    """Two appends race: the loser rebases onto the winner and BOTH land."""
+    tbl.append(_df(spark, 0, 10))                       # seq 1
+    tbl.append(_df(spark, 10, 30, tag="winner"))        # seq 2
+    real = tbl.current_seq
+    calls = {"n": 0}
+    monkeypatch.setattr(
+        tbl, "current_seq",
+        lambda: 1 if (calls.__setitem__("n", calls["n"] + 1)
+                      or calls["n"] == 1) else real())
+    snap = tbl.append(_df(spark, 30, 40, tag="loser"))
+    assert snap["sequence"] == 3
+    assert tbl.read(spark).count() == 40
+
+
+def test_race_append_vs_mor_delete_both_land_correctly(spark, tbl,
+                                                       monkeypatch):
+    """Append racing a merge-on-read equality delete: the delete lands
+    first, the append rebases past it — both land, and the re-stamped
+    data_seq keeps the appended rows (which share keys with the delete)
+    UNMASKED. A stale data_seq would wrongly subject them to the delete."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))                    # seq 1
+    tbl.merge_upsert(spark, _df(spark, 0, 50, tag="m"), "id",
+                     mode="mor")                                   # seq 2
+    real = tbl.current_seq
+    calls = {"n": 0}
+
+    def stale_once():
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real()
+
+    monkeypatch.setattr(tbl, "current_seq", stale_once)
+    snap = tbl.append(_df(spark, 0, 20, tag="late"))               # seq 3
+    assert snap["sequence"] == 3
+    got = tbl.read(spark)
+    assert got.where("tag = 'late'").count() == 20  # NOT masked
+    assert got.where("tag = 'm'").count() == 50
+    assert got.count() == 100 + 20  # 50 originals masked, 50 merged, 20 late
+
+
+def test_race_two_deletes_second_aborts(spark, tbl, monkeypatch):
+    """Two row-level deletes planned against the same parent: the second
+    must abort with CommitConflict even though its predicate touches the
+    same file — never a silent rebase (CoW and MoR alike)."""
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 10))  # seq 2 lands
+    monkeypatch.setattr(tbl, "current_seq", lambda: 1)
+    for mode in ("cow", "mor"):
+        with pytest.raises(CommitConflict, match="re-plan"):
+            tbl.delete_where(spark, ("id", "<", 20), mode=mode)
+
+
+def test_race_compact_and_rewrite_manifests_abort_on_moved_parent(
+        spark, tbl, monkeypatch):
+    """compact()/rewrite_manifests() compute their manifest list from a
+    specific parent; a writer landing between planning and commit must
+    surface as CommitConflict, not silently drop the racer's files."""
+    tbl.append(_df(spark, 0, 50))   # seq 1
+    tbl.append(_df(spark, 50, 80))  # seq 2
+    monkeypatch.setattr(tbl, "current_seq", lambda: 1)
+    with pytest.raises(CommitConflict, match="re-plan"):
+        tbl.compact(spark)
+    with pytest.raises(CommitConflict, match="re-plan"):
+        tbl.rewrite_manifests()
+
+
+def test_expire_snapshots_refuses_branch_handle(spark, tbl):
+    """Branch handles share data/manifest dirs with main: running the
+    expiry sweep from one would reclaim main-only files, so it must
+    refuse loudly."""
+    tbl.append(_df(spark, 0, 10))
+    b = tbl.create_branch("wip")
+    with pytest.raises(ValueError, match="main table handle"):
+        b.expire_snapshots(keep_last=1)
+    assert tbl.read(spark).count() == 10
