@@ -153,15 +153,120 @@ def ivf_centroids(embeddings: DataFrame, k: int = IVF_K) -> DataFrame:
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame, k: int = IVF_K, centroids: DataFrame | None = None
+def ivf_centroids_pp(
+    embeddings: DataFrame,
+    k: int = IVF_K,
+    rounds: int = 3,
+    oversample: int | None = None,
+    seed: int = 1,
 ) -> DataFrame:
-    """(vec_id, cluster, dist2): nearest coarse centroid per vector.
+    """k-means|| initialization (Bahmani et al., VLDB'12 — the distributed
+    kmeans++): instead of k sequential corpus passes (kmeans++ proper,
+    unusable at 10^9 vectors), run ``rounds`` passes that each sample
+    points with probability ``min(1, l·d²(x,C)/Σd²)`` where l =
+    ``oversample`` (default 2k), then weight the O(rounds·l) candidates by
+    their Voronoi-cell population and reduce them to k centroids with a
+    DRIVER-side weighted kmeans++ + Lloyd (the candidate set is
+    model-sized, like MLlib's KMeans init).
+
+    Deterministic end-to-end: the per-point coin flips hash
+    ``xxhash64(vec_id, round, seed)`` into [0,1) instead of consuming an
+    RNG — re-runs, task retries and different partitionings sample
+    identically — and the driver-side reduction seeds numpy from ``seed``.
+
+    Each round is one broadcast-join min-distance pass + one scalar agg —
+    no shuffle wider than the corpus scan. Honest measurement note: on the
+    synthetic benchmark corpus (uniform unit vectors, no cluster
+    structure) this init matches but does not beat the first-k seed; its
+    value shows on clustered real embeddings, while recall per scanned
+    byte on unstructured data is bought by finer quantization and
+    ``repl`` multi-assignment (BENCH.md §IVF)."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb"))
+    lfac = oversample or 2 * k
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    cand: dict[int, list[float]] = {
+        int(first["vec_id"]): [float(v) for v in first["emb"]]}
+    for r in range(rounds):
+        cdf = spark.createDataFrame(
+            [(i, e) for i, e in sorted(cand.items())],
+            "cid bigint, cemb array<double>")
+        d2 = (
+            base.crossJoin(F.broadcast(cdf))
+            .groupBy("vec_id")
+            .agg(F.min(_l2sq(F.col("emb"), F.col("cemb"))).alias("d2"),
+                 F.first("emb").alias("emb"))
+        )
+        total = d2.agg(F.sum("d2")).first()[0] or 0.0
+        if total <= 0:
+            break  # every point already coincides with a candidate
+        # deterministic coin flip: hash -> uniform [0,1)
+        u = (F.pmod(F.xxhash64("vec_id", F.lit(r), F.lit(seed)),
+                    F.lit(1_000_000_007)) / F.lit(1_000_000_007.0))
+        picked = d2.where(
+            u < F.least(F.lit(1.0),
+                        F.lit(float(lfac)) * F.col("d2") / F.lit(float(total)))
+        ).select("vec_id", "emb").collect()
+        for row in picked:
+            cand[int(row["vec_id"])] = [float(v) for v in row["emb"]]
+    # weight candidates by Voronoi-cell population (one assign pass)
+    cdf = spark.createDataFrame(
+        [(i, e) for i, e in sorted(cand.items())],
+        "cluster bigint, cemb array<double>")
+    weights = {
+        int(r["cluster"]): int(r["n"])
+        for r in ivf_assign(embeddings, centroids=cdf)
+        .groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    ids = sorted(cand)
+    pts = np.asarray([cand[i] for i in ids], dtype=np.float64)
+    w = np.asarray([weights.get(i, 0) for i in ids], dtype=np.float64)
+    w = np.maximum(w, 1e-12)
+    rng = np.random.default_rng(seed)
+    # weighted kmeans++ over the model-sized candidate set
+    chosen = [int(rng.choice(len(pts), p=w / w.sum()))]
+    while len(chosen) < min(k, len(pts)):
+        dmin = np.min(
+            ((pts[:, None, :] - pts[chosen][None, :, :]) ** 2).sum(-1), axis=1)
+        p = w * dmin
+        if p.sum() <= 0:
+            break
+        chosen.append(int(rng.choice(len(pts), p=p / p.sum())))
+    cents = pts[chosen]
+    for _ in range(100):  # weighted Lloyd on the candidate set
+        a = (((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)).argmin(1)
+        new = np.stack([
+            np.average(pts[a == c], axis=0, weights=w[a == c])
+            if (a == c).any() else cents[c]
+            for c in range(len(cents))
+        ])
+        if np.abs(new - cents).max() < 1e-12:
+            break
+        cents = new
+    return spark.createDataFrame(
+        [(c, [float(v) for v in cents[c]]) for c in range(len(cents))],
+        "cluster int, cemb array<double>")
+
+
+def ivf_assign(
+    embeddings: DataFrame, k: int = IVF_K, centroids: DataFrame | None = None,
+    repl: int = 1
+) -> DataFrame:
+    """(vec_id, cluster, dist2): nearest coarse centroid(s) per vector.
 
     The centroid table is k rows → broadcast; assignment is one narrow pass
     over the corpus + a per-vector argmin window (tie-break cluster id).
     ``centroids`` (cluster, cemb) overrides the sampled seed — pass the
-    output of train_ivf_centroids for the trained quantizer."""
+    output of train_ivf_centroids for the trained quantizer.
+
+    ``repl > 1`` indexes every vector under its ``repl`` nearest centroids
+    (FAISS multi-assignment / ScaNN spilling): the inverted lists overlap,
+    so a fixed probe count sees boundary-straddling neighbors it would
+    otherwise miss — measured on the synthetic corpus this buys more
+    recall per scanned byte than ANY quantizer-training change (see
+    BENCH.md §IVF). Index size grows ×repl; the at-scale trade is repl=2
+    with half the probes (same scan fraction, higher recall)."""
     from pyspark.sql.window import Window
 
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
@@ -172,7 +277,7 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cluster"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= repl)
         .select("vec_id", F.col("cluster").cast("int").alias("cluster"), "dist2")
     )
 
@@ -206,6 +311,8 @@ def train_ivf_centroids(
     max_rounds: int = 50,
     tol: float = 0.0,
     stats: dict | None = None,
+    init: str = "first",
+    seed: int = 1,
 ) -> DataFrame:
     """Lloyd-trained coarse quantizer (the reference's trained-predictor slot,
     /root/reference/deepdoctection/extern/base.py:118-439: a model artifact
@@ -222,9 +329,13 @@ def train_ivf_centroids(
     oracle chains the same CTE N times). rounds=None iterates until the max
     centroid shift ≤ tol, up to max_rounds. ``stats`` (optional dict) is
     filled with {'rounds', 'converged', 'max_shift'}.
+
+    ``init="pp"`` seeds with :func:`ivf_centroids_pp` (k-means||) instead
+    of the first-k sample; ``seed`` feeds its deterministic sampler.
     """
     spark = embeddings.sparkSession
-    cents = ivf_centroids(embeddings, k)
+    cents = (ivf_centroids_pp(embeddings, k, seed=seed)
+             if init == "pp" else ivf_centroids(embeddings, k))
     n_rounds = 0
     converged = False
     shift = float("inf")
@@ -262,6 +373,7 @@ def ivf_search(
     n_clusters: int = IVF_K,
     round_to: int = 5,
     centroids: DataFrame | None = None,
+    repl: int = 1,
 ) -> DataFrame:
     """ANN top-k: probe the `probes` nearest inverted lists per query, exact
     cosine only within them. At 10^9 vectors this replaces the full cross
@@ -271,14 +383,16 @@ def ivf_search(
     with :func:`ivf_build_index` and search with :func:`ivf_search_pruned`.
 
     ``centroids`` plugs in the TRAINED quantizer (train_ivf_centroids);
-    default is the sampled seed."""
+    default is the sampled seed. ``repl`` = overlapped inverted lists
+    (see :func:`ivf_assign`): candidates reached through two probed lists
+    dedup before scoring, so results stay exact-within-candidates."""
     from pyspark.sql.window import Window
 
     base = embeddings.select("vec_id", as_double(F.col("embedding")).alias("emb"))
     cents = (
         centroids if centroids is not None else ivf_centroids(embeddings, n_clusters)
     )
-    assign = ivf_assign(embeddings, n_clusters, centroids=cents)
+    assign = ivf_assign(embeddings, n_clusters, centroids=cents, repl=repl)
 
     queries = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
@@ -297,6 +411,11 @@ def ivf_search(
     cand = probed.join(assign, "cluster").where(
         F.col("vec_id") != F.col("query_id")
     )
+    if repl > 1:
+        # overlapped lists can reach the same (query, vec) through two
+        # probed clusters; each pair scores once
+        cand = cand.select("query_id", "qemb", "vec_id").dropDuplicates(
+            ["query_id", "vec_id"])
     scored = cand.join(base, "vec_id").select(
         "query_id",
         "vec_id",
@@ -354,6 +473,7 @@ def ivf_build_index(
     table_path: str,
     n_clusters: int = IVF_K,
     centroids: DataFrame | None = None,
+    repl: int = 1,
 ):
     """Materialize the IVF index PHYSICALLY: assign every corpus vector to
     its nearest coarse centroid and write (vec_id, cluster, embedding) as an
@@ -380,7 +500,7 @@ def ivf_build_index(
     cents = (
         centroids if centroids is not None else ivf_centroids(embeddings, n_clusters)
     )
-    assign = ivf_assign(embeddings, n_clusters, centroids=cents)
+    assign = ivf_assign(embeddings, n_clusters, centroids=cents, repl=repl)
     corpus = embeddings.join(assign, "vec_id").select(
         "vec_id", "cluster", "embedding"
     )
@@ -445,7 +565,10 @@ def ivf_search_pruned(
     probed_df = spark.createDataFrame(pairs, "query_id bigint, cluster int")
     cand = corpus.join(F.broadcast(probed_df), "cluster").where(
         F.col("vec_id") != F.col("query_id")
-    )
+    # a repl>1 index stores a vector in several probed partitions: each
+    # (query, vec) pair scores once (harmless no-op on a repl=1 index)
+    ).select("query_id", "vec_id", "emb").dropDuplicates(
+        ["query_id", "vec_id"])
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         "vec_id",

@@ -97,3 +97,77 @@ def test_physical_pruning_matches_logical_search(embs, tmp_path):
 def test_pruned_search_requires_centroids(embs, tmp_path):
     with pytest.raises(ValueError):
         similarity.ivf_search_pruned(None, embs, centroids=None)
+
+
+def test_repl_assign_indexes_each_vector_r_times(embs):
+    a1 = similarity.ivf_assign(embs, k=4, repl=1)
+    a2 = similarity.ivf_assign(embs, k=4, repl=2)
+    assert a1.count() == 40
+    assert a2.count() == 80
+    per_vec = {r["vec_id"]: r["n"] for r in a2.groupBy("vec_id").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert all(n == 2 for n in per_vec.values())
+    # the primary assignment is a subset of the repl=2 assignment
+    s1 = {(r["vec_id"], r["cluster"]) for r in a1.collect()}
+    s2 = {(r["vec_id"], r["cluster"]) for r in a2.collect()}
+    assert s1 <= s2
+
+
+def test_repl_search_dedups_and_never_loses_recall(embs):
+    base = similarity.ivf_search(embs, n_queries=8, k=3, probes=2,
+                                 n_clusters=4)
+    repl = similarity.ivf_search(embs, n_queries=8, k=3, probes=2,
+                                 n_clusters=4, repl=2)
+    # no duplicate (query, vec) pairs after overlapped-list dedup
+    assert repl.groupBy("query_id", "vec_id").count().where(
+        "count > 1").count() == 0
+    # overlapped lists only widen the candidate set: per-query top-k
+    # cosine of repl >= baseline's (same scoring, superset candidates)
+    def best(df):
+        return {r["query_id"]: r["cosine_sim"] for r in df.where("rank = 1")
+                .collect()}
+    b, r = best(base), best(repl)
+    assert all(r[q] >= b[q] for q in b)
+
+
+def test_kmeanspp_init_is_deterministic_and_k_sized(embs):
+    c1 = similarity.ivf_centroids_pp(embs, k=4, seed=7)
+    c2 = similarity.ivf_centroids_pp(embs, k=4, seed=7)
+    r1 = sorted((r["cluster"], tuple(r["cemb"])) for r in c1.collect())
+    r2 = sorted((r["cluster"], tuple(r["cemb"])) for r in c2.collect())
+    assert r1 == r2  # hash-seeded sampling: bit-identical re-runs
+    assert len(r1) == 4
+    # on the two-blob fixture the k=2 kmeans|| centroids must land one per
+    # blob (any init that misses a blob would leave a centroid near 0)
+    c = similarity.ivf_centroids_pp(embs, k=2, seed=7)
+    means = sorted(float(np.mean(r["cemb"])) for r in c.collect())
+    assert means[0] < -0.8 and means[1] > 0.8
+
+
+def test_train_with_pp_init_converges(embs):
+    stats: dict = {}
+    cents = similarity.train_ivf_centroids(
+        embs, k=2, rounds=None, max_rounds=20, stats=stats, init="pp")
+    assert stats["converged"]
+    means = sorted(float(np.mean(r["cemb"])) for r in cents.collect())
+    assert means[0] < -0.8 and means[1] > 0.8
+
+
+def test_physical_repl_index_matches_logical_repl_search(embs, tmp_path):
+    from pyspark.sql import functions as F
+
+    cents = similarity.ivf_centroids(embs, k=4)
+    table = similarity.ivf_build_index(
+        embs, str(tmp_path / "ivf_repl"), n_clusters=4, centroids=cents,
+        repl=2)
+    queries = embs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double(F.col("embedding")).alias("qemb"))
+    stats: dict = {}
+    phys = similarity.ivf_search_pruned(
+        table, queries, k=3, probes=2, centroids=cents, stats=stats)
+    logical = similarity.ivf_search(
+        embs, n_queries=4, k=3, probes=2, n_clusters=4, centroids=cents,
+        repl=2)
+    assert sorted(map(tuple, phys.collect())) == sorted(
+        map(tuple, logical.collect()))
