@@ -551,6 +551,88 @@ def bpe_pair_counts(docs: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
     )
 
 
+BPE_SEP = "\x1f"  # unit separator: symbol delimiter, excluded from the corpus
+BPE_MERGES = 10
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Full iterated BPE trainer (Sennrich et al. 2016): learn ``n_merges``
+    merge rules over the corpus, emitting the merge table
+    (rank, left_sym, right_sym, new_token, pair_count).
+
+    Representation: each word's symbol sequence is one STRING with every
+    symbol wrapped in \\x1f (``"ab" → "\\x1fa\\x1f\\x1fb\\x1f"``), so applying
+    a merge (l, r) is a single literal ``replace(enc, ␟l␟␟r␟ → ␟lr␟)`` —
+    non-overlapping left-to-right, exactly the greedy BPE apply rule, and
+    byte-identical between Spark and the DuckDB oracle (which replays the
+    same loop as an unrolled CTE chain).
+
+    Scale shape (tokenizer training over 100 TB): the corpus collapses to
+    the distinct-word vocabulary ONCE (the only data-proportional shuffle,
+    cached); each merge step is then a narrow split→explode over the
+    bounded vocab, a hash agg over the bounded pair space, and a
+    ``takeOrdered(1)`` argmax (per-partition heaps + a 1-row driver merge —
+    the only driver-side state is the model-sized merge table itself).
+    Ties break (count desc, encoded pair asc) for reproducible vocabs.
+    Reference analogue: the token-classifier serving seam
+    (pipe/lm.py:36-340) — tokenization is its input contract."""
+    vocab0 = (
+        docs.select(F.explode(_ws()).alias("word"))
+        .where((F.length("word") > 0) & ~F.col("word").contains(BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
+        .select(
+            F.regexp_replace("word", "(.)", BPE_SEP + "$1" + BPE_SEP).alias("enc"),
+            "n_word",
+        )
+        .cache()
+    )
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    vocab = vocab0
+    for step in range(n_merges):
+        syms = F.split(
+            F.expr("substring(enc, 2, length(enc) - 2)"), BPE_SEP + BPE_SEP
+        )
+        pairs = (
+            vocab.select(syms.alias("syms"), "n_word")
+            .where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at("syms", i),
+                            F.lit(BPE_SEP),
+                            F.element_at("syms", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                "n_word",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n_word").cast("long").alias("pair_count"))
+        )
+        best = pairs.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).take(1)
+        if not best:
+            break
+        left, right = best[0]["pair"].split(BPE_SEP)
+        merges.append((step + 1, left, right, left + right, best[0]["pair_count"]))
+        vocab = vocab.select(
+            F.replace(
+                F.col("enc"),
+                F.lit(BPE_SEP + left + BPE_SEP + BPE_SEP + right + BPE_SEP),
+                F.lit(BPE_SEP + left + right + BPE_SEP),
+            ).alias("enc"),
+            "n_word",
+        )
+    vocab0.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, new_token string, pair_count long",
+    )
+
+
 RES_SAMPLE_K = 100
 _DYADIC = 4503599627370496.0  # 2^52: 52-bit hash + 1 over 2^52 is an EXACT double
 

@@ -1330,6 +1330,69 @@ def q_bpe_merge_pairs(spark, sf_dir):
     return corpusprep.bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def _bpe_train_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB replay of the deterministic BPE training loop:
+    step k counts adjacent symbol pairs over vocab v{k}, takes the argmax
+    (count desc, encoded pair asc) as b{k}, and applies it with ONE literal
+    non-overlapping left-to-right replace() — the same greedy apply rule as
+    the Spark side's identically encoded \\x1f-wrapped strings."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    parts = [
+        f"toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)",
+        f"""v0 AS (
+  SELECT regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
+         count(*)::BIGINT AS n_word
+  FROM toks WHERE length(word) > 0 AND NOT contains(word, {sep})
+  GROUP BY 1
+)""",
+    ]
+    finals = []
+    for k in range(n_merges):
+        parts.append(
+            f"""s{k} AS (
+  SELECT string_split(substr(enc, 2, length(enc) - 2), {sep2}) AS syms, n_word
+  FROM v{k}
+),
+p{k} AS (
+  SELECT list_extract(syms, i) || {sep} || list_extract(syms, i + 1) AS pair,
+         sum(n_word)::BIGINT AS pair_count
+  FROM s{k}, unnest(range(1, len(syms))) AS t(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1
+),
+b{k} AS (
+  SELECT pair, pair_count,
+         string_split(pair, {sep})[1] AS l, string_split(pair, {sep})[2] AS r
+  FROM p{k} ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+v{k + 1} AS (
+  SELECT replace(v{k}.enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+                 {sep} || b.l || b.r || {sep}) AS enc, v{k}.n_word
+  FROM v{k}, b{k} AS b
+)"""
+        )
+        finals.append(
+            f"SELECT {k + 1}::INT AS rank, l AS left_sym, r AS right_sym,"
+            f" l || r AS new_token, pair_count FROM b{k}"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(finals) + "\n) ORDER BY rank"
+    )
+
+
+@register("bpe_train_vocab", _bpe_train_oracle(corpusprep.BPE_MERGES))
+def q_bpe_train_vocab(spark, sf_dir):
+    """Full iterated BPE trainer: 10 learned merge rules with the
+    deterministic (count desc, pair asc) tie-break. One data-proportional
+    shuffle total (the distinct-word vocab agg, cached); each merge step is
+    a narrow explode + bounded-pair hash agg + takeOrdered(1) argmax, and
+    the merge applies as a single literal replace() over \\x1f-wrapped
+    symbol strings — no fold, no UDF, no driver-side corpus state."""
+    return corpusprep.bpe_train(_docs(spark, sf_dir))
+
+
 @register(
     "weighted_sample_es",
     f"""

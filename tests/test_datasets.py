@@ -438,3 +438,53 @@ def test_edit_distance_pairs_metrics_and_ascii_contract(spark):
         assert r["edit_distance"] == d
         import math
         assert r["sim_q4"] == math.floor((1.0 - d / max(len(a), len(b), 1)) * 10000 + 0.5)
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed iterated trainer reproduces a pure-Python BPE loop
+    (Sennrich-style: pair argmax with (count desc, pair asc) tie-break,
+    greedy left-to-right non-overlapping merge apply) exactly, merge table
+    row for row."""
+    from collections import Counter
+
+    from deepdoctection_spark.operators.corpusprep import BPE_SEP, bpe_train
+    from deepdoctection_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(bpe_train(docs, 6).collect(), key=lambda r: r["rank"])
+
+    words: Counter = Counter()
+    for r in docs.select(normalized_text(F.col("text")).alias("t")).collect():
+        for w in r["t"].split(" "):
+            if w and BPE_SEP not in w:
+                words[w] += 1
+    vocab = {tuple(w): n for w, n in words.items()}
+    expect = []
+    for rank in range(1, 7):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        (l, rgt), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + BPE_SEP + kv[0][1])
+        )
+        expect.append((rank, l, rgt, l + rgt, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    out.append(l + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    assert [
+        (r["rank"], r["left_sym"], r["right_sym"], r["new_token"], r["pair_count"])
+        for r in got
+    ] == expect
