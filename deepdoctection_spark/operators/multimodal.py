@@ -717,3 +717,89 @@ def synth_jpeg_images(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL video: MJPEG frames in a spec-shaped AVI container (kernels/avi.py)
+# ---------------------------------------------------------------------------
+
+MJPEG_FPS = 10
+
+
+def _mjpeg_n_frames(mid: int) -> int:
+    return 2 + mid % 3
+
+
+def synth_videos_mjpeg(docs: DataFrame) -> DataFrame:
+    """documents → REAL MJPEG-in-AVI payload table: every frame is a genuine
+    baseline JPEG (kernels/jpeg.py) wrapped in a RIFF/AVI container
+    (kernels/avi.py). Frame f of media m uses the same piecewise-flat
+    even-delta block construction as synth_jpeg_images with seed
+    (m + 37·f) % 256, so the lossy chain stays exactly lossless and the
+    DuckDB oracle recomputes per-frame statistics in closed form while
+    Spark walks real RIFF chunks and Huffman-decodes real scan bytes."""
+    from deepdoctection_spark.kernels.avi import avi_encode_mjpeg
+    from deepdoctection_spark.kernels.jpeg import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                bw, bh = _jpeg_dims(mid)
+                nf = _mjpeg_n_frames(mid)
+                frames = []
+                for f in range(nf):
+                    vals = 2 * (((mid + 37 * f) % 256 + 17 * np.arange(bh * bw)) % 128)
+                    img = np.repeat(
+                        np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1
+                    ).astype(np.uint8)
+                    frames.append(jpeg_encode(img))
+                rows.append(
+                    (mid, "video/x-msvideo", bw * 8, bh * 8, 1, nf,
+                     avi_encode_mjpeg(frames, bw * 8, bh * 8, MJPEG_FPS))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "n_frames", "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=VID_SCHEMA)
+
+
+def sample_frames_mjpeg(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame-sample: RIFF walk → keep every k-th '00dc' chunk →
+    baseline-JPEG decode each kept frame → one row per frame with a pixel
+    checksum. Decode cost scales with KEPT frames only (the container walk
+    slices chunk offsets without touching skipped frames' scan bytes) —
+    the frame-sample pattern a 100 TB video corpus needs. Poison containers
+    (bad magic, truncated chunks, index mismatch, non-JPEG payload) skip to
+    quarantine-by-omission, matching sample_frames' contract."""
+    from deepdoctection_spark.kernels.avi import avi_decode_mjpeg
+    from deepdoctection_spark.kernels.jpeg import jpeg_decode
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
+                try:
+                    w, h, _fps, frames = avi_decode_mjpeg(bytes(raw))
+                except Exception:
+                    continue
+                for fi in range(0, len(frames), every):
+                    try:
+                        px = jpeg_decode(frames[fi])
+                    except Exception:
+                        continue
+                    rows.append(
+                        (int(mid), fi, w, h, int(px.astype(np.int64).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height", "frame_sum"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)

@@ -565,6 +565,40 @@ def q_media_frame_sample(spark, sf_dir):
 
 
 @register(
+    "media_video_frames",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, (2 + doc_id % 3) AS bw, (2 + doc_id % 2) AS bh,
+         (2 + doc_id % 3) AS nf
+  FROM documents
+),
+frames AS (
+  SELECT media_id, bw, bh, fi FROM dims, unnest(range(nf)) AS t(fi)
+  WHERE fi % 2 = 0
+),
+blocks AS (
+  SELECT media_id, bw, bh, fi,
+         2 * (((media_id + 37 * fi) % 256 + 17 * b) % 128) AS v
+  FROM frames, unnest(range(bh * bw)) AS t2(b)
+)
+SELECT media_id, fi::INT AS frame_idx, (bw * 8)::INT AS width,
+       (bh * 8)::INT AS height, sum(64 * v)::BIGINT AS frame_sum
+FROM blocks GROUP BY media_id, fi, bw, bh
+""",
+)
+def q_media_video_frames(spark, sf_dir):
+    """REAL VIDEO path (retires the last fake codec): Spark walks genuine
+    RIFF/AVI containers (kernels/avi.py), keeps every 2nd '00dc' chunk, and
+    baseline-JPEG-decodes each kept frame (kernels/jpeg.py) to a per-frame
+    pixel checksum. The flat-block even-delta frame construction keeps the
+    lossy chain exactly lossless, so the oracle recomputes every kept
+    frame's sum from the block formula while Spark does the full container
+    walk + Huffman decode + IDCT. Reference analogue: the opaque-media
+    decode seam, datapoint/convert.py:78-166."""
+    return mm.sample_frames_mjpeg(mm.synth_videos_mjpeg(_docs(spark, sf_dir)), every=2)
+
+
+@register(
     "media_catalog",
     """
 SELECT doc_id AS media_id, 'image/fimg' AS media_type,
