@@ -26,8 +26,8 @@ Output contract (pinned once — SURVEY.md §7 hard-part #1):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from hashlib import md5 as _md5
 from deepdoctection_spark.kernels.html import extract_blocks_stream, looks_like_html
-from deepdoctection_spark.kernels.ids import span_id
 from deepdoctection_spark.kernels.layout import extract_layout_blocks, looks_like_layout
 from deepdoctection_spark.kernels.table import TableCell, cells_to_html
 from deepdoctection_spark.kernels.textnorm import normalize_ws, word_spans
@@ -108,9 +108,12 @@ def finalize_turn(
     cell_spans: list[SpanOut] = []
     table_htmls: list[str] = []
     offset = 0
+    # span_id contract inlined (kernels/ids.py): the "{conv}|{turn}|" prefix
+    # is constant per turn — format it once, not once per span
+    pre = f"{conv_id}|{turn_idx}|"
     for order, b in enumerate(blocks):
         begin, end = offset, offset + len(b.text)
-        sid = span_id(conv_id, turn_idx, b.category, begin, end)
+        sid = _md5(f"{pre}{b.category}|{begin}|{end}".encode()).hexdigest()
         spans.append(
             SpanOut(sid, b.category, begin, end, order, None, 1.0, {})
         )
@@ -118,35 +121,37 @@ def finalize_turn(
             table_htmls.append(cells_to_html(b.cells))
             # cell offsets: walk the block's own text, which was assembled as
             # rows joined by \n and cells by single spaces (kernels/html.py) —
-            # recompute positions by scanning within [begin, end)
+            # recompute positions by scanning within [begin, end). Cells
+            # arrive row-major / column-ascending from segment_table_grid
+            # (the only producer), so a consecutive walk needs no sorting.
             cursor = begin
-            rows: dict[int, list[TableCell]] = {}
+            cur_row = None
+            first_in_row = True
             for c in b.cells:
-                rows.setdefault(c.row_number, []).append(c)
-            for r in sorted(rows):
-                row_cells = sorted(rows[r], key=lambda x: x.column_number)
-                first_in_row = True
-                for c in row_cells:
-                    if not c.text:
-                        continue
-                    if not first_in_row:
-                        cursor += 1  # the joining space
-                    cb, ce = cursor, cursor + len(c.text)
-                    cid = span_id(conv_id, turn_idx, "cell", cb, ce)
-                    cell_spans.append(
-                        SpanOut(
-                            cid, "cell", cb, ce, order, sid, 1.0,
-                            {
-                                "row_number": str(c.row_number),
-                                "column_number": str(c.column_number),
-                                "row_span": str(c.row_span),
-                                "column_span": str(c.column_span),
-                            },
-                        )
+                if c.row_number != cur_row:
+                    if cur_row is not None:
+                        cursor += 1  # the joining \n
+                    cur_row = c.row_number
+                    first_in_row = True
+                if not c.text:
+                    continue
+                if not first_in_row:
+                    cursor += 1  # the joining space
+                cb, ce = cursor, cursor + len(c.text)
+                cid = _md5(f"{pre}cell|{cb}|{ce}".encode()).hexdigest()
+                cell_spans.append(
+                    SpanOut(
+                        cid, "cell", cb, ce, order, sid, 1.0,
+                        {
+                            "row_number": str(c.row_number),
+                            "column_number": str(c.column_number),
+                            "row_span": str(c.row_span),
+                            "column_span": str(c.column_span),
+                        },
                     )
-                    cursor = ce
-                    first_in_row = False
-                cursor += 1  # the joining \n (or trailing — harmless)
+                )
+                cursor = ce
+                first_in_row = False
         offset = end + 1  # block-joining \n
     return TurnExtraction(
         extracted,

@@ -39,6 +39,19 @@ _TAG_RE = re.compile(
 )
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
 
+# Fused lexer for the streaming extractor: the _TAG_RE alternatives PLUS a
+# final text branch, so ONE finditer drives the whole scan (no per-event
+# search() call). Branch order matters: a '<' that opens a valid construct
+# takes a tag branch; a stray '<' falls through to the single-char text
+# branch, and the word-seam feed rules make split text chunks equivalent to
+# the old between-match slices (property-tested vs the tree fold).
+_SCAN_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']++|\"[^\"]*\"|'[^']*')*+)/?>"
+    r"|<!--.*?-->|<![a-zA-Z][^>]*>|<\?[^>]*>"
+    r"|([^<]+|<)",
+    re.DOTALL,
+)
+
 # elements whose entire content is non-rendered metadata
 _SKIP_CONTENT = {"script", "style", "head", "noscript", "template"}
 # void elements never pushed on the stack
@@ -437,7 +450,6 @@ def extract_blocks_stream(
     document — pays a function call."""
     out: list[HtmlBlock] = []
     split = _WS_RE.split
-    search = _TAG_RE.search
     n = len(html)
     blockish_set = _BLOCKISH
     void_set = _VOID
@@ -489,17 +501,24 @@ def extract_blocks_stream(
             table_depth -= 1
             node_stack.pop()
             cells = segment_table_grid(aux)
-            rows: dict[int, list[TableCell]] = {}
-            for cell in cells:
-                rows.setdefault(cell.row_number, []).append(cell)
-            text = "\n".join(
-                " ".join(
-                    cl.text
-                    for cl in sorted(rows[r], key=lambda x: x.column_number)
-                    if cl.text
-                )
-                for r in sorted(rows)
-            )
+            # segment_table_grid emits row-major / column-ascending (rows
+            # enumerate top-down, col only increases within a row), so one
+            # consecutive-grouping walk replaces the dict + two sorts; a row
+            # whose cells are all empty still contributes its "" line
+            row_texts: list[str] = []
+            cur_row = None
+            parts: list[str] = []
+            for cl in cells:
+                if cl.row_number != cur_row:
+                    if cur_row is not None:
+                        row_texts.append(" ".join(parts))
+                    parts = []
+                    cur_row = cl.row_number
+                if cl.text:
+                    parts.append(cl.text)
+            if cur_row is not None:
+                row_texts.append(" ".join(parts))
+            text = "\n".join(row_texts)
             emit_from(scope, "table", text, cells)
         scopes.pop()
         if scopes:  # blockish-close boundary on whatever lies beneath
@@ -537,124 +556,177 @@ def extract_blocks_stream(
             stack.append([tag, _R_CONTAINER, scope, None])
         scopes.append(scope)
 
+    # Fused finditer drive: every char lands in exactly one match (tag /
+    # comment / text-run / stray '<'), so there is no per-event search()
+    # call. Consecutive text-branch matches (runs split at stray '<') BUFFER
+    # into one pending chunk fed at the next non-text event — chunk
+    # boundaries land exactly where the tree parser's between-match slices
+    # do, which the total/stripped char count is sensitive to (inter-chunk
+    # whitespace gaps are never counted, so boundaries must agree). The
+    # iterator restarts only after a skip-content jump (<script>/<style>/
+    # <head> — a handful per document). `top` caches scopes[-1]; every scope
+    # push/pop refreshes it.
     pos = 0
+    scan_iter = _SCAN_RE.finditer
+    top = root_scope
+    pending: str | None = None
     while pos < n:
-        m = search(html, pos)
-        if m is None:
-            start = n
-        else:
-            start = m.start()
-        if start > pos:
-            # ---- text feed (inlined hot path; _gather_text word-seam rules)
-            txt = html[pos:start]
-            if "&" in txt:
-                txt = _unescape(txt)
+        jumped = False
+        for m in scan_iter(html, pos):
+            li = m.lastindex  # 4 = text branch, None = comment/PI, else tag
+            if li == 4:
+                t = m.group(4)
+                pending = t if pending is None else pending + t
+                continue
+            if pending is not None:
+                # ---- text feed (inlined hot path; _gather_text seam rules)
+                txt = pending
+                pending = None
+                if "&" in txt:
+                    txt = _unescape(txt)
+                if table_depth:
+                    node_stack[-1].children.append(Node("", text=txt))
+                # _WS_RE.split collapses runs: only the FIRST and LAST piece
+                # can be empty — no filter pass needed
+                pieces = split(txt)
+                np_ = len(pieces)
+                a = 0 if pieces[0] else 1
+                b = np_ if (np_ == 1 or pieces[-1]) else np_ - 1
+                if a >= b:
+                    if np_ > 1:  # pure whitespace: word boundary
+                        top[4] = False
+                        if top[7]:
+                            scopes[-2][4] = False
+                else:
+                    stripped = sum(map(len, pieces)) + (b - a) - 1
+                    last_open = b == np_
+                    top[1] += stripped
+                    if link_depth > top[5]:
+                        top[2] += stripped
+                    if top[6]:
+                        words = top[0]
+                        if top[4] and a == 0 and words:
+                            words[-1] += pieces[0]
+                            words.extend(pieces[1:b])
+                        else:
+                            words.extend(pieces[a:b])
+                    top[4] = last_open
+                    if top[7]:  # li capture: tee counters into the list scope
+                        s = scopes[-2]
+                        s[1] += stripped
+                        if link_depth > s[5]:
+                            s[2] += stripped
+                        s[4] = last_open
+            if li is None:  # comment / declaration / processing instruction
+                continue
+            g1, tag, rawattrs = m.group(1, 2, 3)
+            tag = tag.lower()
+            if g1:
+                # ---- close tag: well-nested fast path (top frame matches)
+                f = stack[-1]
+                if f[0] == tag and len(stack) > 1:
+                    if f[1] == _R_PLAIN:
+                        if table_depth:
+                            node_stack.pop()
+                        if tag == "a":
+                            link_depth -= 1
+                        if tag in blockish_set:
+                            top[4] = False
+                            if top[7]:
+                                scopes[-2][4] = False
+                    else:
+                        close_reached(f)
+                        top = scopes[-1]
+                    stack.pop()
+                    continue
+                # ---- general close: pop to the matching frame, innermost-out
+                for i in range(len(stack) - 1, 0, -1):
+                    if stack[i][0] == tag:
+                        for j in range(len(stack) - 1, i - 1, -1):
+                            f = stack[j]
+                            if f[1] == _R_PLAIN:  # inlined common case
+                                ftag = f[0]
+                                if table_depth:
+                                    node_stack.pop()
+                                if ftag == "a":
+                                    link_depth -= 1
+                                if ftag in blockish_set:
+                                    top = scopes[-1]
+                                    top[4] = False
+                                    if top[7]:
+                                        scopes[-2][4] = False
+                            else:
+                                close_reached(f)
+                        del stack[i:]
+                        top = scopes[-1]
+                        break
+                continue
+            # ---- open tag ----
+            if tag in skip_set:
+                # parse_html `continue`s BEFORE appending the node: script/
+                # style elements exist in NO tree and count in NO stats
+                close = html.find(f"</{tag}", m.end())
+                if close < 0:
+                    pos = n
+                else:
+                    gt = html.find(">", close)
+                    pos = n if gt < 0 else gt + 1
+                jumped = True
+                break
+            parent = stack[-1]
+            blockish = tag in blockish_set
+            prole = parent[1]
+            if (
+                blockish
+                and not table_depth
+                and (prole == _R_CONTAINER or (prole == _R_LIST and tag == "li"))
+            ):
+                # reached block child. A container's pending inline run
+                # flushes NOW (walk-commit instant); the child never counts.
+                if prole == _R_CONTAINER:
+                    scope = parent[2]
+                    if scope[1]:
+                        emit_from(scope, "text", None)
+                        scope = parent[2] = _new_scope(True, link_depth)
+                        scopes[-1] = scope
+                        top = scope
+                    elif scope[0] or scope[3] or scope[4]:
+                        scope[0] = []
+                        scope[1] = scope[2] = scope[3] = 0
+                        scope[4] = False
+                if len(stack) < MAX_DEPTH:
+                    open_reached(tag, parent, rawattrs)
+                    top = scopes[-1]
+                continue  # past the cap: childless in the tree -> emits nothing
+            # ---- plain element (inline, non-reached blockish, table guts) --
+            top[3] += 1
+            if top[7]:
+                scopes[-2][3] += 1
             if table_depth:
-                node_stack[-1].children.append(Node("", text=txt))
-            top = scopes[-1]
-            pieces = split(txt)
-            ws = [w for w in pieces if w]
-            if not ws:
-                if len(pieces) > 1:
+                if rawattrs and "=" in rawattrs:
+                    node = Node(tag, _raw=rawattrs)
+                else:
+                    node = Node(tag, attrs=_NO_ATTRS)
+                node_stack[-1].children.append(node)
+                if tag == "br":
+                    node_stack[-1].children.append(Node("", text="\n"))
                     top[4] = False
                     if top[7]:
                         scopes[-2][4] = False
-            else:
-                stripped = sum(map(len, ws)) + len(ws) - 1
-                last_open = bool(pieces[-1])
-                top[1] += stripped
-                if link_depth > top[5]:
-                    top[2] += stripped
-                if top[6]:
-                    words = top[0]
-                    if top[4] and pieces[0] and words:
-                        words[-1] += ws[0]
-                        words.extend(ws[1:])
-                    else:
-                        words.extend(ws)
-                top[4] = last_open
-                if top[7]:  # li capture: tee counters into the list scope
-                    s = scopes[-2]
-                    s[1] += stripped
-                    if link_depth > s[5]:
-                        s[2] += stripped
-                    s[4] = last_open
-        if m is None:
-            break
-        pos = m.end()
-        g1, tag, rawattrs = m.group(1, 2, 3)
-        if tag is None:  # comment / declaration / processing instruction
-            continue
-        tag = tag.lower()
-        if g1 == "/":
-            # ---- close tag: pop to the matching frame, innermost-out
-            for i in range(len(stack) - 1, 0, -1):
-                if stack[i][0] == tag:
-                    for j in range(len(stack) - 1, i - 1, -1):
-                        f = stack[j]
-                        if f[1] == _R_PLAIN:  # inlined common case
-                            ftag = f[0]
-                            if table_depth:
-                                node_stack.pop()
-                            if ftag == "a":
-                                link_depth -= 1
-                            if ftag in blockish_set:
-                                top = scopes[-1]
-                                top[4] = False
-                                if top[7]:
-                                    scopes[-2][4] = False
-                        else:
-                            close_reached(f)
-                    del stack[i:]
-                    break
-            continue
-        # ---- open tag ----
-        if tag in skip_set:
-            # parse_html `continue`s BEFORE appending the node: script/style
-            # elements exist in NO tree and count in NO stats
-            close = html.find(f"</{tag}", pos)
-            if close < 0:
-                pos = n
-            else:
-                gt = html.find(">", close)
-                pos = n if gt < 0 else gt + 1
-            continue
-        parent = stack[-1]
-        blockish = tag in blockish_set
-        prole = parent[1]
-        if (
-            blockish
-            and not table_depth
-            and (prole == _R_CONTAINER or (prole == _R_LIST and tag == "li"))
-        ):
-            # reached block child. A container's pending inline run flushes
-            # NOW (walk-commit instant); the child never counts in it.
-            if prole == _R_CONTAINER:
-                scope = parent[2]
-                if scope[1]:
-                    emit_from(scope, "text", None)
-                    scope = parent[2] = _new_scope(True, link_depth)
-                    scopes[-1] = scope
-                elif scope[0] or scope[3] or scope[4]:
-                    scope[0] = []
-                    scope[1] = scope[2] = scope[3] = 0
-                    scope[4] = False
-            if len(stack) < MAX_DEPTH:
-                open_reached(tag, parent, rawattrs)
-            continue  # past the cap: childless in the tree -> emits nothing
-        # ---- plain element (inline, non-reached blockish, table guts) ----
-        top = scopes[-1]
-        top[3] += 1
-        if top[7]:
-            scopes[-2][3] += 1
-        if table_depth:
-            if rawattrs and "=" in rawattrs:
-                node = Node(tag, _raw=rawattrs)
-            else:
-                node = Node(tag, attrs=_NO_ATTRS)
-            node_stack[-1].children.append(node)
-            if tag == "br":
-                node_stack[-1].children.append(Node("", text="\n"))
+                    continue
+                if tag in void_set:
+                    continue
+                if len(stack) < MAX_DEPTH:
+                    stack.append([tag, _R_PLAIN, None, None])
+                    node_stack.append(node)
+                    if tag == "a":
+                        link_depth += 1
+                elif blockish:
+                    top[4] = False
+                    if top[7]:
+                        scopes[-2][4] = False
+                continue
+            if tag == "br":  # the "\n" text node is pure whitespace: boundary
                 top[4] = False
                 if top[7]:
                     scopes[-2][4] = False
@@ -663,7 +735,6 @@ def extract_blocks_stream(
                 continue
             if len(stack) < MAX_DEPTH:
                 stack.append([tag, _R_PLAIN, None, None])
-                node_stack.append(node)
                 if tag == "a":
                     link_depth += 1
             elif blockish:
@@ -671,22 +742,46 @@ def extract_blocks_stream(
                 if top[7]:
                     scopes[-2][4] = False
             continue
-        if tag == "br":  # the "\n" text node is pure whitespace: boundary
-            top[4] = False
+        if not jumped:
+            break
+    if pending is not None:
+        # trailing text after the last tag event (cold path: once per doc at
+        # most; same feed semantics as the inlined loop body)
+        txt = pending
+        if "&" in txt:
+            txt = _unescape(txt)
+        if table_depth:
+            node_stack[-1].children.append(Node("", text=txt))
+        top = scopes[-1]
+        pieces = split(txt)
+        np_ = len(pieces)
+        a = 0 if pieces[0] else 1
+        b = np_ if (np_ == 1 or pieces[-1]) else np_ - 1
+        if a >= b:
+            if np_ > 1:
+                top[4] = False
+                if top[7]:
+                    scopes[-2][4] = False
+        else:
+            stripped = sum(map(len, pieces)) + (b - a) - 1
+            last_open = b == np_
+            top[1] += stripped
+            if link_depth > top[5]:
+                top[2] += stripped
+            if top[6]:
+                words = top[0]
+                if top[4] and a == 0 and words:
+                    words[-1] += pieces[0]
+                    words.extend(pieces[1:b])
+                else:
+                    words.extend(pieces[a:b])
+            top[4] = last_open
             if top[7]:
-                scopes[-2][4] = False
-            continue
-        if tag in void_set:
-            continue
-        if len(stack) < MAX_DEPTH:
-            stack.append([tag, _R_PLAIN, None, None])
-            if tag == "a":
-                link_depth += 1
-        elif blockish:
-            top[4] = False
-            if top[7]:
-                scopes[-2][4] = False
-        continue
+                s = scopes[-2]
+                s[1] += stripped
+                if link_depth > s[5]:
+                    s[2] += stripped
+                s[4] = last_open
     # EOF: close every open frame innermost-out; the root frame flushes its
     # final pending run (identical to walk(root)'s trailing flush())
     for j in range(len(stack) - 1, -1, -1):

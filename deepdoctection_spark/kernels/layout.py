@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from operator import itemgetter
 from typing import ClassVar
 
 from deepdoctection_spark.kernels.textnorm import normalize_ws
@@ -132,6 +133,10 @@ def cluster_columns(lines: list[PositionedLine], column_gap: float) -> list[list
     return buckets
 
 
+_LINE_SCAN = re.compile(_LINE_RE.pattern, re.M)
+_YX = itemgetter(0, 1)
+
+
 def extract_layout_blocks(
     payload: str,
     column_gap: float = 100.0,
@@ -140,22 +145,60 @@ def extract_layout_blocks(
     """title block (unique topmost line) + one text block per column, in
     reading order (title, then columns left→right, sub-lines top→down).
     paragraph_break defaults to column_gap (a within-line gap wide enough to
-    start a column also starts a sub-line)."""
-    lines = parse_positioned_lines(payload)
-    if not lines:
+    start a column also starts a sub-line).
+
+    Fused hot path (the PDF-ish third of every extraction batch): one
+    multiline finditer parses all positioned runs as (y, x, content) tuples,
+    one stable (y, x) sort replaces the per-row dict/sort of
+    make_sub_lines, and the gap-split + merge walk allocates PositionedLine
+    objects only for EMITTED sub-lines (a handful per document) instead of
+    every run. Output is line-for-line identical to the
+    parse_positioned_lines → make_sub_lines → cluster_columns composition
+    (tests/test_kernels.py pins both paths)."""
+    runs = [
+        (float(m.group(2)), float(m.group(1)), m.group(3))
+        for m in _LINE_SCAN.finditer(payload)
+    ]
+    if not runs:
         return []
     blocks: list[LayoutBlock] = []
-    min_y = min(ln.y for ln in lines)
-    top = [ln for ln in lines if ln.y == min_y]
-    rest = lines
-    if len(top) == 1 and normalize_ws(top[0].content):
-        blocks.append(
-            LayoutBlock("title", normalize_ws(top[0].content), lines=top)
-        )
-        rest = [ln for ln in lines if ln is not top[0]]
-    sub = make_sub_lines(
-        rest, column_gap if paragraph_break is None else paragraph_break
-    )
+    min_y = min(r[0] for r in runs)
+    brk = column_gap if paragraph_break is None else paragraph_break
+    tops = [r for r in runs if r[0] == min_y]
+    if len(tops) == 1:
+        ty, tx, tc = tops[0]
+        tnorm = normalize_ws(tc)
+        if tnorm:
+            blocks.append(
+                LayoutBlock("title", tnorm, lines=[PositionedLine(tx, ty, tc)])
+            )
+            # unique min-y run: any equal tuple would also be a top, so
+            # remove-by-equality is remove-by-identity here
+            runs.remove(tops[0])
+    srt = sorted(runs, key=_YX)  # same row order as by-y grouping + x sort
+    sub: list[PositionedLine] = []
+    i, n_ = 0, len(srt)
+    while i < n_:
+        first = srt[i]
+        y = first[0]
+        texts = []
+        t = normalize_ws(first[2])
+        if t:
+            texts.append(t)
+        prev_x = first[1]
+        i += 1
+        while i < n_ and srt[i][0] == y:
+            r = srt[i]
+            if r[1] - prev_x >= brk:  # start-to-start gap: new sub-line
+                sub.append(PositionedLine(first[1], y, " ".join(texts)))
+                first = r
+                texts = []
+            t = normalize_ws(r[2])
+            if t:
+                texts.append(t)
+            prev_x = r[1]
+            i += 1
+        sub.append(PositionedLine(first[1], y, " ".join(texts)))
     for bucket in cluster_columns(sub, column_gap):
         text = "\n".join(ln.content for ln in bucket if ln.content)
         if text:

@@ -256,3 +256,53 @@ def test_stream_matches_tree_on_structured_nesting():
         "<ul>" + "<li>i<div>" * 200 + "</div></li>" * 200 + "</ul>",
     ):
         assert key(extract_blocks(s)) == key(extract_blocks_stream(s))
+
+
+def test_stream_matches_tree_on_stray_angle_hostile():
+    """Stray '<' / mis-nested close / unterminated-tag sweep: pins the
+    round-5 fused-lexer chunking contract (consecutive text matches buffer
+    into ONE chunk so chunk boundaries — which the total/stripped char
+    count is sensitive to at the tag-density threshold — land exactly where
+    the tree parser's between-match slices do). The seed-7 generator here
+    reproduced the one divergence the flat-soup strategy missed."""
+    import random
+
+    from deepdoctection_spark.kernels.html import (
+        extract_blocks,
+        extract_blocks_stream,
+    )
+
+    def key(bs):
+        return [
+            (b.category, b.text,
+             [(c.row_number, c.column_number, c.row_span, c.column_span, c.text)
+              for c in b.cells])
+            for b in bs
+        ]
+
+    tags = ["div", "p", "span", "a href='/x'", "ul", "li", "table", "tr",
+            "td", "b", "h2", "br", "img", "script", "style"]
+    texts = ["hello world", "a&amp;b", "x<y", "<", "&lt;tag&gt;", " ", "",
+             "mixed  ws\ttext", "trail ", " lead"]
+    rng = random.Random(7)
+
+    def gen(depth=0):
+        out = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.45 or depth > 5:
+                out.append(rng.choice(texts))
+            else:
+                t = rng.choice(tags)
+                name = t.split(" ")[0]
+                out.append(f"<{t}>")
+                out.append("".join(gen(depth + 1)))
+                if rng.random() < 0.85:
+                    out.append(f"</{name}>")
+                elif rng.random() < 0.3:
+                    out.append(f"</{rng.choice(['div', 'p', 'span'])}>")
+        return out
+
+    for trial in range(5000):
+        s = "".join(gen())
+        assert key(extract_blocks(s)) == key(extract_blocks_stream(s)), (
+            trial, s[:300])
