@@ -584,3 +584,61 @@ def ivf_search_pruned(
             "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+# production SemDeDup uses ~0.95+ on real embeddings; the synthetic fixture's
+# within-cluster cosines top out at ~0.49, so the default exercises the
+# positive path (is_dup=true rows) while keeping the same plan shape
+SEMDEDUP_TAU = 0.4
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_TAU,
+    k: int = IVF_K,
+    round_to: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings with the IVF coarse quantizer, compare pairs ONLY
+    within a cluster, and mark every vector that has a LOWER-id in-cluster
+    neighbor with cosine ≥ threshold as a semantic duplicate (keep-first —
+    the deterministic stand-in for the paper's keep-lowest-quality rule).
+
+    Scale shape (the published recipe's point): one broadcast centroid
+    assign pass, ONE shuffle keyed on cluster id, and a quadratic verify
+    bounded per cluster (k is sized so clusters stay small — at 100 TB you
+    raise k with corpus size to hold the per-cluster pair budget constant).
+    No all-pairs path; all cosine arithmetic JVM-side (zip_with/aggregate).
+
+    Output: (vec_id, cluster, is_dup, n_dups, max_cos).
+    """
+    assign = ivf_assign(embeddings, k)
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    j = assign.join(base, "vec_id").select("vec_id", "cluster", "emb")
+    x, y = j.alias("x"), j.alias("y")
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cluster") == F.col("y.cluster"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_id"),
+            F.round(cosine(F.col("x.emb"), F.col("y.emb")), round_to).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_dups"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("n_dups").isNotNull().alias("is_dup"),
+        F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
+        "max_cos",
+    )

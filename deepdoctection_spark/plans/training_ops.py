@@ -509,6 +509,39 @@ assign AS (
 
 
 @register(
+    "semdedup_embed",
+    f"""
+WITH {_EMB_BASE},
+{_IVF_ASSIGN_CTE},
+j AS (
+  SELECT a.vec_id, a.cluster, b.emb FROM assign a JOIN base b USING (vec_id)
+),
+p AS (
+  SELECT x.vec_id,
+         round(list_dot_product(x.emb, y.emb) /
+               (sqrt(list_dot_product(x.emb, x.emb)) *
+                sqrt(list_dot_product(y.emb, y.emb))), 5) AS cos
+  FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id > y.vec_id
+),
+d AS (
+  SELECT vec_id, count(*)::INT AS n_dups, max(cos) AS max_cos
+  FROM p WHERE cos >= {similarity.SEMDEDUP_TAU} GROUP BY vec_id
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NOT NULL AS is_dup,
+       coalesce(d.n_dups, 0)::INT AS n_dups, d.max_cos
+FROM assign a LEFT JOIN d USING (vec_id)
+""",
+)
+def q_semdedup_embed(spark, sf_dir):
+    """SemDeDup (embedding-cluster semantic near-dup pruning, Abbas et al.
+    2023): IVF-assign every vector to its coarse cluster, verify cosine ONLY
+    within clusters, keep-first by vec_id. One broadcast assign + one
+    cluster-keyed shuffle; per-cluster-bounded quadratic verify — the shape
+    that holds when k grows with corpus size at 100 TB."""
+    return similarity.semdedup(_embs(spark, sf_dir))
+
+
+@register(
     "ann_ivf_assign",
     f"""
 WITH {_EMB_BASE},
