@@ -576,18 +576,30 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
     Ties break (count desc, encoded pair asc) for reproducible vocabs.
     Reference analogue: the token-classifier serving seam
     (pipe/lm.py:36-340) — tokenization is its input contract."""
+    merges, vocab0, _ = _bpe_train_loop(docs, n_merges)
+    vocab0.unpersist()
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, new_token string, pair_count long",
+    )
+
+
+def _bpe_train_loop(docs: DataFrame, n_merges: int):
+    """Shared trainer loop: returns (merges, cached_base_vocab, final_vocab)
+    where final_vocab is (word, enc, n_word) after all merges. Caller owns
+    unpersisting the cached base."""
     vocab0 = (
         docs.select(F.explode(_ws()).alias("word"))
         .where((F.length("word") > 0) & ~F.col("word").contains(BPE_SEP))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("n_word"))
         .select(
+            "word",
             F.regexp_replace("word", "(.)", BPE_SEP + "$1" + BPE_SEP).alias("enc"),
             "n_word",
         )
         .cache()
     )
-    spark = docs.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
     vocab = vocab0
     for step in range(n_merges):
@@ -619,6 +631,7 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
         left, right = best[0]["pair"].split(BPE_SEP)
         merges.append((step + 1, left, right, left + right, best[0]["pair_count"]))
         vocab = vocab.select(
+            "word",
             F.replace(
                 F.col("enc"),
                 F.lit(BPE_SEP + left + BPE_SEP + BPE_SEP + right + BPE_SEP),
@@ -626,11 +639,51 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
             ).alias("enc"),
             "n_word",
         )
-    vocab0.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "rank int, left_sym string, right_sym string, new_token string, pair_count long",
+    return merges, vocab0, vocab
+
+
+def bpe_encode_corpus(docs: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus: per-document valid
+    word count and post-merge TOKEN count (the tokenizer-side half of
+    bpe_train — together they close the train→encode loop a training-data
+    engine needs).
+
+    Scale shape: tokenization happens ONCE PER DISTINCT WORD (the merges
+    apply as the trainer's narrow replace chain over the cached vocab, and
+    the per-word token count is one split+size) — the corpus-scale work is
+    a word→vocab equi-join plus one doc_id hash agg. No per-document
+    Python, no re-tokenizing repeated words."""
+    merges, vocab0, final_vocab = _bpe_train_loop(docs, n_merges)
+    tok = final_vocab.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(enc, 2, length(enc) - 2)"), BPE_SEP + BPE_SEP)
+        ).cast("long").alias("n_tok"),
     )
+    words = docs.select(
+        "doc_id", F.explode(_ws()).alias("word")
+    ).where((F.length("word") > 0) & ~F.col("word").contains(BPE_SEP))
+    agg = (
+        words.join(tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+    # unpersist is safe before the action (Spark recomputes the narrow
+    # replace chain from the word agg when the returned plan executes)
+    vocab0.unpersist(blocking=False)
+    return out
 
 
 RES_SAMPLE_K = 100

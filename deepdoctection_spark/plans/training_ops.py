@@ -1374,10 +1374,10 @@ def _bpe_train_oracle(n_merges: int) -> str:
     parts = [
         f"toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)",
         f"""v0 AS (
-  SELECT regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
+  SELECT word, regexp_replace(word, '(.)', {sep} || '\\1' || {sep}, 'g') AS enc,
          count(*)::BIGINT AS n_word
   FROM toks WHERE length(word) > 0 AND NOT contains(word, {sep})
-  GROUP BY 1
+  GROUP BY word
 )""",
     ]
     finals = []
@@ -1400,7 +1400,8 @@ b{k} AS (
   FROM p{k} ORDER BY pair_count DESC, pair ASC LIMIT 1
 ),
 v{k + 1} AS (
-  SELECT replace(v{k}.enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
+  SELECT v{k}.word,
+         replace(v{k}.enc, {sep} || b.l || {sep} || {sep} || b.r || {sep},
                  {sep} || b.l || b.r || {sep}) AS enc, v{k}.n_word
   FROM v{k}, b{k} AS b
 )"""
@@ -1413,6 +1414,47 @@ v{k + 1} AS (
         "WITH " + ",\n".join(parts) + "\nSELECT * FROM (\n"
         + "\nUNION ALL ".join(finals) + "\n) ORDER BY rank"
     )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Encode-side replay: run the same unrolled training chain, then count
+    post-merge tokens per DISTINCT word and join back to documents."""
+    sep = "chr(31)"
+    sep2 = f"{sep} || {sep}"
+    train = _bpe_train_oracle(n_merges)
+    with_block = train[: train.rindex("\nSELECT * FROM (")]
+    return (
+        with_block
+        + f""",
+tok AS (
+  SELECT word,
+         len(string_split(substr(enc, 2, length(enc) - 2), {sep2}))::BIGINT AS n_tok
+  FROM v{n_merges}
+),
+dw AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents
+),
+dwv AS (
+  SELECT doc_id, word FROM dw
+  WHERE length(word) > 0 AND NOT contains(word, {sep})
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words, sum(n_tok)::BIGINT AS n_tokens
+  FROM dwv JOIN tok USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle(corpusprep.BPE_MERGES))
+def q_bpe_encode_corpus(spark, sf_dir):
+    """Tokenizer-side of the BPE loop: per-document valid-word and
+    post-merge token counts. Tokenization cost is once per DISTINCT word
+    (trainer replace chain over the cached vocab); corpus-scale work is one
+    word->vocab equi-join + one doc_id hash agg."""
+    return corpusprep.bpe_encode_corpus(_docs(spark, sf_dir))
 
 
 @register("bpe_train_vocab", _bpe_train_oracle(corpusprep.BPE_MERGES))

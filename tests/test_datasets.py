@@ -488,3 +488,61 @@ def test_bpe_train_matches_python_reference(spark):
         (r["rank"], r["left_sym"], r["right_sym"], r["new_token"], r["pair_count"])
         for r in got
     ] == expect
+
+
+def test_bpe_encode_corpus_matches_python_reference(spark):
+    """Per-document token counts after 6 trained merges equal a pure-Python
+    train+encode replay; token counts never exceed word char counts and
+    shrink (or hold) as merges land."""
+    from collections import Counter
+
+    from deepdoctection_spark.operators.corpusprep import (
+        BPE_SEP,
+        bpe_encode_corpus,
+    )
+    from deepdoctection_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode_corpus(docs, 6).collect()
+    }
+
+    texts = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", normalized_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    words: Counter = Counter()
+    for t in texts.values():
+        for w in t.split(" "):
+            if w and BPE_SEP not in w:
+                words[w] += 1
+    vocab = {w: tuple(w) for w in words}
+    for _ in range(6):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (l, rgt), _c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + BPE_SEP + kv[0][1])
+        )
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    out.append(l + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    for did, t in texts.items():
+        valid = [w for w in t.split(" ") if w and BPE_SEP not in w]
+        exp_tokens = sum(len(vocab[w]) for w in valid)
+        assert got[did] == (len(valid), exp_tokens), did
+        assert exp_tokens <= sum(len(w) for w in valid)
