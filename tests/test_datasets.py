@@ -546,3 +546,52 @@ def test_bpe_encode_corpus_matches_python_reference(spark):
         exp_tokens = sum(len(vocab[w]) for w in valid)
         assert got[did] == (len(valid), exp_tokens), did
         assert exp_tokens <= sum(len(w) for w in valid)
+
+
+def test_semdedup_matches_bruteforce_within_clusters(spark):
+    """semdedup's keep-first dup flags equal a brute-force python replay:
+    same coarse assignment (nearest of the first-k seed centroids), same
+    within-cluster cosine threshold, dup iff ANY lower-id neighbor >= tau."""
+    import numpy as np
+
+    from deepdoctection_spark.operators.similarity import (
+        IVF_K,
+        SEMDEDUP_TAU,
+        semdedup,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["vec_id"]: r for r in semdedup(embs).collect()}
+
+    rows = embs.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    cents = {vid: vecs[vid] for vid in sorted(vecs) if vid < IVF_K}
+    assign = {}
+    for vid, v in vecs.items():
+        best = min(
+            cents, key=lambda c: (float(np.sum((v - cents[c]) ** 2)), c)
+        )
+        assign[vid] = best
+    clusters: dict[int, list[int]] = {}
+    for vid, c in assign.items():
+        clusters.setdefault(c, []).append(vid)
+    for c, members in clusters.items():
+        for vid in members:
+            lower = [m for m in members if m < vid]
+            cos = [
+                round(
+                    float(
+                        vecs[vid] @ vecs[m]
+                        / (np.linalg.norm(vecs[vid]) * np.linalg.norm(vecs[m]))
+                    ),
+                    5,
+                )
+                for m in lower
+            ]
+            dups = [x for x in cos if x >= SEMDEDUP_TAU]
+            r = got[vid]
+            assert r["cluster"] == c, vid
+            assert r["is_dup"] == bool(dups), vid
+            assert r["n_dups"] == len(dups), vid
+            if dups:
+                assert abs(r["max_cos"] - max(dups)) < 2e-5, vid
