@@ -728,3 +728,181 @@ def weighted_sample_es(docs: DataFrame, k: int = RES_SAMPLE_K) -> DataFrame:
         "weight",
         "key_q12",
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity quality bucketing (the CCNet head/middle/tail pass)
+# ---------------------------------------------------------------------------
+
+PPLX_START = "<s>"
+# CCNet buckets documents by LM perplexity percentile; with a corpus-trained
+# bigram model the equivalent fixed operating points are avg bits/token
+# thresholds, compared in exact integer micro-bits.
+PPLX_HEAD_MICROBITS = 7_000_000   # avg nll < 7.0 bits/token -> "head"
+PPLX_TAIL_MICROBITS = 10_000_000  # avg nll >= 10.0 bits/token -> "tail"
+
+
+def bigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the quality signal
+    CCNet computes with a KenLM model, rebuilt self-contained: train add-one
+    smoothed bigram counts on the corpus itself, score every document, and
+    bucket head/middle/tail on fixed avg-bits thresholds (reference
+    analogue: LanguageDetectionService's score-and-tag shape,
+    pipe/language.py — a per-document model score materialized as columns).
+
+    Model: p(w|v) = (C(v,w) + 1) / (C(v) + V) with V = |{predicted words}|;
+    every document is conditioned from a virtual ``<s>`` start token, so a
+    doc with n tokens contributes exactly n bigrams and no document is
+    dropped (empty-normalized docs are excluded, same as line_dedup).
+
+    Scale shape: one JVM-side transform builds the (prev, cur) pair array
+    per row (no per-position shuffle of the full token array), the pair and
+    context counts are map-side-combinable hash aggregations, scoring is
+    two equi-joins on the aggregated tables plus one 1-row broadcast — at
+    100 TB the bigram-count relation is the only big shuffle and it is
+    bounded by distinct-bigram cardinality, not corpus size.
+
+    Determinism contract (token_surprisal's): each bigram's -log2 p is
+    quantized to integer micro-bits BEFORE summing; buckets compare the
+    integer average, so cross-engine agreement is exact.
+    """
+    ws = _ws()
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 1),
+        lambda j: F.struct(
+            F.when(j == 0, F.lit(PPLX_START))
+            .otherwise(F.element_at(ws, j))
+            .alias("prev"),
+            F.element_at(ws, j + 1).alias("cur"),
+        ),
+    )
+    bigrams = (
+        docs.where(F.length(normalized_text(F.col("text"))) > 0)
+        .select("doc_id", F.explode(pairs).alias("bg"))
+        .select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    pair_counts = bigrams.groupBy("prev", "cur").agg(
+        F.count("*").cast("long").alias("c_pair")
+    )
+    ctx_counts = pair_counts.groupBy("prev").agg(
+        F.sum("c_pair").cast("long").alias("c_prev")
+    )
+    vocab = bigrams.agg(
+        F.countDistinct("cur").cast("long").alias("v_size")
+    )
+    scored = (
+        bigrams.join(pair_counts, ["prev", "cur"])
+        .join(ctx_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log2(
+                    (F.col("c_pair") + 1).cast("double")
+                    / (F.col("c_prev") + F.col("v_size"))
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("long").alias("s6"),
+        )
+    )
+    avg_micro = F.floor(F.sum("s6") / F.count("*")).cast("long")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (F.floor(F.sum("s6") / F.count("*") / 100 + F.lit(0.5)) / 10000.0).alias(
+            "avg_nll_bits"
+        ),
+        F.when(avg_micro < PPLX_HEAD_MICROBITS, F.lit("head"))
+        .when(avg_micro < PPLX_TAIL_MICROBITS, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (ExactSubstr, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # duplicated-run detection window, in tokens
+
+
+def exact_substr_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """Duplicated-substring span detection — the ExactSubstr pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+    2022), bounded for Spark: a token position is *duplicated* when the
+    k-gram starting there occurs more than once in the corpus (any
+    document, including its own); overlapping/contiguous duplicated
+    windows merge into maximal spans per document (gaps-and-islands over
+    one doc_id window). Output rows exist only for documents that contain
+    at least one duplicated k-gram.
+
+    Scale shape: positional k-grams are built JVM-side per row and travel
+    as md5 digests (fixed 32-byte shuffle keys, never the raw text); the
+    occurrence count is one map-side-combinable hash aggregation; the
+    join back is an equi-join on the digest; span merging is two window
+    passes over doc_id partitions — one shuffle, no self-join, no
+    suffix array. The reference-pipeline analogue of the suffix-automaton
+    step, expressed in the candidate-generate/verify shape every dedup
+    operator here uses.
+    """
+    ws = _ws()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - k),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.md5(F.array_join(F.slice(ws, i + 1, k), " ")).alias("h"),
+        ),
+    )
+    occ = (
+        docs.where(F.size(ws) >= k)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup_hashes = (
+        occ.groupBy("h")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .where(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup_occ = occ.join(dup_hashes, "h").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = dup_occ.withColumn(
+        "prev_end", F.max(F.col("pos") + k).over(w_prev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+    )
+    per_doc_grams = dup_occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_dup_grams")
+    )
+    per_doc_spans = spans.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("dup_tokens"),
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.format_string("%06d:%06d", "s", "e"))
+                ),
+                ",",
+            )
+        ).alias("span_md5"),
+    )
+    return per_doc_grams.join(per_doc_spans, "doc_id")

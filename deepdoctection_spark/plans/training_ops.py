@@ -1535,3 +1535,92 @@ def q_dedup_edit_distance(spark, sf_dir):
     quadratic), the character-level complement to shingle-Jaccard verify.
     ASCII corpus contract makes DuckDB's byte-based levenshtein agree."""
     return dedup.edit_distance_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "quality_perplexity_bigram",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+  WHERE {_NORM} <> ''
+),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN '<s>' ELSE ws[i-1] END AS prev,
+         ws[i] AS cur
+  FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+),
+pc AS (SELECT prev, cur, count(*)::BIGINT AS c_pair FROM bg GROUP BY 1, 2),
+cc AS (SELECT prev, sum(c_pair)::BIGINT AS c_prev FROM pc GROUP BY 1),
+v AS (SELECT count(DISTINCT cur)::BIGINT AS v_size FROM bg),
+sc AS (
+  SELECT b.doc_id,
+         floor(-log2((c_pair + 1)::DOUBLE / (c_prev + v_size)) * 1000000
+               + 0.5)::BIGINT AS s6
+  FROM bg b JOIN pc USING (prev, cur) JOIN cc USING (prev), v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       floor(sum(s6) / count(*) / 100 + 0.5) / 10000.0 AS avg_nll_bits,
+       CASE WHEN floor(sum(s6) / count(*))::BIGINT < 7000000 THEN 'head'
+            WHEN floor(sum(s6) / count(*))::BIGINT < 10000000 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc GROUP BY doc_id
+""",
+)
+def q_quality_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity bucketing (the CCNet
+    head/middle/tail quality pass with an in-engine model instead of
+    KenLM): add-one smoothed p(w|v), every doc conditioned from <s>,
+    per-bigram -log2 p integer-quantized before the per-doc sum so both
+    engines aggregate exact integers."""
+    return corpusprep.bigram_perplexity(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_exact_substr",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, i::INT AS pos,
+         md5(array_to_string(ws[i + 1 : i + 8], ' ')) AS h
+  FROM toks, unnest(range(0, greatest(len(ws) - 7, 0))) AS t(i)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+docc AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+pe AS (
+  SELECT doc_id, pos,
+         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM docc
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pe
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+  FROM isl GROUP BY 1, 2
+),
+g AS (SELECT doc_id, count(*)::BIGINT AS n_dup_grams FROM docc GROUP BY 1),
+sp AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(e - s)::BIGINT AS dup_tokens,
+         md5(array_to_string(list(printf('%06d:%06d', s, e) ORDER BY s), ','))
+           AS span_md5
+  FROM spans GROUP BY 1
+)
+SELECT doc_id, n_dup_grams, n_spans, dup_tokens, span_md5
+FROM g JOIN sp USING (doc_id)
+""",
+)
+def q_dedup_exact_substr(spark, sf_dir):
+    """ExactSubstr duplicated-span detection (Lee et al. 2022) bounded for
+    Spark: positions whose 8-token gram occurs >1 time corpus-wide,
+    merged into maximal per-doc spans via gaps-and-islands windows; grams
+    travel as md5 digests, the count is one hash agg, no suffix array and
+    no self-join."""
+    return corpusprep.exact_substr_spans(_docs(spark, sf_dir))

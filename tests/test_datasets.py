@@ -595,3 +595,106 @@ def test_semdedup_matches_bruteforce_within_clusters(spark):
             assert r["n_dups"] == len(dups), vid
             if dups:
                 assert abs(r["max_cos"] - max(dups)) < 2e-5, vid
+
+
+def _norm_py(s: str) -> str:
+    import re
+
+    return re.sub("[ \t\n\r\f\x0b]+", " ", s).strip()
+
+
+def test_bigram_perplexity_matches_python_replay(spark, sf_small):
+    """Exact integer replay: same add-one bigram model, same micro-bit
+    quantization, same bucket thresholds."""
+    import math
+
+    from deepdoctection_spark.operators.corpusprep import (
+        PPLX_HEAD_MICROBITS,
+        PPLX_TAIL_MICROBITS,
+        bigram_perplexity,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+
+    rows = [(r["doc_id"], _norm_py(r["text"])) for r in docs.collect()]
+    doc_bigrams = {}
+    pair_c: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for did, t in rows:
+        if not t:
+            continue
+        ws = t.split(" ")
+        bgs = [("<s>" if i == 0 else ws[i - 1], ws[i]) for i in range(len(ws))]
+        doc_bigrams[did] = bgs
+        for bg in bgs:
+            pair_c[bg] = pair_c.get(bg, 0) + 1
+            vocab.add(bg[1])
+    prev_c: dict[str, int] = {}
+    for (p, _), c in pair_c.items():
+        prev_c[p] = prev_c.get(p, 0) + c
+    V = len(vocab)
+    assert set(got) == set(doc_bigrams)
+    for did, bgs in doc_bigrams.items():
+        s = sum(
+            math.floor(
+                -math.log2((pair_c[bg] + 1) / (prev_c[bg[0]] + V)) * 1000000 + 0.5
+            )
+            for bg in bgs
+        )
+        r = got[did]
+        assert r["n_bigrams"] == len(bgs), did
+        assert abs(r["avg_nll_bits"] - math.floor(s / len(bgs) / 100 + 0.5) / 10000.0) < 1e-9, did
+        avg_micro = math.floor(s / len(bgs))
+        exp_bucket = (
+            "head"
+            if avg_micro < PPLX_HEAD_MICROBITS
+            else ("middle" if avg_micro < PPLX_TAIL_MICROBITS else "tail")
+        )
+        assert r["bucket"] == exp_bucket, did
+
+
+def test_exact_substr_spans_matches_python_replay(spark, sf_small):
+    """Gaps-and-islands replay: duplicated 8-gram positions merged into
+    maximal spans, exact integer fields + ordered span fingerprint."""
+    import hashlib
+
+    from deepdoctection_spark.operators.corpusprep import (
+        SUBSTR_K,
+        exact_substr_spans,
+    )
+
+    k = SUBSTR_K
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    got = {r["doc_id"]: r for r in exact_substr_spans(docs).collect()}
+
+    rows = [(r["doc_id"], _norm_py(r["text"]).split(" ")) for r in docs.collect()]
+    occ: dict[str, list[tuple[int, int]]] = {}
+    gram_count: dict[str, int] = {}
+    for did, ws in rows:
+        for i in range(len(ws) - k + 1):
+            g = " ".join(ws[i : i + k])
+            gram_count[g] = gram_count.get(g, 0) + 1
+            occ.setdefault(g, []).append((did, i))
+    per_doc: dict[int, list[int]] = {}
+    for g, c in gram_count.items():
+        if c > 1:
+            for did, pos in occ[g]:
+                per_doc.setdefault(did, []).append(pos)
+    assert set(got) == set(per_doc)
+    for did, positions in per_doc.items():
+        positions.sort()
+        spans: list[list[int]] = []
+        for p in positions:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        r = got[did]
+        assert r["n_dup_grams"] == len(positions), did
+        assert r["n_spans"] == len(spans), did
+        assert r["dup_tokens"] == sum(e - s for s, e in spans), did
+        fp = hashlib.md5(
+            ",".join(f"{s:06d}:{e:06d}" for s, e in spans).encode()
+        ).hexdigest()
+        assert r["span_md5"] == fp, did
