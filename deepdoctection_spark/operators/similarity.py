@@ -642,3 +642,152 @@ def semdedup(
         F.coalesce("n_dups", F.lit(0)).cast("int").alias("n_dups"),
         "max_cos",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ, Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+
+PQ_M = 8         # subspaces (64-dim embedding -> 8 sub-vectors of 8 dims)
+PQ_KS = 16       # codebook entries per subspace
+PQ_SUBDIM = EMBED_DIM // PQ_M
+
+
+def _sub_l2sq_micro(a: Column, b: Column) -> Column:
+    """Sub-vector squared L2 in integer MICRO-UNITS: computed with the same
+    dot-product expansion + evaluation order as :func:`_l2sq`, then
+    quantized to a BIGINT before any summation — ADC accumulates exact
+    integers, so cross-engine ranking agrees bit-for-bit."""
+    d2 = _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+    return F.floor(d2 * 1000000 + F.lit(0.5)).cast("long")
+
+
+def pq_codebooks(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """Per-subspace codebooks seeded from the first `ks` vectors'
+    sub-vectors (the same deterministic-sampling contract as
+    :func:`ivf_centroids`). Output: (m, code, cemb) — a model-sized table
+    (m*ks rows) that broadcasts everywhere it is used."""
+    d = EMBED_DIM // m
+    emb = as_double(F.col("embedding"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("m"),
+                F.slice(emb, j * d + 1, d).alias("cemb"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        embeddings.where(F.col("vec_id") < ks)
+        .select(F.col("vec_id").cast("int").alias("code"), F.explode(subs).alias("s"))
+        .select(F.col("s.m").alias("m"), "code", F.col("s.cemb").alias("cemb"))
+    )
+
+
+def _sub_vectors(embeddings: DataFrame, m: int) -> DataFrame:
+    d = EMBED_DIM // m
+    emb = as_double(F.col("embedding"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("m"),
+                F.slice(emb, j * d + 1, d).alias("semb"),
+            )
+            for j in range(m)
+        ]
+    )
+    return embeddings.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.semb").alias("semb")
+    )
+
+
+def pq_encode(embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """PQ encode: each vector becomes `m` one-byte-ish codes — the argmin
+    codebook entry per subspace (ties break on the lower code id).
+
+    Scale shape: the codebook (m*ks rows) is broadcast into the sub-vector
+    stream (N*m rows, all JVM-side slice/explode — no Python), the argmin
+    is a per-(vec_id, m) window over ks candidates, and the code array
+    folds back with one collect_list keyed on vec_id. The 100 TB point of
+    PQ: downstream search touches the 8-byte code row, never the 256-byte
+    raw vector.
+
+    Output: (vec_id, codes array<int> ordered by subspace, err_micro = the
+    summed squared quantization error in integer micro-units).
+    """
+    from pyspark.sql import Window
+
+    cb = pq_codebooks(embeddings, m, ks)
+    subs = _sub_vectors(embeddings, m)
+    scored = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "code",
+        _sub_l2sq_micro(F.col("semb"), F.col("cemb")).alias("d2_micro"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2_micro", "code")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.sum("d2_micro").cast("long").alias("err_micro"),
+        )
+    )
+
+
+def pq_search_adc(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, a lookup
+    table of sub-distances to every codebook entry (m*ks entries — tiny),
+    then each database vector's approximate distance is the SUM of `m`
+    table lookups selected by its codes.
+
+    Scale shape: the LUT is queries × m × ks rows (model-sized, broadcast);
+    the code table joins it on (m, code) — a broadcast equi-join over the
+    exploded code stream, one groupBy(query_id, vec_id) integer sum, one
+    per-query top-k window. The raw embedding column is read ONLY for the
+    n_queries rows; the corpus side travels as codes. Exact-integer
+    micro-unit accumulation keeps the rank order engine-independent.
+
+    Output: (query_id, vec_id, adc_micro, rank).
+    """
+    from pyspark.sql import Window
+
+    codes = pq_encode(embeddings, m, ks).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    ).select("vec_id", F.col("m").cast("int").alias("m"), "code")
+    cb = pq_codebooks(embeddings, m, ks)
+    qsubs = _sub_vectors(embeddings.where(F.col("vec_id") < n_queries), m).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("semb").alias("qsemb")
+    )
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _sub_l2sq_micro(F.col("qsemb"), F.col("cemb")).alias("d2_micro"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").cast("long").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_micro", "rank")
+    )

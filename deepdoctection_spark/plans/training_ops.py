@@ -1624,3 +1624,86 @@ def q_dedup_exact_substr(spark, sf_dir):
     travel as md5 digests, the count is one hash agg, no suffix array and
     no self-join."""
     return corpusprep.exact_substr_spans(_docs(spark, sf_dir))
+
+
+_PQ_SUB_CTES = f"""
+cb AS (
+  SELECT j::INT AS m, vec_id::INT AS code,
+         emb[j * {similarity.PQ_SUBDIM} + 1 : j * {similarity.PQ_SUBDIM} + {similarity.PQ_SUBDIM}] AS cemb
+  FROM base, unnest(range(0, {similarity.PQ_M})) AS t(j)
+  WHERE vec_id < {similarity.PQ_KS}
+),
+subs AS (
+  SELECT vec_id, j::INT AS m,
+         emb[j * {similarity.PQ_SUBDIM} + 1 : j * {similarity.PQ_SUBDIM} + {similarity.PQ_SUBDIM}] AS semb
+  FROM base, unnest(range(0, {similarity.PQ_M})) AS t(j)
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.code,
+         floor((list_dot_product(semb, semb) - 2 * list_dot_product(semb, cemb)
+                + list_dot_product(cemb, cemb)) * 1000000 + 0.5)::BIGINT AS d2_micro
+  FROM subs s JOIN cb c USING (m)
+),
+best AS (
+  SELECT vec_id, m, code, d2_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2_micro, code) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "ann_pq_codes",
+    f"""
+WITH {_EMB_BASE},
+{_PQ_SUB_CTES}
+SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes_csv,
+       sum(d2_micro)::BIGINT AS err_micro
+FROM best GROUP BY vec_id
+""",
+)
+def q_ann_pq_codes(spark, sf_dir):
+    """PQ encode (Jégou et al. 2011): per-subspace argmin codebook entry,
+    sub-distances quantized to integer micro-units BEFORE the error sum so
+    both engines aggregate exact integers. Codes emitted as a csv string
+    (deterministic m-order) for the value-hash compare."""
+    enc = similarity.pq_encode(_embs(spark, sf_dir))
+    return enc.select(
+        "vec_id",
+        F.array_join(F.transform("codes", lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+        "err_micro",
+    )
+
+
+@register(
+    "ann_pq_search_adc",
+    f"""
+WITH {_EMB_BASE},
+{_PQ_SUB_CTES},
+q AS (SELECT vec_id AS query_id, m, semb AS qsemb FROM subs WHERE vec_id < 10),
+lut AS (
+  SELECT query_id, m, code,
+         floor((list_dot_product(qsemb, qsemb) - 2 * list_dot_product(qsemb, cemb)
+                + list_dot_product(cemb, cemb)) * 1000000 + 0.5)::BIGINT AS d2_micro
+  FROM q JOIN cb USING (m)
+),
+adc AS (
+  SELECT l.query_id, b.vec_id, sum(l.d2_micro)::BIGINT AS adc_micro
+  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.code
+  WHERE b.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_micro, rank FROM (
+  SELECT *, (row_number() OVER (PARTITION BY query_id ORDER BY adc_micro, vec_id))::INT AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def q_ann_pq_search(spark, sf_dir):
+    """ADC top-k over PQ codes: per-query LUT of sub-distances to every
+    codebook entry (model-sized, broadcast), database vectors scored by
+    summing m integer LUT lookups selected by their codes — the corpus side
+    travels as 8 small ints per vector, never the raw 64-dim embedding."""
+    return similarity.pq_search_adc(_embs(spark, sf_dir), n_queries=10, k=5)

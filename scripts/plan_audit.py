@@ -29,6 +29,7 @@ BNLJ_WHITELIST = {
     "eval_coco_map", "knn_bruteforce", "quality_surprisal", "rel_repeated",
     "tfidf_bm25_terms",  # 1-row corpus stats (n_docs, avgdl) broadcast
     "mixture_weights",  # two 1-row global-total broadcasts (token + weight sums)
+    "quality_perplexity_bigram",  # 1-row vocab-size broadcast (add-one smoothing V)
 }
 
 

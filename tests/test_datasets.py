@@ -698,3 +698,72 @@ def test_exact_substr_spans_matches_python_replay(spark, sf_small):
             ",".join(f"{s:06d}:{e:06d}" for s, e in spans).encode()
         ).hexdigest()
         assert r["span_md5"] == fp, did
+
+
+def test_pq_encode_and_adc_match_numpy_replay(spark):
+    """PQ encode + ADC search equal an independent numpy replay: same
+    first-KS codebook seed, same per-subspace argmin (tie -> lower code),
+    same integer micro-unit quantization BEFORE every sum, same
+    (adc, vec_id) rank order."""
+    import numpy as np
+
+    from deepdoctection_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+        PQ_SUBDIM,
+        pq_encode,
+        pq_search_adc,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got_codes = {r["vec_id"]: r for r in pq_encode(embs).collect()}
+    got_top = {}
+    for r in pq_search_adc(embs, n_queries=5, k=5).collect():
+        got_top.setdefault(r["query_id"], []).append(r)
+
+    rows = embs.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def sub(v, m):
+        return v[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+
+    def d2_micro(a, b):
+        d2 = float(a @ a) - 2 * float(a @ b) + float(b @ b)
+        return int(np.floor(d2 * 1000000 + 0.5))
+
+    cb = {
+        (m, code): sub(vecs[code], m)
+        for m in range(PQ_M)
+        for code in sorted(vecs)
+        if code < PQ_KS
+    }
+    codes = {}
+    errs = {}
+    for vid, v in vecs.items():
+        cs, e = [], 0
+        for m in range(PQ_M):
+            best = min(
+                ((d2_micro(sub(v, m), cb[(m, c)]), c) for c in range(PQ_KS))
+            )
+            cs.append(best[1])
+            e += best[0]
+        codes[vid] = cs
+        errs[vid] = e
+    assert set(got_codes) == set(codes)
+    for vid in codes:
+        assert list(got_codes[vid]["codes"]) == codes[vid], vid
+        assert got_codes[vid]["err_micro"] == errs[vid], vid
+
+    for qid in range(5):
+        lut = {
+            (m, c): d2_micro(sub(vecs[qid], m), cb[(m, c)])
+            for m in range(PQ_M)
+            for c in range(PQ_KS)
+        }
+        scored = sorted(
+            (sum(lut[(m, codes[vid][m])] for m in range(PQ_M)), vid)
+            for vid in vecs
+            if vid != qid
+        )[:5]
+        got = [(r["adc_micro"], r["vec_id"]) for r in sorted(got_top[qid], key=lambda r: r["rank"])]
+        assert got == scored, qid
