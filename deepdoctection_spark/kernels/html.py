@@ -45,8 +45,16 @@ _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[
 # takes a tag branch; a stray '<' falls through to the single-char text
 # branch, and the word-seam feed rules make split text chunks equivalent to
 # the old between-match slices (property-tested vs the tree fold).
+# Branch-split variant of _TAG_RE for the streaming loop: close tags are a
+# SEPARATE alternative so m.lastindex alone routes the event and a close
+# fetches ONE group (the tag) instead of the (slash, tag, attrs) triple. The
+# matched span set is identical to _TAG_RE's (the close branch's junk-attr
+# tail consumes any trailing "/" the shared pattern's /? would have).
+# lastindex: 1 = close tag, 3 = open tag (2=tag, 3=attrs — 3 always
+# participates, possibly empty), 4 = text run, None = comment/decl/PI.
 _SCAN_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']++|\"[^\"]*\"|'[^']*')*+)/?>"
+    r"</([a-zA-Z][a-zA-Z0-9]*)(?:[^>\"']++|\"[^\"]*\"|'[^']*')*+>"
+    r"|<([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']++|\"[^\"]*\"|'[^']*')*+)/?>"
     r"|<!--.*?-->|<![a-zA-Z][^>]*>|<\?[^>]*>"
     r"|([^<]+|<)",
     re.DOTALL,
@@ -619,13 +627,15 @@ def extract_blocks_stream(
                         s[4] = last_open
             if li is None:  # comment / declaration / processing instruction
                 continue
-            g1, tag, rawattrs = m.group(1, 2, 3)
-            tag = tag.lower()
-            if g1:
+            if li == 1:
+                tag = m.group(1)
+                if not tag.islower():
+                    tag = tag.lower()
                 # ---- close tag: well-nested fast path (top frame matches)
                 f = stack[-1]
                 if f[0] == tag and len(stack) > 1:
-                    if f[1] == _R_PLAIN:
+                    role = f[1]
+                    if role == _R_PLAIN:
                         if table_depth:
                             node_stack.pop()
                         if tag == "a":
@@ -634,6 +644,16 @@ def extract_blocks_stream(
                             top[4] = False
                             if top[7]:
                                 scopes[-2][4] = False
+                    elif role == _R_ITEM:
+                        # inlined close_reached item case (the most frequent
+                        # reached close): capture tees into the parent list
+                        scope = f[2]
+                        f[3].append(" ".join(scope[0]))
+                        scopes.pop()
+                        top = scopes[-1]
+                        top[4] = False
+                        if top[7]:
+                            scopes[-2][4] = False
                     else:
                         close_reached(f)
                         top = scopes[-1]
@@ -661,7 +681,11 @@ def extract_blocks_stream(
                         top = scopes[-1]
                         break
                 continue
-            # ---- open tag ----
+            # ---- open tag ---- (attrs tail fetched lazily: only the table
+            # materialization paths read it)
+            tag = m.group(2)
+            if not tag.islower():
+                tag = tag.lower()
             if tag in skip_set:
                 # parse_html `continue`s BEFORE appending the node: script/
                 # style elements exist in NO tree and count in NO stats
@@ -695,7 +719,9 @@ def extract_blocks_stream(
                         scope[1] = scope[2] = scope[3] = 0
                         scope[4] = False
                 if len(stack) < MAX_DEPTH:
-                    open_reached(tag, parent, rawattrs)
+                    open_reached(
+                        tag, parent, m.group(3) if tag == "table" else None
+                    )
                     top = scopes[-1]
                 continue  # past the cap: childless in the tree -> emits nothing
             # ---- plain element (inline, non-reached blockish, table guts) --
@@ -703,6 +729,7 @@ def extract_blocks_stream(
             if top[7]:
                 scopes[-2][3] += 1
             if table_depth:
+                rawattrs = m.group(3)
                 if rawattrs and "=" in rawattrs:
                     node = Node(tag, _raw=rawattrs)
                 else:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING
 
+from deepdoctection_spark.kernels.textnorm import normalize_ws
+
 
 if TYPE_CHECKING:  # avoid circular import at runtime
     from deepdoctection_spark.kernels.html import Node
@@ -65,26 +67,44 @@ def _find_rows(table_node: "Node") -> list["Node"]:
 
 
 def segment_table_grid(table_node: "Node") -> list[TableCell]:
-    """Place td/th cells on an occupancy grid honoring rowspan/colspan."""
+    """Place td/th cells on an occupancy grid honoring rowspan/colspan.
+
+    Occupancy bookkeeping is LAZY: within a row the column cursor only moves
+    right, so a cell's own-row coverage (any colspan) can never be probed by
+    a later cell in that row — only ``rowspan > 1`` coverage of LATER rows
+    is ever queried. Span-free tables (the overwhelmingly common case) touch
+    no set at all; single-text-child cells skip the subtree walk. Output is
+    identical to the always-register version (tests/test_table.py +
+    the `table_cells` oracle pin it)."""
     from deepdoctection_spark.kernels.html import _gather_text  # local: circular
 
-    occupied: set[tuple[int, int]] = set()
+    occupied: set[tuple[int, int]] | None = None
+    normalize = normalize_ws
     cells: list[TableCell] = []
     for r, tr in enumerate(_find_rows(table_node), start=1):
         col = 1
         for td in tr.children:
             if td.tag not in ("td", "th"):
                 continue
-            while (r, col) in occupied:
-                col += 1
+            if occupied:
+                while (r, col) in occupied:
+                    col += 1
             rs = _int_attr(td.attrs, "rowspan")
             cs = _int_attr(td.attrs, "colspan")
-            for rr in range(r, r + rs):
-                for cc in range(col, col + cs):
-                    occupied.add((rr, cc))
+            if rs > 1:
+                if occupied is None:
+                    occupied = set()
+                for rr in range(r + 1, r + rs):
+                    for cc in range(col, col + cs):
+                        occupied.add((rr, cc))
+            ch = td.children
+            if len(ch) == 1 and not ch[0].tag:
+                text = normalize(ch[0].text)  # single text child: no walk
+            else:
+                text = _gather_text(td)[0]  # already normalized
             cells.append(
                 TableCell(
-                    text=_gather_text(td)[0],  # already normalized
+                    text=text,
                     row_number=r,
                     column_number=col,
                     row_span=rs,
@@ -97,20 +117,28 @@ def segment_table_grid(table_node: "Node") -> list[TableCell]:
 
 def cells_to_html(cells: list[TableCell]) -> str:
     """Deterministic HTML string from segmented cells (refine.py:297-346
-    semantics; golden string format per tests/analyzer/test_dd.py:100-107)."""
-    rows: dict[int, list[TableCell]] = {}
-    for c in cells:
-        rows.setdefault(c.row_number, []).append(c)
+    semantics; golden string format per tests/analyzer/test_dd.py:100-107).
+
+    Precondition: cells arrive row-major / column-ascending —
+    :func:`segment_table_grid` (the only producer) emits that order, so one
+    consecutive-grouping walk replaces the dict build + two sorts."""
     parts = ["<table>"]
-    for r in sorted(rows):
-        parts.append("<tr>")
-        for c in sorted(rows[r], key=lambda x: x.column_number):
-            attrs = ""
-            if c.row_span > 1:
-                attrs += f" rowspan={c.row_span}"
-            if c.column_span > 1:
-                attrs += f" colspan={c.column_span}"
+    cur_row = None
+    for c in cells:
+        if c.row_number != cur_row:
+            if cur_row is not None:
+                parts.append("</tr>")
+            parts.append("<tr>")
+            cur_row = c.row_number
+        rs, cs = c.row_span, c.column_span
+        if rs > 1 or cs > 1:
+            attrs = (f" rowspan={rs}" if rs > 1 else "") + (
+                f" colspan={cs}" if cs > 1 else ""
+            )
             parts.append(f"<td{attrs}>{c.text}</td>")
+        else:
+            parts.append(f"<td>{c.text}</td>")
+    if cur_row is not None:
         parts.append("</tr>")
     parts.append("</table>")
     return "".join(parts)
