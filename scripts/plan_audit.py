@@ -26,6 +26,8 @@ sys.path.insert(0, str(REPO))
 BNLJ_WHITELIST = {
     "ann_ivf_assign", "ann_ivf_kmeans_step", "ann_ivf_search",
     "ann_ivf_search_trained", "ann_ivf_search_pruned",
+    "ann_ivf_search_repl",  # same k-centroid broadcast as the ivf family
+    "semdedup_embed",  # IVF coarse-assign: k-centroid broadcast (PLANS.md)
     "eval_coco_map", "knn_bruteforce", "quality_surprisal", "rel_repeated",
     "tfidf_bm25_terms",  # 1-row corpus stats (n_docs, avgdl) broadcast
     "mixture_weights",  # two 1-row global-total broadcasts (token + weight sums)
