@@ -31,6 +31,7 @@ import deepdoctection_spark.plans.pipeline  # noqa: F401 — registers extractio
 import deepdoctection_spark.plans.pubtables_ops  # noqa: F401 — registers pubtables segmentation query
 import deepdoctection_spark.plans.refine_ops  # noqa: F401 — registers cell-merge refinement query
 import deepdoctection_spark.plans.relational  # noqa: F401 — registers relational ops
+import deepdoctection_spark.plans.sketch_ops  # noqa: F401 — registers HLL/CMS sketches, NB classifier, split assign
 import deepdoctection_spark.plans.streaming_ops  # noqa: F401 — registers bounded streaming runs
 import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers dedup/similarity/textstats
 from deepdoctection_spark.plans.registry import ORACLES, QUERIES

@@ -1,0 +1,187 @@
+"""Deterministic streaming sketches: HyperLogLog distinct-count and
+Count-Min frequency estimation.
+
+At 100 TB an exact ``COUNT(DISTINCT token)`` or exact heavy-hitter table is a
+full shuffle of the token universe; the sketch versions reduce each partition
+to a fixed-size register table that merges associatively (max for HLL,
+sum for CMS) — the classic Flajolet/Fuller-Martin and Cormode-Muthukrishnan
+constructions. Spark's built-ins (``approx_count_distinct``,
+``count_min_sketch``) implement the same idea but their register layout is
+engine-private, so they cannot be differentially tested against another
+engine. These versions are built from ``md5`` + integer arithmetic only —
+bit-identical in Spark SQL and DuckDB SQL — which gives the driver a
+value-hash oracle *and* documents the exact on-disk register format a
+checkpointed sketch would have.
+
+Reference analogue: the summarizer stats the reference accumulates per
+dataflow pass (/root/reference/deepdoctection/dataflow/stats.py — mean/std/
+histogram accumulators); these are their sublinear-memory cousins.
+
+Determinism contract (same discipline as training_ops.quality_surprisal):
+every per-row quantity is integer (hex-prefix buckets, leading-zero ranks,
+shifted harmonic terms); floats appear only in the final per-group estimate,
+computed from already-aggregated integers with an identical expression on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.textstats import _tokens
+
+# HLL geometry: m = 256 registers (first 2 hex chars of md5), rank measured
+# over the next 13 nibbles (52 bits) → rho ∈ [1, 53].
+HLL_M = 256
+HLL_TAIL_NIBBLES = 13
+HLL_MAX_RHO = 4 * HLL_TAIL_NIBBLES + 1
+# bias-correction constant alpha_m for m = 256 (Flajolet et al. 2007, §4)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# each register M_j contributes 2^(MAX_RHO - M_j) to the scaled harmonic sum,
+# so S = 2^MAX_RHO * sum(2^-M_j) stays exact 64-bit integer arithmetic.
+HLL_SCALE = 1 << HLL_MAX_RHO
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+
+
+def _hll_rho():
+    """Leading-zero rank of the 52-bit tail, from hex-string arithmetic:
+    4 bits per leading '0' nibble plus the intra-nibble zeros of the first
+    non-zero digit (1→3, 2-3→2, 4-7→1, 8-f→0), plus one."""
+    fnz = F.conv(
+        F.substr(F.col("tail"), F.col("zn") + 1, F.lit(1)), 16, 10
+    ).cast("int")
+    adjust = (
+        F.when(fnz == 1, 3)
+        .when(fnz <= 3, 2)
+        .when(fnz <= 7, 1)
+        .otherwise(0)
+    )
+    return (
+        F.when(F.col("zn") == HLL_TAIL_NIBBLES, F.lit(HLL_MAX_RHO))
+        .otherwise(F.col("zn") * 4 + adjust + 1)
+        .alias("rho")
+    )
+
+
+def hll_distinct(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Per-group HyperLogLog estimate of distinct 3-shingles next to the
+    exact count — the cardinality a dedup planner wants before sizing an
+    LSH pass, at sketch cost instead of a distinct-shuffle.
+
+    Plan shape: one narrow pass computes (bucket, rho) per shingle
+    occurrence — no pre-dedup shuffle, duplicates collapse inside the
+    register max — then a 2-level hash aggregation: (group, bucket) →
+    max(rho) is at most |groups|·256 rows regardless of input size, and the
+    final per-group reduce is driver-trivial. The exact ``countDistinct``
+    column exists only as the accuracy foil for tests/oracle; a production
+    run would drop it (it is the full shuffle the sketch avoids).
+    """
+    from deepdoctection_spark.operators.dedup import normalized_text
+
+    ws = F.split(normalized_text(F.col("text")), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - 3, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, 3), " "))
+    toks = docs.select(
+        F.col(group_col).alias("grp"), F.explode(sh).alias("token")
+    ).where(F.size(F.split(F.col("token"), " ")) == 3)
+    hashed = toks.select(
+        "grp",
+        F.conv(F.substring(F.md5("token"), 1, 2), 16, 10)
+        .cast("int")
+        .alias("bucket"),
+        F.substring(F.md5("token"), 3, HLL_TAIL_NIBBLES).alias("tail"),
+    )
+    ranked = hashed.select(
+        "grp",
+        "bucket",
+        F.length(F.regexp_extract("tail", "^0*", 0)).alias("zn"),
+        "tail",
+    ).select("grp", "bucket", _hll_rho())
+    regs = ranked.groupBy("grp", "bucket").agg(F.max("rho").alias("m_reg"))
+    per = regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_MAX_RHO} - m_reg)")
+        ).alias("s_present"),
+    )
+    s_scaled = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("buckets_used")) * F.lit(HLL_SCALE)
+    ).alias("s_scaled")
+    per = per.select("grp", "buckets_used", s_scaled)
+    empty = F.lit(HLL_M) - F.col("buckets_used")
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(HLL_SCALE))
+        / F.col("s_scaled").cast("double")
+    )
+    # small-range correction: linear counting while empty registers remain
+    # and the raw estimate is under 2.5m (standard HLL switch point)
+    est = (
+        F.when(
+            (empty > 0) & (raw < F.lit(2.5 * HLL_M)),
+            F.floor(
+                F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empty)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.floor(raw + F.lit(0.5)))
+        .cast("long")
+        .alias("hll_est")
+    )
+    exact = toks.groupBy("grp").agg(
+        F.countDistinct("token").cast("long").alias("exact_distinct")
+    )
+    return (
+        per.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "exact_distinct",
+            "buckets_used",
+            "s_scaled",
+            est,
+        )
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Count-Min sketch over the token stream, probed at the exact top-k.
+
+    The sketch build is the scale path: tokens fan out ×depth to
+    (row, col = md5(row#token) mod width) and hash-aggregate into a fixed
+    depth×width counter table (2048 rows here) with full map-side combine —
+    partition-local sketches merge by addition, so the shuffle moves O(d·w)
+    rows per partition, never O(tokens). The probe joins the exact top-k
+    (the test foil) back against the sketch and takes min over rows; the
+    CMS guarantee est ≥ true holds exactly and is asserted in tests.
+    """
+    toks = docs.select(F.explode(_tokens()).alias("token"))
+    rows = toks.select(
+        "token",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+    )
+    cell = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", "r", "token")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(CMS_WIDTH),
+    ).alias("c")
+    sketch = rows.select("r", cell).groupBy("r", "c").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("true_n"))
+    top = counts.orderBy(F.desc("true_n"), "token").limit(top_k)
+    probe = top.select(
+        "token",
+        "true_n",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("r"),
+    ).select("token", "true_n", "r", cell)
+    return (
+        probe.join(F.broadcast(sketch), ["r", "c"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

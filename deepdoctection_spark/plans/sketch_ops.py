@@ -1,0 +1,166 @@
+"""Query registrations: deterministic sketches (HLL, Count-Min), the
+Naive-Bayes classifier, and the deterministic corpus split.
+
+Each oracle re-derives the identical integer register/score layout in DuckDB
+SQL, so the driver's value-hash compare covers the sketch math itself, not
+just row counts. Float appears only after the final integer aggregation
+(same contract as training_ops.quality_surprisal).
+"""
+
+from __future__ import annotations
+
+from deepdoctection_spark.operators.classify import nb_train_score
+from deepdoctection_spark.operators.corpusprep import split_assign
+from deepdoctection_spark.operators.sketches import (
+    HLL_ALPHA,
+    cms_heavy_hitters,
+    hll_distinct,
+)
+from deepdoctection_spark.plans.registry import register
+from deepdoctection_spark.plans.training_ops import _NORM, _docs
+
+_TOK_CTE = f"""
+toks0 AS (SELECT doc_id, lang, unnest(string_split({_NORM}, ' ')) AS token
+          FROM documents),
+tok AS (SELECT doc_id, lang, token FROM toks0 WHERE length(token) > 0)
+"""
+
+
+@register(
+    "sketch_hll_distinct",
+    f"""
+WITH shws AS (SELECT lang, string_split({_NORM}, ' ') AS ws FROM documents),
+tok AS (SELECT lang, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS token
+        FROM shws, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+hashed AS (SELECT lang AS grp,
+       ('0x' || substr(md5(token), 1, 2))::BIGINT AS bucket,
+       substr(md5(token), 3, 13) AS tail FROM tok),
+z AS (SELECT grp, bucket, length(regexp_extract(tail, '^0*')) AS zn, tail
+      FROM hashed),
+rho AS (SELECT grp, bucket,
+       CASE WHEN zn = 13 THEN 53
+            ELSE zn * 4 + (CASE WHEN d = 1 THEN 3 WHEN d <= 3 THEN 2
+                                WHEN d <= 7 THEN 1 ELSE 0 END) + 1
+       END AS r
+       FROM (SELECT grp, bucket, zn,
+             CASE WHEN zn >= 13 THEN 0
+                  ELSE ('0x' || substr(tail, zn + 1, 1))::BIGINT END AS d
+             FROM z) q),
+regs AS (SELECT grp, bucket, max(r) AS m_reg FROM rho GROUP BY grp, bucket),
+per AS (SELECT grp, count(*)::BIGINT AS buckets_used,
+        sum((1::BIGINT << (53 - m_reg)))::BIGINT AS s_present
+        FROM regs GROUP BY grp),
+fin AS (SELECT grp, buckets_used,
+        s_present + (256 - buckets_used) * (1::BIGINT << 53) AS s_scaled
+        FROM per),
+est AS (SELECT grp, buckets_used, s_scaled,
+        {HLL_ALPHA!r}::DOUBLE * 65536.0 * 9007199254740992.0 / s_scaled AS raw
+        FROM fin),
+exact AS (SELECT lang AS grp, count(DISTINCT token)::BIGINT AS exact_distinct
+          FROM tok GROUP BY lang)
+SELECT e.grp AS lang, x.exact_distinct, e.buckets_used, e.s_scaled,
+  (CASE WHEN (256 - e.buckets_used) > 0 AND e.raw < 640.0
+        THEN floor(256.0 * ln(256.0 / (256 - e.buckets_used)) + 0.5)
+        ELSE floor(e.raw + 0.5) END)::BIGINT AS hll_est
+FROM est e JOIN exact x ON x.grp = e.grp
+""",
+)
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-3-shingle count per language next to the exact
+    count: fixed 256-register sketch per group, merge-by-max, integer
+    harmonic sum; estimate + linear-counting small-range branch."""
+    return hll_distinct(_docs(spark, sf_dir))
+
+
+@register(
+    "sketch_cms_heavy",
+    f"""
+WITH {_TOK_CTE},
+rows_ AS (SELECT token, r FROM tok, unnest([0, 1, 2, 3]) AS t(r)),
+cells AS (SELECT r,
+          ('0x' || substr(md5(r::VARCHAR || '#' || token), 1, 8))::BIGINT
+            % 512 AS c
+          FROM rows_),
+sketch AS (SELECT r, c, count(*)::BIGINT AS cnt FROM cells GROUP BY r, c),
+counts AS (SELECT token, count(*)::BIGINT AS true_n FROM tok GROUP BY token),
+top AS (SELECT token, true_n FROM counts ORDER BY true_n DESC, token LIMIT 20),
+probe AS (SELECT token, true_n, r,
+          ('0x' || substr(md5(r::VARCHAR || '#' || token), 1, 8))::BIGINT
+            % 512 AS c
+          FROM top, unnest([0, 1, 2, 3]) AS t(r))
+SELECT p.token, p.true_n, min(s.cnt) AS cms_est
+FROM probe p JOIN sketch s ON s.r = p.r AND s.c = p.c
+GROUP BY p.token, p.true_n
+""",
+)
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min sketch (depth 4 × width 512) over the token stream, probed
+    at the exact top-20 tokens; CMS overestimate guarantee holds exactly."""
+    return cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+@register(
+    "classify_nb_lang",
+    f"""
+WITH base AS (SELECT doc_id, lang AS label,
+       (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10) < 8 AS is_train,
+       text FROM documents),
+toks0 AS (SELECT doc_id, label, is_train,
+          unnest(string_split({_NORM}, ' ')) AS token FROM base),
+tok AS (SELECT * FROM toks0 WHERE length(token) > 0),
+train AS (SELECT * FROM tok WHERE is_train),
+cnt AS (SELECT label, token, count(*)::BIGINT AS ctl FROM train
+        GROUP BY label, token),
+tot AS (SELECT label, count(*)::BIGINT AS tot_l FROM train GROUP BY label),
+vocab AS (SELECT count(DISTINCT token)::BIGINT AS vsz FROM train),
+tdocs AS (SELECT label, count(*)::BIGINT AS n_docs FROM base WHERE is_train
+          GROUP BY label),
+ttot AS (SELECT count(*)::BIGINT AS n_total FROM base WHERE is_train),
+priors AS (SELECT label,
+           floor(ln(n_docs / n_total::DOUBLE) * 1000000 + 0.5)::BIGINT
+             AS prior_micro
+           FROM tdocs, ttot),
+held AS (SELECT doc_id, label AS true_label, token FROM tok
+         WHERE NOT is_train),
+classes AS (SELECT label AS cls FROM tot),
+terms AS (SELECT h.doc_id, h.true_label, c.cls,
+          floor(ln((coalesce(n.ctl, 0) + 1.0) / (t.tot_l + v.vsz)) * 1000000
+                + 0.5)::BIGINT AS t_micro
+          FROM held h CROSS JOIN classes c
+          LEFT JOIN cnt n ON n.label = c.cls AND n.token = h.token
+          JOIN tot t ON t.label = c.cls, vocab v),
+scores AS (SELECT doc_id, true_label, cls, sum(t_micro)::BIGINT AS ll_micro
+           FROM terms GROUP BY 1, 2, 3),
+ranked AS (SELECT s.doc_id, s.true_label, s.cls,
+           s.ll_micro + p.prior_micro AS score_micro,
+           row_number() OVER (PARTITION BY s.doc_id
+                              ORDER BY s.ll_micro + p.prior_micro DESC, s.cls)
+             AS rk
+           FROM scores s JOIN priors p ON p.label = s.cls)
+SELECT doc_id, true_label AS lang, cls AS pred_label, score_micro
+FROM ranked WHERE rk = 1
+""",
+)
+def q_classify_nb(spark, sf_dir):
+    """Multinomial Naive Bayes trained on the md5-hash 80% fold, scored on
+    the 20% held-out fold; integer micro-log-posteriors, argmax with
+    deterministic tie-break."""
+    return nb_train_score(_docs(spark, sf_dir))
+
+
+@register(
+    "corpus_split_assign",
+    """
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+      ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS bucket
+      FROM documents) b
+""",
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic stratification-free train/val/test assignment from
+    md5(doc_id::VARCHAR) — stable under re-runs and cluster-size changes."""
+    return split_assign(_docs(spark, sf_dir))
