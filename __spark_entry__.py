@@ -31,6 +31,7 @@ import deepdoctection_spark.plans.pipeline  # noqa: F401 — registers extractio
 import deepdoctection_spark.plans.pubtables_ops  # noqa: F401 — registers pubtables segmentation query
 import deepdoctection_spark.plans.refine_ops  # noqa: F401 — registers cell-merge refinement query
 import deepdoctection_spark.plans.relational  # noqa: F401 — registers relational ops
+import deepdoctection_spark.plans.graph_ops  # noqa: F401 — registers PageRank
 import deepdoctection_spark.plans.sketch_ops  # noqa: F401 — registers HLL/CMS sketches, NB classifier, split assign
 import deepdoctection_spark.plans.streaming_ops  # noqa: F401 — registers bounded streaming runs
 import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers dedup/similarity/textstats
@@ -47,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ordering is the coverage lever: queries NO driver round has ever
 # value-checked come first (priority 0 — this includes everything new this
 # round), then staleness order (least-recently-checked first).
-# Cumulative driver coverage through r04 is 117/124; the 7 priority-0
-# stragglers from r04 plus all round-5 additions lead the r05 sweep.
+# Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
+# 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
+# 141) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it

@@ -45,6 +45,47 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_spans(_extracted(spark, sf_dir))
 
 
+_LINK_PATTERN = r'<a href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+@register(
+    "extract_links",
+    f"""
+WITH base AS ({oracles.TRANSCRIPT_BASE_SQL}),
+links AS (SELECT * FROM (VALUES
+  (0, '/', 'Home'), (1, '/about', 'About'), (2, '/contact', 'Contact'),
+  (3, '/p', 'Privacy'), (4, '/t', 'Terms'), (5, '/i', 'Imprint'))
+  AS v(link_pos, href, anchor))
+SELECT conv_id, turn_idx, link_pos::INT AS link_pos, href, anchor
+FROM base, links WHERE tool = 'browser'
+""",
+)
+def q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn hyperlink harvest — the crawl-frontier/link-graph feed of a
+    web extraction pipeline (the anchors the boilerplate stripper DROPS from
+    main text are exactly what the link graph WANTS). Pure JVM path: two
+    ``regexp_extract_all`` passes over the payload (href group, anchor
+    group), ``arrays_zip`` + ``posexplode`` — a narrow map, zero UDF, zero
+    shuffle; non-HTML turns yield empty arrays and vanish in the explode.
+    The oracle replays the template ground truth (FIXTURES.md §1): browser
+    turns carry exactly the six nav/footer anchors, in document order."""
+    tx = build_transcripts(spark, sf_dir)
+    pat = F.lit(_LINK_PATTERN)
+    z = F.arrays_zip(
+        F.regexp_extract_all(F.col("text"), pat, 1).alias("href"),
+        F.regexp_extract_all(F.col("text"), pat, 2).alias("anchor"),
+    )
+    return tx.select(
+        "conv_id", "turn_idx", F.posexplode(z).alias("link_pos", "lk")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("link_pos").cast("int").alias("link_pos"),
+        F.col("lk.href").alias("href"),
+        F.col("lk.anchor").alias("anchor"),
+    )
+
+
 @register("table_cells", oracles.oracle_table_cells())
 def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_spans(_extracted(spark, sf_dir))
