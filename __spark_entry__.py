@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 145) lead the r05 sweep.
+# 146) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it

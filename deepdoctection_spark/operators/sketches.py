@@ -185,3 +185,88 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20) -> DataFrame:
         .groupBy("token", "true_n")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# HDR-histogram geometry: exact buckets below 2^HDR_EXACT_BITS, then
+# (exponent, 2-bit mantissa) buckets — bucket width 2^(e-3), lower bound
+# (4+sub)·2^(e-3), relative error < 25%. Pure integer arithmetic
+# (bit length via length(bin(v))) so Spark and DuckDB agree bit-for-bit.
+HDR_EXACT_LIMIT = 8
+HDR_QUANTILES = (50, 90, 99)
+
+
+def _hdr_bucket(v):
+    """Integer HDR bucket id of a non-negative integer column."""
+    e = F.length(F.bin(v))
+    # exact: v < 2^31 and the divisor is a power of two, so the double
+    # division is representable and floor == integer div (shiftleft takes a
+    # Python-int shift, so the column-shift is pow(2, e-3) — exact in double)
+    sub = F.floor(
+        v.cast("long") / F.pow(F.lit(2.0), (e - 3).cast("double"))
+    ).cast("long") % 4
+    return F.when(v < HDR_EXACT_LIMIT, v.cast("long")).otherwise(
+        (e * 4 + sub).cast("long")
+    )
+
+
+def _hdr_lower_bound(bucket):
+    """Bucket id → inclusive lower bound of the bucket's value range."""
+    e = F.floor(bucket / 4).cast("long")
+    sub = bucket % 4
+    return F.when(bucket < HDR_EXACT_LIMIT, bucket).otherwise(
+        (
+            (4 + sub).cast("double") * F.pow(F.lit(2.0), (e - 3).cast("double"))
+        ).cast("long")
+    )
+
+
+def hdr_quantiles(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Mergeable log-scale quantile sketch (HDR-histogram construction,
+    Tene's HdrHistogram / Prometheus-native-histogram family) over per-doc
+    whitespace token counts, per group.
+
+    Per partition the state is a fixed-size (bucket → count) table — counts
+    merge by sum, so the groupBy is map-side combinable and the shuffle
+    carries O(groups × buckets) rows regardless of corpus size; the quantile
+    probe is one cumulative window over the tiny bucket table plus a
+    broadcast of the 3-row quantile grid. Exact below 8, <25% relative
+    error above (2-bit mantissa); all arithmetic integer until the final
+    lower-bound reconstruction, so the DuckDB oracle replays it exactly.
+    Contrast with ``percentile_approx``: same sublinear idea, but Spark's
+    KLL-ish layout is engine-private and cannot be differentially tested.
+    """
+    v = F.size(_tokens())
+    t = docs.select(F.col(group_col).alias("grp"), v.alias("v"))
+    g = (
+        t.select("grp", _hdr_bucket(F.col("v")).alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select("grp", "bucket", F.sum("c").over(w).alias("cum"))
+    tot = t.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    spark = docs.sparkSession
+    qs = spark.createDataFrame(
+        [(q,) for q in HDR_QUANTILES], "q_pct int"
+    )
+    # ceil(q_pct·n/100) in exact integer terms (values ≪ 2^53)
+    thr = F.floor((F.col("q_pct") * F.col("n") + 99) / 100).cast("long")
+    sel = (
+        cum.join(tot, "grp")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= thr)
+        .groupBy("grp", "q_pct")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return sel.select(
+        F.col("grp").alias(group_col),
+        "q_pct",
+        "bucket",
+        _hdr_lower_bound(F.col("bucket")).cast("long").alias("est_lb"),
+    )

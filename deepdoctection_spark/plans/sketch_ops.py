@@ -164,3 +164,39 @@ def q_split_assign(spark, sf_dir):
     """Deterministic stratification-free train/val/test assignment from
     md5(doc_id::VARCHAR) — stable under re-runs and cluster-size changes."""
     return split_assign(_docs(spark, sf_dir))
+
+
+@register(
+    "sketch_hdr_quantiles",
+    f"""
+WITH t AS (SELECT lang AS grp,
+       len(list_filter(string_split({_NORM}, ' '), w -> length(w) > 0))::BIGINT AS v
+       FROM documents),
+b AS (SELECT grp, CASE WHEN v < 8 THEN v
+       ELSE (length(bin(v)) * 4
+             + (v // (1::BIGINT << (length(bin(v)) - 3))) % 4)::BIGINT
+       END AS bucket FROM t),
+g AS (SELECT grp, bucket, count(*)::BIGINT AS c FROM b GROUP BY grp, bucket),
+cum AS (SELECT grp, bucket,
+        sum(c) OVER (PARTITION BY grp ORDER BY bucket)::BIGINT AS cum FROM g),
+tot AS (SELECT grp, count(*)::BIGINT AS n FROM t GROUP BY grp),
+qs AS (SELECT * FROM (VALUES (50), (90), (99)) AS q(q_pct)),
+sel AS (SELECT cum.grp, q_pct, min(bucket) AS bucket
+        FROM cum JOIN tot USING (grp) CROSS JOIN qs
+        WHERE cum >= (q_pct * n + 99) // 100
+        GROUP BY cum.grp, q_pct)
+SELECT grp AS lang, q_pct::INT AS q_pct, bucket::BIGINT AS bucket,
+       (CASE WHEN bucket < 8 THEN bucket
+        ELSE (4 + bucket % 4)::BIGINT << (bucket // 4 - 3)::INT
+        END)::BIGINT AS est_lb
+FROM sel
+""",
+)
+def q_sketch_hdr_quantiles(spark, sf_dir):
+    """HDR-histogram quantile sketch (p50/p90/p99 of per-doc whitespace
+    token counts, per lang): fixed-size mergeable bucket table, exact below
+    8, <25% relative error above, integer arithmetic end-to-end — the
+    differentially-testable cousin of percentile_approx."""
+    from deepdoctection_spark.operators.sketches import hdr_quantiles
+
+    return hdr_quantiles(_docs(spark, sf_dir))

@@ -144,3 +144,36 @@ def test_split_proportions_and_stability(spark, sf_parity):
     a = dict(out.select("doc_id", "split").collect())
     b = dict(split_assign(docs.repartition(13)).select("doc_id", "split").collect())
     assert a == b
+
+
+def test_hdr_quantile_bracket_guarantee(spark, sf_parity):
+    """The sketch answer must bracket the true quantile: est_lb ≤ true
+    disc-quantile value, and true value < next bucket boundary (exact below
+    8, ≤25% relative width above)."""
+    from deepdoctection_spark.operators.sketches import hdr_quantiles
+    from deepdoctection_spark.operators.textstats import _tokens
+
+    docs = spark.read.parquet(f"{sf_parity}/documents.parquet")
+    vals = {}
+    for r in docs.select("lang", F.size(_tokens()).alias("v")).collect():
+        vals.setdefault(r.lang, []).append(r.v)
+    got = hdr_quantiles(docs).collect()
+    assert len(got) == 3 * len(vals)
+    for row in got:
+        vs = sorted(vals[row.lang])
+        n = len(vs)
+        true_q = vs[-(-row.q_pct * n // 100) - 1]  # ceil-rank disc quantile
+        assert row.est_lb <= true_q
+        upper = row.est_lb + 1 if row.est_lb < 8 else row.est_lb + (
+            2 ** (row.bucket // 4 - 3)
+        )
+        assert true_q < upper
+
+
+def test_hdr_quantiles_partitioning_invariant(spark, sf_parity):
+    from deepdoctection_spark.operators.sketches import hdr_quantiles
+
+    docs = spark.read.parquet(f"{sf_parity}/documents.parquet")
+    a = {(r.lang, r.q_pct): r.est_lb for r in hdr_quantiles(docs.repartition(3)).collect()}
+    b = {(r.lang, r.q_pct): r.est_lb for r in hdr_quantiles(docs.repartition(31)).collect()}
+    assert a == b
