@@ -25,6 +25,30 @@ from pyspark.sql.window import Window
 LATENCY_MOD = 10000
 ROLE_START = "<start>"
 
+# planted tool palette for chain/retry analytics — the synthetic corpus's own
+# tool column strictly alternates (browser/pdf_reader by doc_id % 3), which
+# makes chain mining degenerate; queries that need realistic variety remap
+# tool-capable turns onto this palette with the md5 hex-prefix idiom
+PLANTED_TOOLS = ["search", "browser", "python", "bash"]
+
+
+def with_planted_tools(transcripts: DataFrame) -> DataFrame:
+    """Remap each tool-capable turn's tool to a deterministic pick from
+    PLANTED_TOOLS keyed on (conv_id, turn_idx) — engine-portable: DuckDB
+    reproduces it with ('0x'||substr(md5('tool#'||conv_id||'#'||turn_idx),
+    1,4))::INT % 4 + 1 list indexing. Non-tool turns keep tool=''."""
+    key = F.concat(
+        F.lit("tool#"), F.col("conv_id"), F.lit("#"),
+        F.col("turn_idx").cast("string"),
+    )
+    pick = (F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int")
+            % len(PLANTED_TOOLS)) + 1
+    palette = F.array(*[F.lit(t) for t in PLANTED_TOOLS])
+    return transcripts.withColumn(
+        "tool",
+        F.when(F.col("tool") != "", F.element_at(palette, pick)).otherwise(""),
+    )
+
 
 def planted_latency_ms(conv_id: Column, turn_idx: Column) -> Column:
     """Deterministic per-turn latency in ms: first 8 md5 hex chars of
@@ -94,4 +118,85 @@ def role_bigrams(transcripts: DataFrame) -> DataFrame:
     )
     return pairs.groupBy("prev_role", "role").agg(
         F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def tool_chain_ngrams(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """Frequent tool-call chains: corpus-wide counts of length-``n``
+    sliding windows over each conversation's ordered tool sequence — the
+    'which tool pipelines do agents actually run' view that drives both
+    prompt-engineering and tool-routing decisions at fleet scale.
+
+    Plan shape: ONE conv_id hash agg builds the per-conversation ordered
+    tool array (array_sort of grouped structs — no sort-shuffle), n-grams
+    are formed IN-ROW with sequence+transform+slice (zero extra shuffle,
+    fan-out bounded by turns-per-conversation), then one small hash agg on
+    the chain key. Output is O(|distinct chains|), independent of corpus
+    size. Reference analogue: the dataset summarizer / label-histogram
+    surface (datasets/info.py) re-aimed at tool-call sequences.
+
+    Returns (chain, n_occurrences, n_convs): total sliding-window hits and
+    the distinct-conversation support, chain as 'a>b>c'.
+    """
+    tool_struct = F.when(F.col("tool") != "", F.struct("turn_idx", "tool"))
+    seqs = transcripts.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(tool_struct)), lambda s: s["tool"]
+        ).alias("tools")
+    )
+    grams = (
+        seqs.where(F.size("tools") >= n)
+        .select(
+            "conv_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tools") - n + 1),
+                    lambda i: F.array_join(F.slice(F.col("tools"), i, n), ">"),
+                )
+            ).alias("chain"),
+        )
+    )
+    return grams.groupBy("chain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def tool_retry_runs(transcripts: DataFrame, min_len: int = 2) -> DataFrame:
+    """Retry-loop detection (gaps-and-islands): maximal runs of the SAME
+    tool called on consecutive tool turns of a conversation — the signal a
+    transcript-quality pipeline uses to flag thrashing agents (a tool
+    failing repeatedly) before the data reaches training.
+
+    Plan shape: tool turns only → per-conversation lag to mark run starts →
+    running sum assigns island ids → one hash agg per (conv_id, island).
+    Both windows partition BY conv_id (bounded groups, parallel across the
+    corpus — never a global sort); everything after the first shuffle is
+    map-side local.
+
+    Returns (conv_id, tool, run_len, start_turn, end_turn) for runs with
+    run_len >= min_len, one row per maximal run.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool_turns = transcripts.where(F.col("tool") != "").select(
+        "conv_id", "turn_idx", "tool"
+    )
+    marked = tool_turns.withColumn(
+        "is_start",
+        F.when(F.lag("tool", 1).over(w) == F.col("tool"), 0).otherwise(1),
+    ).withColumn(
+        "island",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy("conv_id", "island", "tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+            F.min("turn_idx").cast("int").alias("start_turn"),
+            F.max("turn_idx").cast("int").alias("end_turn"),
+        )
+        .where(F.col("run_len") >= min_len)
+        .select("conv_id", "tool", "run_len", "start_turn", "end_turn")
     )

@@ -1707,3 +1707,97 @@ def q_ann_pq_search(spark, sf_dir):
     summing m integer LUT lookups selected by their codes — the corpus side
     travels as 8 small ints per vector, never the raw 64-dim embedding."""
     return similarity.pq_search_adc(_embs(spark, sf_dir), n_queries=10, k=5)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs indexed corpus
+# ---------------------------------------------------------------------------
+
+
+def _incremental_oracle(num_perm: int = 8, bands: int = 4,
+                        threshold: float = 0.8) -> str:
+    """Serial replay of incremental LSH dedup: the corpus is 80% of
+    documents by a deterministic md5 bucket of doc_id, the increment the
+    other 20%; band keys identical to _minhash_oracle's."""
+    r = num_perm // bands
+    sig_cols = ", ".join(
+        f"min(('0x' || substr(md5('{j}#' || shingle), 1, 15))::BIGINT) AS sig_{j}"
+        for j in range(num_perm)
+    )
+
+    def band_selects(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band_id, md5("
+            + " || ',' || ".join(f"(sig_{b * r + i}::VARCHAR)" for i in range(r))
+            + f") AS band_key FROM {src}"
+            for b in range(bands)
+        )
+
+    def side(sfx: str, source: str) -> str:
+        return f"""
+toks_{sfx} AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {source}),
+sh_{sfx} AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks_{sfx}, unnest(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+),
+sizes_{sfx} AS (SELECT doc_id, count(*) AS n_shingles FROM sh_{sfx} GROUP BY doc_id),
+sigs_{sfx} AS (SELECT doc_id, {sig_cols} FROM sh_{sfx} GROUP BY doc_id),
+banded_{sfx} AS ({band_selects(f"sigs_{sfx}")})"""
+
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 5 AS bucket
+  FROM documents
+),
+corpus AS (SELECT doc_id, text FROM split WHERE bucket < 4),
+inc AS (SELECT doc_id, text FROM split WHERE bucket = 4),
+{side('c', 'corpus')},
+{side('i', 'inc')},
+cand AS (
+  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+  FROM banded_i i JOIN banded_c c
+    ON i.band_id = c.band_id AND i.band_key = c.band_key
+),
+inter AS (
+  SELECT inc_id, corpus_id, count(*)::BIGINT AS isz
+  FROM cand JOIN sh_i a ON a.doc_id = inc_id
+  JOIN sh_c b ON b.doc_id = corpus_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT inc_id, corpus_id,
+         round(isz / (si.n_shingles + sc.n_shingles - isz), 4) AS jaccard
+  FROM inter
+  JOIN sizes_i si ON si.doc_id = inc_id
+  JOIN sizes_c sc ON sc.doc_id = corpus_id
+  WHERE round(isz / (si.n_shingles + sc.n_shingles - isz), 4) >= {threshold}
+),
+best AS (
+  SELECT inc_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY inc_id
+                            ORDER BY jaccard DESC, corpus_id) AS rk
+  FROM verified
+)
+SELECT i.doc_id, b.corpus_id AS dup_of, b.jaccard,
+       (b.corpus_id IS NULL) AS is_new
+FROM inc i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.inc_id = i.doc_id
+"""
+
+
+@register("dedup_incremental_lsh", _incremental_oracle())
+def q_dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup: band keys of the standing corpus act as a
+    persisted LSH index; only the 20% increment is hashed and joined
+    against it, so per-batch cost scales with the batch, not the corpus
+    (operators/dedup.py:incremental_minhash_dedup)."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 5
+    )
+    corpus = docs.where(bucket < 4)
+    inc = docs.where(bucket == 4)
+    return dedup.incremental_minhash_dedup(
+        corpus, inc, num_perm=8, bands=4, k=3, threshold=0.8
+    )

@@ -26,11 +26,23 @@ sys.path.insert(0, str(REPO / "tests"))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=3)
+    ap.add_argument(
+        "--round",
+        type=int,
+        default=None,
+        help="round number for the output filename; default = current round "
+        "inferred from the driver's CORRECTNESS_r*.json artifacts + 1",
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", default=None, help="comma-separated query subset")
     args = ap.parse_args()
+    if args.round is None:
+        driver_rounds = [
+            int(p.stem.split("_r")[-1])
+            for p in REPO.glob("CORRECTNESS_r[0-9]*.json")
+        ]
+        args.round = (max(driver_rounds) + 1) if driver_rounds else 1
     out_path = Path(args.out or REPO / f"CORRECTNESS_self_r{args.round:02d}.json")
 
     import __spark_entry__ as entry
@@ -78,7 +90,14 @@ def main() -> int:
         print(f"{'PASS' if ok and not rec['err'] else 'FAIL'} {name} "
               f"rows={rec['spark_rows']}", flush=True)
     clear_gt_cache()
-    out_path.write_text(json.dumps(results, indent=2))
+    if only and out_path.exists():
+        # subset run: merge into the existing round file instead of
+        # replacing a full-registry sweep with the subset
+        merged = json.loads(out_path.read_text())
+        merged.update(results)
+        out_path.write_text(json.dumps(merged, indent=2))
+    else:
+        out_path.write_text(json.dumps(results, indent=2))
     n_bad = sum(
         1 for r in results.values()
         if r["err"] or False in (r["rows_match"], r["schema_match"], r["hash_match"])
