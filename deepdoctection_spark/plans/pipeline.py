@@ -445,3 +445,93 @@ def q_role_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoctection_spark.operators.transcriptstats import role_bigrams
 
     return role_bigrams(build_transcripts(spark, sf_dir))
+
+
+_PLANTED_TOOL_SQL = """CASE WHEN tool != '' THEN
+  (['search', 'browser', 'python', 'bash'])[
+    ('0x' || substr(md5('tool#' || conv_id || '#' || turn_idx::VARCHAR),
+                    1, 4))::INT % 4 + 1]
+  ELSE '' END"""
+
+
+def _oracle_tool_chains() -> str:
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, {_PLANTED_TOOL_SQL} AS tool
+  FROM ({TRANSCRIPT_BASE_SQL})
+),
+seq AS (
+  SELECT conv_id,
+         list(tool ORDER BY turn_idx) FILTER (WHERE tool != '') AS tools
+  FROM t GROUP BY conv_id
+),
+grams AS (
+  SELECT conv_id, array_to_string(tools[i:i+2], '>') AS chain
+  FROM seq, unnest(range(1, len(tools) - 1)) AS r(i)
+  WHERE len(tools) >= 3
+)
+SELECT chain, count(*)::BIGINT AS n_occurrences,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM grams GROUP BY chain
+"""
+
+
+@register("tool_chain_ngrams", _oracle_tool_chains())
+def q_tool_chain_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent length-3 tool-call chains over planted per-turn tool picks:
+    one conv_id hash agg builds the ordered tool array, n-grams form IN-ROW
+    (sequence+transform+slice, no extra shuffle), then one small hash agg on
+    the chain key — output O(|distinct chains|), corpus-size independent."""
+    from deepdoctection_spark.operators.transcriptstats import (
+        tool_chain_ngrams,
+        with_planted_tools,
+    )
+
+    return tool_chain_ngrams(
+        with_planted_tools(build_transcripts(spark, sf_dir)), n=3
+    )
+
+
+def _oracle_tool_retries() -> str:
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, {_PLANTED_TOOL_SQL} AS tool
+  FROM ({TRANSCRIPT_BASE_SQL})
+),
+tt AS (SELECT conv_id, turn_idx, tool FROM t WHERE tool != ''),
+m AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   = tool THEN 0 ELSE 1 END AS is_start
+  FROM tt
+),
+isl AS (
+  SELECT conv_id, turn_idx, tool,
+         sum(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+)
+SELECT conv_id, tool, count(*)::BIGINT AS run_len,
+       min(turn_idx)::INT AS start_turn, max(turn_idx)::INT AS end_turn
+FROM isl GROUP BY conv_id, island, tool
+HAVING count(*) >= 2
+"""
+
+
+@register("tool_retry_runs", _oracle_tool_retries())
+def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-loop (gaps-and-islands) detection: maximal runs of the same
+    planted tool on consecutive tool turns — conv_id-partitioned lag +
+    running sum, one hash agg per island; no global sort anywhere."""
+    from deepdoctection_spark.operators.transcriptstats import (
+        tool_retry_runs,
+        with_planted_tools,
+    )
+
+    return tool_retry_runs(
+        with_planted_tools(build_transcripts(spark, sf_dir)), min_len=2
+    )
