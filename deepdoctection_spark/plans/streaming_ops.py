@@ -113,7 +113,14 @@ def q_stream_reassemble_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed conversation reassembly (complete mode → every
     event-time window emitted), oracle-checked against the template ground
     truth — the watermark+window aggregation path itself, not a batch
-    stand-in."""
+    stand-in.
+
+    Late-data contract (not visible to this bounded whole-table oracle,
+    which has no late rows): rows delivered beyond the watermark are
+    dropped EXACTLY — the streamed result equals the batch recompute minus
+    precisely those rows, pinned by tests/test_streaming.py::
+    test_reassemble_drops_beyond_watermark_rows_exactly (append mode,
+    multi-micro-batch delivery, one-batch watermark propagation delay)."""
     from pyspark.sql import functions as F
 
     from deepdoctection_spark.streaming import stream_reassemble

@@ -277,3 +277,94 @@ def test_stream_interval_join_across_microbatches(spark, tmp_path):
     got = sorted((r.error_id, r.click_id)
                  for r in spark.table("xbatch_join").collect())
     assert got == [(1, 2), (1, 3)]
+
+
+def test_reassemble_drops_beyond_watermark_rows_exactly(spark, tmp_path):
+    """Late-data differential for the windowed reassembly (the event-time
+    contract at scale): a row delivered in a later micro-batch with event
+    time BEYOND the watermark must be dropped, and the streamed result must
+    equal the batch recompute minus EXACTLY that row — nothing else moves.
+    A row equally late in arrival but within the watermark must survive.
+
+    The watermark raised by the pusher batch takes effect for late-row
+    FILTERING one micro-batch later (Spark applies batch N-1's commit
+    watermark to batch N's input), so a filler batch sits between the
+    pusher and the late delivery."""
+    import datetime as dt
+    import time
+
+    from deepdoctection_spark.streaming import (
+        stream_reassemble,
+        stream_transcripts,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    sec = lambda s: base + dt.timedelta(seconds=s)
+    d = tmp_path / "late_in"
+    d.mkdir()
+    # batch 1: conv A on-time turns + a pusher that drives the watermark
+    # (default 10 min) to 2h50m
+    spark.createDataFrame(
+        [
+            ("A", 0, "user", "a0", "", sec(0)),
+            ("A", 1, "assistant", "a1", "", sec(60)),
+            ("W", 0, "user", "w0", "", sec(3 * 3600)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    time.sleep(1.1)  # distinct mod-times pin the micro-batch order
+    # batch 2: filler — lets the pusher's 2h50m watermark become the
+    # late-row filter for the NEXT batch
+    spark.createDataFrame(
+        [("F", 0, "user", "f0", "", sec(3 * 3600 + 30))], schema
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    time.sleep(1.1)
+    # batch 3: one row far beyond the watermark (window end 1h << 2h50m →
+    # dropped) and one on-time row in an open window
+    spark.createDataFrame(
+        [
+            ("A", 2, "user", "a2-late-dropped", "", sec(120)),
+            ("A", 3, "user", "a3", "", sec(3 * 3600 + 60)),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "f3"))
+    time.sleep(1.1)
+    # batch 4: closer pushes the final watermark past every window above
+    spark.createDataFrame(
+        [("Z", 0, "user", "z", "", sec(10 * 3600))], schema
+    ).coalesce(1).write.parquet(str(d / "f4"))
+
+    q = _run_to_memory(
+        stream_reassemble(
+            stream_transcripts(spark, str(d / "*"), max_files_per_trigger=1)
+        ),
+        "late_reassemble",
+    )
+    q.awaitTermination(120)
+    fp = lambda df: sorted(
+        (r["conv_id"], r["window_start"], r["n_turns"], r["conv_text"])
+        for r in df.collect()
+    )
+    got = fp(spark.table("late_reassemble").where(F.col("conv_id") != "Z"))
+
+    # batch recompute over the SAME code path (withWatermark is a no-op on
+    # batch DataFrames), minus exactly the beyond-watermark row
+    batch_in = spark.read.parquet(str(d / "*")).where(F.col("conv_id") != "Z")
+    batch_minus_late = fp(
+        stream_reassemble(batch_in.where(F.col("turn_idx") != 2))
+    )
+    assert got == batch_minus_late
+    # and versus the FULL batch recompute the diff is exactly one window:
+    # A's [00:00, 01:00) holds 2 turns streamed vs 3 in batch
+    batch_all = fp(stream_reassemble(batch_in))
+    only_in_batch = [r for r in batch_all if r not in got]
+    only_in_stream = [r for r in got if r not in batch_all]
+    assert [(r[0], r[2]) for r in only_in_batch] == [("A", 3)]
+    assert [(r[0], r[2]) for r in only_in_stream] == [("A", 2)]
+    assert "a2-late-dropped" not in " ".join(r[3] for r in got)
+    # the equally-late-ARRIVING but within-watermark row survived
+    assert any(r[0] == "A" and "a3" in r[3] for r in got)
