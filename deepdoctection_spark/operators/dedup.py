@@ -439,29 +439,40 @@ def _banded_keys(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
     )
 
 
-def incremental_minhash_dedup(
-    corpus: DataFrame,
+def band_index(
+    docs: DataFrame, num_perm: int = 8, bands: int = 4, k: int = 3
+) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH index rows for a batch of docs —
+    exactly what a persisted index table (an IceTable partitioned by
+    band_id, appended to as batches are accepted) stores per document."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
+    return _banded_keys(_sets_with_signatures(docs, num_perm, k), num_perm, bands)
+
+
+def dedup_against_index(
     increment: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
     num_perm: int = 8,
     bands: int = 4,
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Dedup a NEW batch against an already-ingested corpus — the shape a
-    100 TB pipeline actually runs daily. Re-banding the whole corpus per
-    increment would make ingest cost O(corpus); instead the corpus's band
-    keys are an INDEX (in production persisted once as an IceTable table
-    partitioned by band_id and appended to as batches land — here derived
-    in-plan from the corpus relation), and each increment only:
+    """Verify a new batch against a PERSISTED LSH index: ``index`` is the
+    standing corpus's (doc_id, band_id, band_key) table (built once per
+    accepted batch by :func:`band_index`, never re-hashed), ``corpus`` the
+    text table the candidate fetch reads for exact verification. Per batch:
 
-      1. computes signatures for ITS docs (cost ∝ increment),
-      2. equi-joins its band keys against the index (shuffle ∝ increment ×
-         bands on the increment side; the corpus side is a pruned scan of
-         the band-partitioned index, never re-hashed),
-      3. exact-Jaccard-verifies the surviving candidates row-locally.
-
-    Intra-increment duplicates are the existing ``minhash_lsh_pairs`` over
-    the increment alone and are deliberately out of scope here.
+      1. compute signatures for the increment's docs (cost ∝ increment),
+      2. equi-join its band keys against the index (shuffle ∝ increment ×
+         bands on the increment side; at scale the corpus side is a pruned
+         scan of the band-partitioned index),
+      3. fetch ONLY candidate corpus docs (equi-join on doc_id — Bloom/
+         min-max prunable in an IceTable scan) and exact-Jaccard-verify
+         row-locally, so verification cost ∝ candidates, not corpus.
 
     Returns one verdict row per increment doc:
     (doc_id, dup_of, jaccard, is_new) — ``dup_of`` the best-matching corpus
@@ -474,10 +485,9 @@ def incremental_minhash_dedup(
         )
     from pyspark.sql import Window
 
-    sets_c = _sets_with_signatures(corpus, num_perm, k)
     sets_i = _sets_with_signatures(increment, num_perm, k)
-    banded_c = _banded_keys(sets_c, num_perm, bands).alias("c")
     banded_i = _banded_keys(sets_i, num_perm, bands).alias("i")
+    banded_c = index.alias("c")
     cand = (
         banded_i.join(
             banded_c,
@@ -490,8 +500,11 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
+    cand_docs = corpus.join(
+        cand.select(F.col("corpus_id").alias("doc_id")).distinct(), "doc_id"
+    )
     si = sets_i.select("doc_id", "sh", "n_shingles").alias("si")
-    sc = sets_c.select("doc_id", "sh", "n_shingles").alias("sc")
+    sc = shingle_sets(cand_docs, k).alias("sc")
     isz = F.size(F.array_intersect(F.col("si.sh"), F.col("sc.sh"))).cast("long")
     verified = (
         cand.join(si, F.col("inc_id") == F.col("si.doc_id"))
@@ -526,4 +539,32 @@ def incremental_minhash_dedup(
             "jaccard",
             F.col("corpus_id").isNull().alias("is_new"),
         )
+    )
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    increment: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the shape a
+    100 TB pipeline actually runs daily. The corpus's band keys act as an
+    index derived in-plan here (:func:`band_index`); the persisted-index
+    production path is :func:`dedup_against_index` (same verdict contract),
+    which streaming/ingest_neardup.py drives per micro-batch.
+
+    Intra-increment duplicates are the existing ``minhash_lsh_pairs`` over
+    the increment alone and are deliberately out of scope here.
+    """
+    return dedup_against_index(
+        increment,
+        band_index(corpus, num_perm, bands, k),
+        corpus,
+        num_perm=num_perm,
+        bands=bands,
+        k=k,
+        threshold=threshold,
     )

@@ -337,3 +337,81 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def _oracle_stream_neardup() -> str:
+    """Unrolled serial replay of the 3-micro-batch near-dup ingest: batch b
+    = documents with md5-bucket(doc_id)%3 == b; corpus after each epoch =
+    accepted (is_new) docs so far; epoch 0 sees an empty corpus."""
+    from deepdoctection_spark.plans.training_ops import _lsh_step
+
+    return f"""
+WITH split AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 2))::INT % 3 AS bucket
+  FROM documents
+),
+b0 AS (SELECT doc_id, text FROM split WHERE bucket = 0),
+b1 AS (SELECT doc_id, text FROM split WHERE bucket = 1),
+b2 AS (SELECT doc_id, text FROM split WHERE bucket = 2),
+{_lsh_step('1', 'b0', 'b1')},
+acc1 AS (
+  SELECT d.doc_id, d.text FROM b1 d JOIN v1 ON v1.doc_id = d.doc_id AND v1.is_new
+),
+c2 AS (SELECT * FROM b0 UNION ALL SELECT * FROM acc1),
+{_lsh_step('2', 'c2', 'b2')}
+SELECT doc_id, NULL::BIGINT AS dup_of, NULL::DOUBLE AS jaccard,
+       true AS is_new, 0::BIGINT AS epoch
+FROM b0
+UNION ALL
+SELECT doc_id, dup_of, jaccard, is_new, 1::BIGINT FROM v1
+UNION ALL
+SELECT doc_id, dup_of, jaccard, is_new, 2::BIGINT FROM v2
+"""
+
+
+@register("stream_neardup_ingest", _oracle_stream_neardup())
+def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming near-dup ingest against a PERSISTED LSH index
+    (streaming/ingest_neardup.py): three deterministic micro-batches of the
+    documents table flow through foreachBatch; each batch is verified
+    against the band-key index of everything accepted so far (cost ∝ batch,
+    never ∝ corpus), and accepted docs + their band keys + verdicts land in
+    three epoch-guarded IceTables. The oracle is DuckDB's unrolled serial
+    replay of the same three steps."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.streaming import NearDupIngest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 3
+    )
+    root = tempfile.mkdtemp(prefix="ddspark_neardup_q_")
+    try:
+        for b in range(3):
+            docs.where(bucket == b).coalesce(1).write.parquet(f"{root}/in/f{b}")
+            time.sleep(1.05)  # distinct mod-times pin micro-batch order
+        ing = NearDupIngest(f"{root}/tables", threshold=0.8)
+        src = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/in/*")
+        )
+        q = ing.run(src, f"{root}/ckpt")
+        _await_bounded(q)
+        rows = ing.verdicts.read(spark).select(
+            "doc_id", "dup_of", "jaccard", "is_new", "epoch"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            schema="doc_id bigint, dup_of bigint, jaccard double, "
+                   "is_new boolean, epoch bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

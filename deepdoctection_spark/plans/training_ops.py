@@ -1714,27 +1714,22 @@ def q_ann_pq_search(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _incremental_oracle(num_perm: int = 8, bands: int = 4,
-                        threshold: float = 0.8) -> str:
-    """Serial replay of incremental LSH dedup: the corpus is 80% of
-    documents by a deterministic md5 bucket of doc_id, the increment the
-    other 20%; band keys identical to _minhash_oracle's."""
+def _lsh_side(sfx: str, source: str, num_perm: int = 8,
+              bands: int = 4) -> str:
+    """CTE fragment: shingles, sizes, signatures and band keys for one side
+    of an incremental-LSH step (band keys identical to _minhash_oracle's)."""
     r = num_perm // bands
     sig_cols = ", ".join(
         f"min(('0x' || substr(md5('{j}#' || shingle), 1, 15))::BIGINT) AS sig_{j}"
         for j in range(num_perm)
     )
-
-    def band_selects(src: str) -> str:
-        return "\nUNION ALL\n".join(
-            f"SELECT doc_id, {b} AS band_id, md5("
-            + " || ',' || ".join(f"(sig_{b * r + i}::VARCHAR)" for i in range(r))
-            + f") AS band_key FROM {src}"
-            for b in range(bands)
-        )
-
-    def side(sfx: str, source: str) -> str:
-        return f"""
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_id, md5("
+        + " || ',' || ".join(f"(sig_{b * r + i}::VARCHAR)" for i in range(r))
+        + f") AS band_key FROM sigs_{sfx}"
+        for b in range(bands)
+    )
+    return f"""
 toks_{sfx} AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM {source}),
 sh_{sfx} AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
@@ -1742,8 +1737,54 @@ sh_{sfx} AS (
 ),
 sizes_{sfx} AS (SELECT doc_id, count(*) AS n_shingles FROM sh_{sfx} GROUP BY doc_id),
 sigs_{sfx} AS (SELECT doc_id, {sig_cols} FROM sh_{sfx} GROUP BY doc_id),
-banded_{sfx} AS ({band_selects(f"sigs_{sfx}")})"""
+banded_{sfx} AS ({band_selects})"""
 
+
+def _lsh_step(s: str, corpus_src: str, inc_src: str, num_perm: int = 8,
+              bands: int = 4, threshold: float = 0.8) -> str:
+    """CTE fragment ending in v{s}(doc_id, dup_of, jaccard, is_new): one
+    serial incremental-LSH verdict step of ``inc_src`` against
+    ``corpus_src`` (both CTEs of (doc_id, text))."""
+    return f"""{_lsh_side(f"c{s}", corpus_src, num_perm, bands)},
+{_lsh_side(f"i{s}", inc_src, num_perm, bands)},
+cand_{s} AS (
+  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
+  FROM banded_i{s} i JOIN banded_c{s} c
+    ON i.band_id = c.band_id AND i.band_key = c.band_key
+),
+inter_{s} AS (
+  SELECT inc_id, corpus_id, count(*)::BIGINT AS isz
+  FROM cand_{s} JOIN sh_i{s} a ON a.doc_id = inc_id
+  JOIN sh_c{s} b ON b.doc_id = corpus_id AND a.shingle = b.shingle
+  GROUP BY 1, 2
+),
+verified_{s} AS (
+  SELECT inc_id, corpus_id,
+         round(isz / (si.n_shingles + sc.n_shingles - isz), 4) AS jaccard
+  FROM inter_{s}
+  JOIN sizes_i{s} si ON si.doc_id = inc_id
+  JOIN sizes_c{s} sc ON sc.doc_id = corpus_id
+  WHERE round(isz / (si.n_shingles + sc.n_shingles - isz), 4) >= {threshold}
+),
+best_{s} AS (
+  SELECT inc_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY inc_id
+                            ORDER BY jaccard DESC, corpus_id) AS rk
+  FROM verified_{s}
+),
+v{s} AS (
+  SELECT i.doc_id, b.corpus_id AS dup_of, b.jaccard,
+         (b.corpus_id IS NULL) AS is_new
+  FROM {inc_src} i
+  LEFT JOIN (SELECT * FROM best_{s} WHERE rk = 1) b ON b.inc_id = i.doc_id
+)"""
+
+
+def _incremental_oracle(num_perm: int = 8, bands: int = 4,
+                        threshold: float = 0.8) -> str:
+    """Serial replay of incremental LSH dedup: the corpus is 80% of
+    documents by a deterministic md5 bucket of doc_id, the increment the
+    other 20%."""
     return f"""
 WITH split AS (
   SELECT doc_id, text,
@@ -1752,36 +1793,8 @@ WITH split AS (
 ),
 corpus AS (SELECT doc_id, text FROM split WHERE bucket < 4),
 inc AS (SELECT doc_id, text FROM split WHERE bucket = 4),
-{side('c', 'corpus')},
-{side('i', 'inc')},
-cand AS (
-  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS corpus_id
-  FROM banded_i i JOIN banded_c c
-    ON i.band_id = c.band_id AND i.band_key = c.band_key
-),
-inter AS (
-  SELECT inc_id, corpus_id, count(*)::BIGINT AS isz
-  FROM cand JOIN sh_i a ON a.doc_id = inc_id
-  JOIN sh_c b ON b.doc_id = corpus_id AND a.shingle = b.shingle
-  GROUP BY 1, 2
-),
-verified AS (
-  SELECT inc_id, corpus_id,
-         round(isz / (si.n_shingles + sc.n_shingles - isz), 4) AS jaccard
-  FROM inter
-  JOIN sizes_i si ON si.doc_id = inc_id
-  JOIN sizes_c sc ON sc.doc_id = corpus_id
-  WHERE round(isz / (si.n_shingles + sc.n_shingles - isz), 4) >= {threshold}
-),
-best AS (
-  SELECT inc_id, corpus_id, jaccard,
-         row_number() OVER (PARTITION BY inc_id
-                            ORDER BY jaccard DESC, corpus_id) AS rk
-  FROM verified
-)
-SELECT i.doc_id, b.corpus_id AS dup_of, b.jaccard,
-       (b.corpus_id IS NULL) AS is_new
-FROM inc i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.inc_id = i.doc_id
+{_lsh_step('1', 'corpus', 'inc', num_perm, bands, threshold)}
+SELECT doc_id, dup_of, jaccard, is_new FROM v1
 """
 
 

@@ -5,3 +5,7 @@ from deepdoctection_spark.streaming.extract_stream import (  # noqa: F401
     stream_reassemble,
     stream_transcripts,
 )
+from deepdoctection_spark.streaming.ingest_neardup import (  # noqa: F401
+    NearDupIngest,
+    read_verdicts,
+)
