@@ -24,6 +24,13 @@ input (the ``stream_neardup_ingest`` oracle row unrolls that replay in
 DuckDB). Intra-batch duplicates are out of scope by the same contract —
 both members of a same-batch near-dup pair are accepted.
 
+Maintenance contract: compaction/expiry run BETWEEN epochs (the standard
+single-writer maintenance window) — a compaction snapshot carries no stream
+tag, so the as-of read of a retried epoch would see the compacted state
+including that epoch's own partially-committed rows. Between epochs it is
+safe and verdict-preserving (pinned by
+tests/test_ingest_neardup.py::test_compaction_between_epochs_preserves_verdicts).
+
 Reference analogue: deepdoctection's deterministic-id idempotence
 (datapoint ids make re-runs re-derive the same annotations,
 dd/datapoint/annotation.py) lifted to exactly-once table commits.

@@ -139,3 +139,23 @@ def test_stream_matches_serial_batch_replay(spark, tmp_path):
             expect[r["doc_id"]] = (r["dup_of"], r["is_new"], e)
         accepted += [x for x in b if expect[x[0]][1]]
     assert got == expect
+
+
+def test_compaction_between_epochs_preserves_verdicts(spark, tmp_path):
+    """Table maintenance while ingesting: compacting the per-epoch small
+    files of corpus and index between micro-batches must not change any
+    later verdict (compaction is a bit-identical replace snapshot)."""
+    rows01 = [(1, _BASE), (2, _OTHER)]
+    rows2 = [(3, _BASE + " tonight"), (4, _THIRD)]
+
+    plain = NearDupIngest(str(tmp_path / "plain"), threshold=0.5)
+    comp = NearDupIngest(str(tmp_path / "comp"), threshold=0.5)
+    for e, b in enumerate([rows01[:1], rows01[1:]]):
+        plain.process_batch(_docs(spark, b), e)
+        comp.process_batch(_docs(spark, b), e)
+    comp.corpus.compact(spark)
+    comp.index.compact(spark, target_files=2)
+    plain.process_batch(_docs(spark, rows2), 2)
+    comp.process_batch(_docs(spark, rows2), 2)
+    assert _verdicts(plain, spark) == _verdicts(comp, spark)
+    assert {r["doc_id"] for r in comp.corpus.read(spark).collect()} == {1, 2, 4}
