@@ -1,0 +1,96 @@
+"""Conversation-level training-prep: context-window budgeting and loss-mask
+spans over the assembled transcript.
+
+Both are one conv_id-partitioned window + (at most) one hash agg — bounded
+per-conversation groups, fully parallel across the corpus, no global sort.
+Reference analogue: the page/chunk export surface (PageParsingService,
+pipe/concurrency.py's ordered emit) — here aimed at what an LLM training
+loader actually consumes: a turn suffix that fits the context window, and
+per-turn char spans telling the loss which bytes are the assistant's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _n_tokens(col: Column) -> Column:
+    """Whitespace token count under the engine-portable normalization
+    (dedup.normalized_text's regex; DuckDB replays it verbatim)."""
+    norm = F.trim(F.regexp_replace(col, r"[ \t\n\r\f\x0B]+", " "))
+    return (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
+
+
+def conv_context_fit(
+    turns: DataFrame, budget: int, text_col: str = "extracted_text"
+) -> DataFrame:
+    """Context-window budgeting: per conversation, keep the longest SUFFIX
+    of turns whose total whitespace-token count fits ``budget`` — the
+    standard truncate-from-the-front policy for multi-turn training rows
+    (recent turns matter; stale ones are dropped first).
+
+    Plan: one conv_id window ordered by turn_idx DESC accumulates tokens
+    from the end; a turn is kept iff its suffix-cumulative total ≤ budget
+    (suffix property: kept turns are exactly the trailing run). One hash
+    agg rolls the per-conversation report.
+
+    Returns (conv_id, total_turns, kept_turns, first_kept_turn_idx,
+    kept_tokens, total_tokens); first_kept_turn_idx/kept_tokens are
+    NULL/0 when even the last turn alone overflows the budget.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = turns.select(
+        "conv_id", "turn_idx", _n_tokens(F.col(text_col)).alias("n_tok")
+    ).withColumn("cum_from_end", F.sum("n_tok").over(w))
+    kept = F.col("cum_from_end") <= budget
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("total_turns"),
+        F.sum(kept.cast("long")).alias("kept_turns"),
+        F.min(F.when(kept, F.col("turn_idx"))).cast("int")
+        .alias("first_kept_turn_idx"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+        .cast("long").alias("kept_tokens"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+
+
+def conv_loss_masks(
+    turns: DataFrame,
+    text_col: str = "extracted_text",
+    sep_len: int = 2,
+    loss_role: str = "assistant",
+) -> DataFrame:
+    """Per-turn char spans into the assembled conversation text (the
+    reassembly contract: turns joined by a ``sep_len``-char separator in
+    turn_idx order) plus the loss mask — training on ``loss_role`` turns
+    only. ``conv_text[start_char:end_char] == turn_text`` by construction
+    (pinned in tests/test_convprep.py against reassemble_conversations).
+
+    Plan: one conv_id window prefix sum of (len + sep_len) over preceding
+    turns — narrow otherwise; output one row per turn.
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tlen = F.length(F.col(text_col)).cast("long")
+    start = F.coalesce(F.sum(tlen + sep_len).over(w), F.lit(0))
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        start.alias("start_char"),
+        (start + tlen).alias("end_char"),
+        (F.col("role") == loss_role).alias("loss"),
+    )

@@ -535,3 +535,88 @@ def q_tool_retry_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tool_retry_runs(
         with_planted_tools(build_transcripts(spark, sf_dir)), min_len=2
     )
+
+
+# ---------------------------------------------------------------------------
+# conversation-level training prep: context budgeting + loss masks
+# ---------------------------------------------------------------------------
+
+_NORM_RE = "[ \\t\\n\\r\\f\\x0B]+"
+_CTX_BUDGET = 150
+
+
+def _oracle_conv_context_fit() -> str:
+    from deepdoctection_spark.plans.oracles import _extracted_text_case
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    norm = f"trim(regexp_replace(t, '{_NORM_RE}', ' ', 'g'))"
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+et AS (SELECT conv_id, turn_idx, {_extracted_text_case()} AS t FROM base),
+tok AS (
+  SELECT conv_id, turn_idx,
+         (CASE WHEN length({norm}) = 0 THEN 0
+               ELSE len(string_split({norm}, ' ')) END)::BIGINT AS n_tok
+  FROM et
+),
+cum AS (
+  SELECT conv_id, turn_idx, n_tok,
+         sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_from_end
+  FROM tok
+)
+SELECT conv_id, count(*)::BIGINT AS total_turns,
+       sum(CASE WHEN cum_from_end <= {_CTX_BUDGET} THEN 1 ELSE 0 END)::BIGINT
+         AS kept_turns,
+       min(CASE WHEN cum_from_end <= {_CTX_BUDGET} THEN turn_idx END)::INT
+         AS first_kept_turn_idx,
+       coalesce(sum(CASE WHEN cum_from_end <= {_CTX_BUDGET} THEN n_tok END),
+                0)::BIGINT AS kept_tokens,
+       sum(n_tok)::BIGINT AS total_tokens
+FROM cum GROUP BY conv_id
+"""
+
+
+@register("conv_context_fit", _oracle_conv_context_fit())
+def q_conv_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budgeting over the extraction output: per
+    conversation keep the longest turn SUFFIX fitting a 150-token budget
+    (truncate-from-the-front, the multi-turn training-row policy) — one
+    conv_id window + one hash agg (operators/convprep.py)."""
+    from deepdoctection_spark.operators.convprep import conv_context_fit
+
+    return conv_context_fit(_extracted(spark, sf_dir), budget=_CTX_BUDGET)
+
+
+def _oracle_conv_loss_masks() -> str:
+    from deepdoctection_spark.plans.oracles import _extracted_text_case
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+et AS (SELECT conv_id, turn_idx, role, {_extracted_text_case()} AS t FROM base),
+off AS (
+  SELECT conv_id, turn_idx, role, length(t)::BIGINT AS tlen,
+         coalesce(sum(length(t) + 2) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_char
+  FROM et
+)
+SELECT conv_id, turn_idx, role, start_char,
+       (start_char + tlen)::BIGINT AS end_char,
+       (role = 'assistant') AS loss
+FROM off
+"""
+
+
+@register("conv_loss_masks", _oracle_conv_loss_masks())
+def q_conv_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn char spans into the assembled conversation text plus the
+    assistant-only loss mask — conv_text[start:end] equals the turn's
+    extracted text under the reassembly separator contract
+    (operators/convprep.py; substring equality pinned in
+    tests/test_convprep.py)."""
+    from deepdoctection_spark.operators.convprep import conv_loss_masks
+
+    return conv_loss_masks(_extracted(spark, sf_dir))

@@ -1,0 +1,92 @@
+"""Conversation-level training prep (operators/convprep.py): context-budget
+suffix selection and loss-mask char spans. End-to-end parity is the
+conv_context_fit / conv_loss_masks oracle rows; these pin semantics on
+hand-built conversations and the substring contract against the real
+reassembly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.operators.convprep import (
+    conv_context_fit,
+    conv_loss_masks,
+)
+from deepdoctection_spark.operators.reassembly import reassemble_conversations
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, extracted_text string"
+    )
+
+
+def test_context_fit_keeps_longest_suffix(spark):
+    rows = [  # token counts: 4, 3, 2, 3  (suffix sums from end: 3,5,8,12)
+        ("a", 0, "user", "one two three four"),
+        ("a", 1, "assistant", "five six seven"),
+        ("a", 2, "user", "eight nine"),
+        ("a", 3, "assistant", "ten eleven twelve"),
+    ]
+    (r,) = conv_context_fit(_turns(spark, rows), budget=8).collect()
+    # suffix {1,2,3} costs 8 ≤ 8; adding turn 0 would cost 12
+    assert (r["total_turns"], r["kept_turns"]) == (4, 3)
+    assert r["first_kept_turn_idx"] == 1
+    assert (r["kept_tokens"], r["total_tokens"]) == (8, 12)
+
+
+def test_context_fit_overflowing_last_turn_keeps_nothing(spark):
+    rows = [("a", 0, "user", "a b"), ("a", 1, "assistant", "c d e f g")]
+    (r,) = conv_context_fit(_turns(spark, rows), budget=3).collect()
+    assert r["kept_turns"] == 0 and r["first_kept_turn_idx"] is None
+    assert r["kept_tokens"] == 0 and r["total_tokens"] == 7
+
+
+def test_context_fit_empty_text_counts_zero_tokens(spark):
+    rows = [("a", 0, "user", ""), ("a", 1, "assistant", "x y")]
+    (r,) = conv_context_fit(_turns(spark, rows), budget=2).collect()
+    # the empty turn costs 0 tokens, so the whole conversation fits
+    assert r["kept_turns"] == 2 and r["first_kept_turn_idx"] == 0
+    assert r["total_tokens"] == 2
+
+
+def test_loss_mask_spans_slice_the_assembled_text(spark):
+    rows = [
+        ("a", 0, "user", "hello there"),
+        ("a", 1, "assistant", "general kenobi"),
+        ("a", 2, "user", "bye"),
+        ("b", 0, "assistant", "solo"),
+    ]
+    turns = _turns(spark, rows)
+    conv_text = {
+        r["conv_id"]: r["conv_text"]
+        for r in reassemble_conversations(turns).collect()
+    }
+    spans = conv_loss_masks(turns).collect()
+    texts = {(r[0], r[1]): r[3] for r in rows}
+    for s in spans:
+        got = conv_text[s["conv_id"]][s["start_char"]:s["end_char"]]
+        assert got == texts[(s["conv_id"], s["turn_idx"])]
+        assert s["loss"] == (s["role"] == "assistant")
+    # masks are disjoint and ordered within a conversation
+    a = sorted(
+        (s["start_char"], s["end_char"]) for s in spans if s["conv_id"] == "a"
+    )
+    assert all(a[i][1] + 2 == a[i + 1][0] for i in range(len(a) - 1))
+
+
+def test_context_fit_is_nondegenerate_on_corpus(spark, sf_small):
+    """At sf0.001 with the 150-token budget, SOME conversations must
+    actually truncate (guards the oracle row against a vacuous budget)."""
+    from deepdoctection_spark.operators.extraction import extract_transcripts
+    from deepdoctection_spark.sources.transcripts import build_transcripts
+
+    fit = conv_context_fit(
+        extract_transcripts(build_transcripts(spark, sf_small), with_words=False),
+        budget=150,
+    )
+    agg = fit.agg(
+        F.sum((F.col("kept_turns") < F.col("total_turns")).cast("int")).alias("trunc"),
+        F.sum((F.col("kept_turns") > 0).cast("int")).alias("nonempty"),
+    ).collect()[0]
+    assert agg["trunc"] > 0 and agg["nonempty"] > 0
