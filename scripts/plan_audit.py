@@ -32,6 +32,9 @@ BNLJ_WHITELIST = {
     "tfidf_bm25_terms",  # 1-row corpus stats (n_docs, avgdl) broadcast
     "mixture_weights",  # two 1-row global-total broadcasts (token + weight sums)
     "quality_perplexity_bigram",  # 1-row vocab-size broadcast (add-one smoothing V)
+    "classify_nb_lang",  # 1-row smoothing constants (V, per-class totals)
+    "graph_triangles",  # 1-row node-count broadcast building the ring edges
+    "sketch_hdr_quantiles",  # 3-row percentile grid × tiny bucket table
 }
 
 
