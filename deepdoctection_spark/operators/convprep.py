@@ -94,3 +94,85 @@ def conv_loss_masks(
         (start + tlen).alias("end_char"),
         (F.col("role") == loss_role).alias("loss"),
     )
+
+
+def conv_prefix_dups(
+    turns: DataFrame, text_col: str = "extracted_text"
+) -> DataFrame:
+    """Strict-prefix conversation duplicates — conv A whose ordered turn
+    texts equal the first |A| turns of a LONGER conv B. Agent retries and
+    partial re-uploads produce exactly these; whole-conversation
+    fingerprint dedup (conv_dedup_exact) cannot see them, and turn-level
+    near-dup misattributes them.
+
+    Candidate keys cost O(1) state per turn: a running sum (one conv_id
+    window) over position-salted 40-bit md5 integers — sums stay far below
+    2^63 at any conversation length, identical arithmetic in DuckDB — so
+    candidate generation is one window + one (position, key) equi-join,
+    never a quadratic prefix-string build. Candidates are then verified
+    EXACTLY and row-locally by array-slice equality over the two
+    conversations' collected texts (cost ∝ candidate pairs).
+
+    Equal-length identical conversations are deliberately NOT reported
+    (the prefix side requires i < n): that is exact dedup's job.
+
+    Returns (prefix_conv, super_conv, n_turns_prefix, n_turns_super).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = turns.select("conv_id", "turn_idx", F.col(text_col).alias("t"))
+    pos = t.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    h40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("t"))),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("long")
+    keyed = pos.withColumn(
+        "pk",
+        F.sum(h40).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    full = keyed.where(F.col("i") == F.col("n")).select(
+        F.col("conv_id").alias("prefix_conv"),
+        F.col("i").alias("np"),
+        F.col("pk").alias("pk_f"),
+    )
+    pref = keyed.where(F.col("i") < F.col("n")).select(
+        F.col("conv_id").alias("super_conv"),
+        F.col("i").alias("ip"),
+        F.col("n").alias("ns"),
+        F.col("pk").alias("pk_p"),
+    )
+    cand = full.join(
+        pref,
+        (F.col("np") == F.col("ip"))
+        & (F.col("pk_f") == F.col("pk_p"))
+        & (F.col("prefix_conv") != F.col("super_conv")),
+    ).select("prefix_conv", "super_conv", "np", "ns")
+    seqs = t.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "t"))),
+            lambda s: s["t"],
+        ).alias("texts")
+    )
+    sp = seqs.select(
+        F.col("conv_id").alias("prefix_conv"), F.col("texts").alias("texts_p")
+    )
+    ss = seqs.select(
+        F.col("conv_id").alias("super_conv"), F.col("texts").alias("texts_s")
+    )
+    return (
+        cand.join(sp, "prefix_conv")
+        .join(ss, "super_conv")
+        .where(F.slice(F.col("texts_s"), F.lit(1), F.col("np")) == F.col("texts_p"))
+        .select(
+            "prefix_conv",
+            "super_conv",
+            F.col("np").cast("long").alias("n_turns_prefix"),
+            F.col("ns").cast("long").alias("n_turns_super"),
+        )
+    )

@@ -620,3 +620,81 @@ def q_conv_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deepdoctection_spark.operators.convprep import conv_loss_masks
 
     return conv_loss_masks(_extracted(spark, sf_dir))
+
+
+def _oracle_conv_prefix_dups() -> str:
+    from deepdoctection_spark.plans.oracles import _extracted_text_case
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH base AS ({TRANSCRIPT_BASE_SQL}),
+et AS (SELECT conv_id, turn_idx, {_extracted_text_case()} AS t FROM base),
+nn AS (
+  SELECT conv_id, turn_idx, t,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM et
+),
+corpus AS (
+  SELECT conv_id, turn_idx, t FROM et
+  UNION ALL
+  SELECT 'pfx-' || conv_id, turn_idx, t FROM nn
+  WHERE (('0x' || substr(md5(conv_id), 1, 2))::INT % 10) = 0
+    AND turn_idx < n // 2
+),
+pos AS (
+  SELECT conv_id, turn_idx, t,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS i,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM corpus
+),
+keyed AS (
+  SELECT conv_id, i, n,
+         sum(('0x' || substr(md5(i || '#' || t), 1, 10))::BIGINT)
+           OVER (PARTITION BY conv_id ORDER BY i
+                 ROWS UNBOUNDED PRECEDING) AS pk
+  FROM pos
+),
+fl AS (SELECT conv_id AS prefix_conv, i AS np, pk FROM keyed WHERE i = n),
+pf AS (SELECT conv_id AS super_conv, i AS ip, n AS ns, pk FROM keyed WHERE i < n),
+cand AS (
+  SELECT prefix_conv, super_conv, np, ns
+  FROM fl JOIN pf ON np = ip AND fl.pk = pf.pk AND prefix_conv != super_conv
+),
+seqs AS (SELECT conv_id, list(t ORDER BY turn_idx) AS texts FROM corpus GROUP BY conv_id)
+SELECT prefix_conv, super_conv, np::BIGINT AS n_turns_prefix,
+       ns::BIGINT AS n_turns_super
+FROM cand
+JOIN seqs sp ON sp.conv_id = prefix_conv
+JOIN seqs ss ON ss.conv_id = super_conv
+WHERE ss.texts[1:np] = sp.texts
+"""
+
+
+@register("conv_prefix_dups", _oracle_conv_prefix_dups())
+def q_conv_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-prefix conversation dedup (agent retries / partial
+    re-uploads) over the extraction output, with planted truncated twins
+    ('pfx-'-prefixed first halves of the md5-bucket-0 conversations) giving
+    the verifier true positives — candidate keys are O(1)-state running
+    sums of position-salted 40-bit hashes, verification exact array-slice
+    equality (operators/convprep.py:conv_prefix_dups)."""
+    from pyspark.sql.window import Window as W
+
+    from deepdoctection_spark.operators.convprep import conv_prefix_dups
+
+    ex = _extracted(spark, sf_dir).select("conv_id", "turn_idx", "extracted_text")
+    n = F.count(F.lit(1)).over(W.partitionBy("conv_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 2), 16, 10).cast("int")
+        % 10
+    )
+    planted = (
+        ex.withColumn("n", n)
+        .where((bucket == 0) & (F.col("turn_idx") < F.floor(F.col("n") / 2)))
+        .select(
+            F.concat(F.lit("pfx-"), F.col("conv_id")).alias("conv_id"),
+            "turn_idx",
+            "extracted_text",
+        )
+    )
+    return conv_prefix_dups(ex.unionByName(planted))

@@ -90,3 +90,45 @@ def test_context_fit_is_nondegenerate_on_corpus(spark, sf_small):
         F.sum((F.col("kept_turns") > 0).cast("int")).alias("nonempty"),
     ).collect()[0]
     assert agg["trunc"] > 0 and agg["nonempty"] > 0
+
+
+def test_prefix_dups_detects_strict_prefix_only(spark):
+    from deepdoctection_spark.operators.convprep import conv_prefix_dups
+
+    rows = [
+        # A = strict prefix of B
+        ("A", 0, "u", "hello"), ("A", 1, "a", "world"),
+        ("B", 0, "u", "hello"), ("B", 1, "a", "world"), ("B", 2, "u", "bye"),
+        # C == D (equal, NOT a strict prefix pair)
+        ("C", 0, "u", "same"), ("D", 0, "u", "same"),
+        # E = same multiset as first 2 of B but wrong order
+        ("E", 0, "u", "world"), ("E", 1, "a", "hello"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, extracted_text string"
+    )
+    got = {
+        (r["prefix_conv"], r["super_conv"]): (
+            r["n_turns_prefix"], r["n_turns_super"]
+        )
+        for r in conv_prefix_dups(turns).collect()
+    }
+    assert got == {("A", "B"): (2, 3)}
+
+
+def test_prefix_dups_multiple_supersets(spark):
+    from deepdoctection_spark.operators.convprep import conv_prefix_dups
+
+    rows = [
+        ("P", 0, "u", "x"),
+        ("B1", 0, "u", "x"), ("B1", 1, "a", "y"),
+        ("B2", 0, "u", "x"), ("B2", 1, "a", "z"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, extracted_text string"
+    )
+    got = sorted(
+        (r["prefix_conv"], r["super_conv"])
+        for r in conv_prefix_dups(turns).collect()
+    )
+    assert got == [("P", "B1"), ("P", "B2")]
