@@ -132,3 +132,38 @@ def test_prefix_dups_multiple_supersets(spark):
         for r in conv_prefix_dups(turns).collect()
     )
     assert got == [("P", "B1"), ("P", "B2")]
+
+
+def test_prefix_dups_property_matches_bruteforce(spark):
+    """Differential over a randomized-but-deterministic corpus from a tiny
+    alphabet (forces real prefixes AND near-miss collisions): the operator
+    must equal the brute-force prefix scan exactly — verification makes
+    false positives impossible; this guards the candidate keying against
+    false negatives."""
+    import hashlib
+
+    from deepdoctection_spark.operators.convprep import conv_prefix_dups
+
+    rng_rows = []
+    convs = {}
+    for c in range(30):
+        cid = f"c{c:02d}"
+        h = hashlib.md5(cid.encode()).digest()
+        length = 1 + h[0] % 5
+        texts = [f"w{(h[1 + i] % 3)}" for i in range(length)]
+        convs[cid] = texts
+        rng_rows += [(cid, i, "u", t) for i, t in enumerate(texts)]
+    turns = spark.createDataFrame(
+        rng_rows, "conv_id string, turn_idx int, role string, extracted_text string"
+    )
+    got = sorted(
+        (r["prefix_conv"], r["super_conv"], r["n_turns_prefix"], r["n_turns_super"])
+        for r in conv_prefix_dups(turns).collect()
+    )
+    want = sorted(
+        (a, b, len(ta), len(tb))
+        for a, ta in convs.items()
+        for b, tb in convs.items()
+        if a != b and len(ta) < len(tb) and tb[: len(ta)] == ta
+    )
+    assert got == want and len(want) > 0
