@@ -1814,3 +1814,66 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.incremental_minhash_dedup(
         corpus, inc, num_perm=8, bands=4, k=3, threshold=0.8
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation: ANN-vs-exact retrieval agreement
+# ---------------------------------------------------------------------------
+
+
+def _rank_metrics_oracle(k: int = 5) -> str:
+    from deepdoctection_spark.operators.rankeval import dcg_weights
+
+    w = dcg_weights(k)
+    idcg = sum(w)
+    wt_rows = ", ".join(f"({i + 1}, {x})" for i, x in enumerate(w))
+    return f"""
+WITH {_EMB_BASE},
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 5) AS s5, round({_COS}, 2) AS s2
+  FROM q, base WHERE vec_id <> query_id
+),
+truth AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s5 DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {k}
+),
+sys AS (
+  SELECT query_id, vec_id, rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY s2 DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= {k}
+),
+wt(rank, w) AS (VALUES {wt_rows}),
+hits AS (
+  SELECT s.query_id, s.rank, w
+  FROM sys s JOIN truth t USING (query_id, vec_id) JOIN wt ON wt.rank = s.rank
+),
+perq AS (
+  SELECT query_id, count(*)::BIGINT AS n_hits, min(rank) AS first_rank,
+         sum(w)::BIGINT AS dcg
+  FROM hits GROUP BY query_id
+)
+SELECT t.query_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(n_hits, 0) * 1000000 // {k})::BIGINT AS recall_micro,
+       coalesce(1000000 // first_rank, 0)::BIGINT AS mrr_micro,
+       (coalesce(dcg, 0) * 1000000 // {idcg})::BIGINT AS ndcg_micro
+FROM (SELECT DISTINCT query_id FROM truth) t LEFT JOIN perq USING (query_id)
+"""
+
+
+@register("eval_rank_metrics", _rank_metrics_oracle())
+def q_eval_rank_metrics(spark, sf_dir):
+    """Recall@5 / MRR / nDCG of a degraded ranker (cosine quantized to 2
+    decimals — controlled rank scrambling) against the exact kNN ground
+    truth, in integer micro-units with a precomputed discount table so no
+    engine evaluates a float log (operators/rankeval.py). The same operator
+    evaluates the IVF / PQ / LSH ANN paths offline."""
+    from deepdoctection_spark.operators import rankeval
+
+    embs = _embs(spark, sf_dir)
+    truth = similarity.knn_bruteforce(embs, n_queries=20, k=5, round_to=5)
+    system = similarity.knn_bruteforce(embs, n_queries=20, k=5, round_to=2)
+    return rankeval.rank_metrics(system, truth, k=5)
