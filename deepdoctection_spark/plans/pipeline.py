@@ -698,3 +698,120 @@ def q_conv_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return conv_prefix_dups(ex.unionByName(planted))
+
+
+# ---------------------------------------------------------------------------
+# data-validation expectations (Deequ-style pre-flight)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_expectations() -> str:
+    from deepdoctection_spark.sources.transcripts import (
+        EPOCH_2024,
+        TRANSCRIPT_BASE_SQL,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, text,
+         ({EPOCH_2024} + doc_id * 30)::BIGINT AS ts_sec
+  FROM ({TRANSCRIPT_BASE_SQL})
+),
+t0 AS (
+  SELECT *, ('0x' || substr(md5(conv_id), 1, 2))::INT % 10 AS bucket
+  FROM base WHERE turn_idx = 0
+),
+corrupted AS (
+  SELECT conv_id, turn_idx, role, text, ts_sec FROM base
+  UNION ALL SELECT conv_id, turn_idx, role, text, ts_sec FROM t0 WHERE bucket = 1
+  UNION ALL SELECT conv_id, -1, role, text, 946684800 FROM t0 WHERE bucket = 2
+  UNION ALL SELECT conv_id, 1000, 'system', text, 4102444800 FROM t0 WHERE bucket = 3
+  UNION ALL SELECT conv_id, 999, role, text, 946684800 FROM t0 WHERE bucket = 4
+  UNION ALL SELECT conv_id, 998, role, NULL, 4102444800 FROM t0 WHERE bucket = 5
+  UNION ALL SELECT NULL, 0, 'user', 'x', {EPOCH_2024} FROM (SELECT 1)
+),
+rowsums AS (
+  SELECT sum((conv_id IS NULL)::INT)::BIGINT AS conv_id_not_null,
+         sum((turn_idx < 0)::INT)::BIGINT AS turn_idx_nonnegative,
+         sum((role NOT IN ('user', 'assistant', 'tool'))::INT)::BIGINT AS role_in_domain,
+         sum((text IS NULL)::INT)::BIGINT AS text_not_null
+  FROM corrupted
+),
+dup AS (
+  SELECT coalesce(sum(c - 1), 0)::BIGINT AS turn_unique
+  FROM (SELECT count(*) AS c FROM corrupted GROUP BY conv_id, turn_idx)
+),
+contig AS (
+  SELECT sum((mn != 0 OR mx != nd - 1)::INT)::BIGINT AS turn_idx_contiguous
+  FROM (SELECT count(DISTINCT turn_idx) AS nd, max(turn_idx) AS mx,
+               min(turn_idx) AS mn
+        FROM corrupted GROUP BY conv_id)
+),
+mono AS (
+  SELECT coalesce(sum((ts_sec < prev_ts)::INT), 0)::BIGINT
+           AS ts_monotone_nondecreasing
+  FROM (SELECT ts_sec, lag(ts_sec) OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) AS prev_ts
+        FROM corrupted)
+)
+SELECT rule, n_violations, (n_violations = 0) AS passed FROM (
+  SELECT 'conv_id_not_null' AS rule, conv_id_not_null AS n_violations FROM rowsums
+  UNION ALL SELECT 'turn_idx_nonnegative', turn_idx_nonnegative FROM rowsums
+  UNION ALL SELECT 'role_in_domain', role_in_domain FROM rowsums
+  UNION ALL SELECT 'text_not_null', text_not_null FROM rowsums
+  UNION ALL SELECT 'turn_unique', turn_unique FROM dup
+  UNION ALL SELECT 'turn_idx_contiguous', turn_idx_contiguous FROM contig
+  UNION ALL SELECT 'ts_monotone_nondecreasing', ts_monotone_nondecreasing FROM mono
+)
+"""
+
+
+@register("data_expectations", _oracle_expectations())
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style validation report over a transcript table with PLANTED
+    violations (per-bucket corruptions: duplicate turns, negative and
+    non-contiguous turn_idx, out-of-domain role, null text, time-travel ts,
+    a null conv_id) — O(#rules) output from bounded aggregations
+    (operators/expectations.py)."""
+    from deepdoctection_spark.operators.expectations import (
+        transcript_expectations,
+    )
+
+    base = build_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+    t0 = base.where(F.col("turn_idx") == 0).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("conv_id")), 1, 2), 16, 10)
+        .cast("int") % 10,
+    )
+    old_ts = F.to_timestamp(F.lit("2000-01-01 00:00:00"))
+    far_ts = F.to_timestamp(F.lit("2100-01-01 00:00:00"))
+
+    def planted(bucket, turn_idx=None, role=None, text=None, ts=None):
+        d = t0.where(F.col("bucket") == bucket)
+        return d.select(
+            "conv_id",
+            (turn_idx if turn_idx is not None else F.col("turn_idx"))
+            .cast("int").alias("turn_idx"),
+            (role if role is not None else F.col("role")).alias("role"),
+            (text if text is not None else F.col("text")).alias("text"),
+            (ts if ts is not None else F.col("ts")).alias("ts"),
+        )
+
+    null_row = spark.sql(
+        "SELECT CAST(NULL AS STRING) conv_id, 0 turn_idx, 'user' role, "
+        "'x' text, TIMESTAMP'2024-01-01 00:00:00' ts"
+    )
+    corrupted = (
+        base
+        .unionByName(planted(1))
+        .unionByName(planted(2, turn_idx=F.lit(-1), ts=old_ts))
+        .unionByName(planted(3, turn_idx=F.lit(1000), role=F.lit("system"),
+                             ts=far_ts))
+        .unionByName(planted(4, turn_idx=F.lit(999), ts=old_ts))
+        .unionByName(planted(5, turn_idx=F.lit(998),
+                             text=F.lit(None).cast("string"), ts=far_ts))
+        .unionByName(null_row)
+    )
+    return transcript_expectations(corrupted)
