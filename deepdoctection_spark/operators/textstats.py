@@ -306,3 +306,112 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).cast("int").alias("scrubbed_len"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) — the
+    standard pre-training corpus gate: word-count band, mean-word-length band
+    [3,10], symbol-to-word ratio ('#'/'...') ≤ 0.1, ≤90% bullet-led lines,
+    ≤30% ellipsis-ended lines, ≥80% words containing a letter, ≥2 distinct
+    stopwords present. Every rule is evaluated in EXACT INTEGER arithmetic
+    (e.g. mean∈[3,10] ⟺ 3·n ≤ chars ≤ 10·n) so the flags are bit-identical
+    in any engine — no float rounding seam between Spark and the oracle.
+    Pure column expressions, zero UDF, embarrassingly parallel: at 100 TB
+    this is a narrow whole-stage-codegen map over the corpus scan.
+
+    Reference analogue: the page-level summary/filter annotations
+    (/root/reference/deepdoctection/datapoint/annotation.py:471-488) — here
+    generalized to the published corpus-curation rule set."""
+    text = F.col(text_col)
+    norm = normalized_text(text)
+    ws = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    n = F.size(ws).cast("long")
+    # chars across words = len(norm) − (n−1) single separators; 0 when empty
+    wc = F.when(n > 0, F.length(norm).cast("long") - (n - 1)).otherwise(F.lit(0))
+    alpha = F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast("long")
+    # non-overlapping '...' count via literal split (greedy left-to-right in
+    # both Java regex and DuckDB string_split)
+    n_ell = (F.size(F.split(text, r"\.\.\.", -1)) - 1).cast("long")
+    lines = F.split(text, "\n", -1)
+    n_lines = F.size(lines).cast("long")
+    bullets = F.size(
+        F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    ell_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(F.array_distinct(ws), lambda w: w.isin(*STOPWORDS["en"]))
+    ).cast("long")
+
+    flag_word_count = (n >= min_words) & (n <= max_words)
+    flag_mean_len = (n > 0) & (3 * n <= wc) & (wc <= 10 * n)
+    flag_symbol = 10 * (n_hash + n_ell) <= n
+    flag_bullet = 10 * bullets <= 9 * n_lines
+    flag_ellipsis = 10 * ell_end <= 3 * n_lines
+    flag_alpha = (n > 0) & (5 * alpha >= 4 * n)
+    flag_stopwords = stop_hits >= 2
+    keep = (
+        flag_word_count & flag_mean_len & flag_symbol & flag_bullet
+        & flag_ellipsis & flag_alpha & flag_stopwords
+    )
+    return docs.select(
+        id_col,
+        n.cast("int").alias("n_words"),
+        wc.cast("int").alias("word_chars"),
+        n_lines.cast("int").alias("n_lines"),
+        (n_hash + n_ell).cast("int").alias("n_symbols"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        flag_word_count.alias("flag_word_count"),
+        flag_mean_len.alias("flag_mean_len"),
+        flag_symbol.alias("flag_symbol"),
+        flag_bullet.alias("flag_bullet"),
+        flag_ellipsis.alias("flag_ellipsis"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stopwords.alias("flag_stopwords"),
+        keep.alias("keep"),
+    )
+
+
+def char_diversity(docs: DataFrame) -> DataFrame:
+    """Character-level diversity features: distinct-character count and the
+    Simpson collision index Σc(c−1)/N(N−1) over the space-stripped
+    normalized text — a float-free repetitiveness signal (1.0 ⟺ one char
+    repeated; ≈1/|alphabet| ⟺ uniform). Emitted in exact integer micro-units
+    via BIGINT `div`, so Spark and the oracle agree bit-for-bit.
+
+    Per-doc counting stays inside whole-stage codegen with NO explode/shuffle:
+    per distinct char d, count(d) = len(s) − len(replace(s,d)) — O(|Σ|·N)
+    per document, |Σ| bounded by the alphabet. At 100 TB this is a narrow
+    map; the groupBy-char alternative would shuffle one row PER CHARACTER."""
+    s = F.replace(normalized_text(F.col("text")), F.lit(" "))
+    n = F.length(s).cast("long")
+    chars = F.filter(F.split(s, ""), lambda c: F.length(c) > 0)
+    dc = F.array_distinct(chars)
+    cnts = F.transform(dc, lambda d: (F.length(s) - F.length(F.replace(s, d))).cast("long"))
+    coll = F.aggregate(cnts, F.lit(0).cast("long"), lambda acc, c: acc + c * (c - 1))
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_chars"),
+            F.size(dc).cast("int").alias("distinct_chars"),
+            coll.alias("_coll"),
+        )
+        .withColumn(
+            "simpson_micro",
+            F.when(
+                F.col("n_chars") > 1,
+                F.expr(
+                    "(2000000 * _coll + n_chars * (n_chars - 1)) div (2 * n_chars * (n_chars - 1))"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .drop("_coll")
+    )

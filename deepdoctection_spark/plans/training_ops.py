@@ -1877,3 +1877,108 @@ def q_eval_rank_metrics(spark, sf_dir):
     truth = similarity.knn_bruteforce(embs, n_queries=20, k=5, round_to=5)
     system = similarity.knn_bruteforce(embs, n_queries=20, k=5, round_to=2)
     return rankeval.rank_metrics(system, truth, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules + char-diversity (round 5)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def _gopher_oracle(source: str, id_col: str, text_col: str) -> str:
+    """Gopher rule set in DuckDB over any (id, text) relation — same exact
+    integer formulations as operators/textstats.gopher_rules, so agreement is
+    bit-level with no float seam. DuckDB lateral column aliases let `keep`
+    reference the flag aliases directly."""
+    norm = f"trim(regexp_replace({text_col}, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))"
+    return f"""
+WITH f AS (
+  SELECT {id_col} AS id, {text_col} AS text,
+         list_filter(string_split({norm}, ' '), w -> len(w) > 0) AS ws,
+         len({norm})::BIGINT AS norm_len,
+         string_split({text_col}, chr(10)) AS lines
+  FROM {source}
+), m AS (
+  SELECT id,
+    len(ws)::BIGINT AS n,
+    (CASE WHEN len(ws) > 0 THEN norm_len - (len(ws) - 1) ELSE 0 END)::BIGINT AS wc,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha,
+    ((len(text) - len(replace(text, '#', '')))
+       + (len(string_split(text, '...')) - 1))::BIGINT AS symbols,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, l -> ltrim(l)[1] IN ('-', '*', '•')))::BIGINT AS bullets,
+    len(list_filter(lines, l -> ends_with(rtrim(l), '...')))::BIGINT AS ell_end,
+    len(list_filter(list_distinct(ws), w -> list_contains({_GOPHER_STOPS}, w)))::BIGINT AS stop_hits
+  FROM f
+)
+SELECT id AS {id_col}, n::INT AS n_words, wc::INT AS word_chars,
+  n_lines::INT AS n_lines, symbols::INT AS n_symbols, stop_hits::INT AS stopword_hits,
+  (n >= 50 AND n <= 100000) AS flag_word_count,
+  (n > 0 AND 3 * n <= wc AND wc <= 10 * n) AS flag_mean_len,
+  (10 * symbols <= n) AS flag_symbol,
+  (10 * bullets <= 9 * n_lines) AS flag_bullet,
+  (10 * ell_end <= 3 * n_lines) AS flag_ellipsis,
+  (n > 0 AND 5 * alpha >= 4 * n) AS flag_alpha,
+  (stop_hits >= 2) AS flag_stopwords,
+  (flag_word_count AND flag_mean_len AND flag_symbol AND flag_bullet
+   AND flag_ellipsis AND flag_alpha AND flag_stopwords) AS keep
+FROM m
+"""
+
+
+@register("quality_gopher_rules", _gopher_oracle("documents", "doc_id", "text"))
+def q_quality_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter gate over the raw corpus (exact-integer rules,
+    zero UDF — see operators/textstats.gopher_rules)."""
+    return textstats.gopher_rules(_docs(spark, sf_dir))
+
+
+from deepdoctection_spark.plans import oracles as _oracles  # noqa: E402
+
+
+@register(
+    "conv_quality_rules",
+    _gopher_oracle(
+        "(" + _oracles.oracle_conversation_text() + ")", "conv_id", "conv_text"
+    ),
+)
+def q_conv_quality_rules(spark, sf_dir):
+    """Extraction → curation composition: the Gopher gate applied to the
+    REASSEMBLED conversation text (the real pipeline order — extract main
+    text per turn, assemble in stable turn order, THEN quality-gate the
+    conversation for the training mix). Spark runs the genuine HTML/layout
+    extractors; the oracle replays template ground truth through the same
+    rule SQL."""
+    from deepdoctection_spark.plans import pipeline as _pipeline
+
+    conv = _pipeline.q_conversation_text(spark, sf_dir)
+    return textstats.gopher_rules(
+        conv.select("conv_id", F.col("conv_text").alias("text")), id_col="conv_id"
+    )
+
+
+_CHAR_DIVERSITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, replace({_NORM}, ' ', '') AS s FROM documents),
+m AS (
+  SELECT doc_id, len(s)::BIGINT AS n_chars,
+    list_distinct(string_split(s, '')) AS dc,
+    list_sum(list_transform(list_distinct(string_split(s, '')),
+      d -> (len(s) - len(replace(s, d, '')))::BIGINT
+           * ((len(s) - len(replace(s, d, '')))::BIGINT - 1))) AS coll
+  FROM t
+)
+SELECT doc_id, n_chars, len(dc)::INT AS distinct_chars,
+  (CASE WHEN n_chars > 1
+        THEN (2000000 * coll::BIGINT + n_chars * (n_chars - 1))
+             // (2 * n_chars * (n_chars - 1))
+        ELSE 0 END)::BIGINT AS simpson_micro
+FROM m
+"""
+
+
+@register("quality_char_diversity", _CHAR_DIVERSITY_ORACLE)
+def q_quality_char_diversity(spark, sf_dir):
+    """Simpson char-collision index in exact integer micro-units — float-free
+    repetitiveness signal; per-doc counting via replace-diff, no explode."""
+    return textstats.char_diversity(_docs(spark, sf_dir))
