@@ -35,6 +35,8 @@ BNLJ_WHITELIST = {
     "classify_nb_lang",  # 1-row smoothing constants (V, per-class totals)
     "graph_triangles",  # 1-row node-count broadcast building the ring edges
     "sketch_hdr_quantiles",  # 3-row percentile grid × tiny bucket table
+    "eval_rank_metrics",  # knn_bruteforce × 2: same 20-query-vector broadcast
+    "data_expectations",  # four 1-row aggregate relations scalar-combined
 }
 
 
