@@ -1982,3 +1982,115 @@ def q_quality_char_diversity(spark, sf_dir):
     """Simpson char-collision index in exact integer micro-units — float-free
     repetitiveness signal; per-doc counting via replace-diff, no explode."""
     return textstats.char_diversity(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# query-time retrieval: boolean AND, phrase match, BM25 top-k search
+# ---------------------------------------------------------------------------
+
+from deepdoctection_spark.operators import retrieval  # noqa: E402
+
+# Shared postings + deterministic query-term CTEs (df-rank band 10.. below the
+# stopword head; min_df=2 bounds the rank window exactly like the Spark side).
+_POSTINGS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+tok AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token),
+dfr AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token)
+"""
+
+
+def _qt_cte(start_rank: int, n_terms: int) -> str:
+    return f"""
+qt AS (
+  SELECT token, df FROM (
+    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+    FROM dfr WHERE df >= 2
+  ) WHERE r BETWEEN {start_rank} AND {start_rank + n_terms - 1}
+)"""
+
+
+@register(
+    "search_boolean_and",
+    f"""
+WITH {_POSTINGS_CTE}, {_qt_cte(10, 3)}
+SELECT t.doc_id, sum(t.tf)::BIGINT AS total_tf
+FROM tf t JOIN qt USING (token)
+GROUP BY t.doc_id HAVING count(*) = 3
+""",
+)
+def q_search_boolean_and(spark, sf_dir):
+    """Conjunctive boolean retrieval: documents containing ALL three query
+    terms (df-ranks 10-12). The query-term table is broadcast, so the corpus
+    side is a map-side hash probe + one per-doc aggregation — the inverted-
+    index AND scan shape at 100 TB."""
+    return retrieval.boolean_and_search(_docs(spark, sf_dir), 10, 3)
+
+
+@register(
+    "search_phrase_match",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, i::INT AS pos, ws[i] || ' ' || ws[i+1] AS bg
+  FROM toks, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2 AND length(ws[1]) > 0
+),
+win AS (
+  SELECT bg FROM (SELECT bg, count(*) AS n FROM bg GROUP BY bg)
+  ORDER BY n DESC, bg LIMIT 1
+)
+SELECT b.doc_id, min(b.bg) AS phrase, count(*)::INT AS n_matches,
+       min(b.pos)::INT AS first_pos
+FROM bg b JOIN win USING (bg)
+GROUP BY b.doc_id
+""",
+)
+def q_search_phrase_match(spark, sf_dir):
+    """Exact-phrase retrieval for the corpus's modal bigram: per matching doc
+    the occurrence count and first 1-based token position. Bigram formation
+    is row-local (token array zipped with its own tail — no positional
+    self-join); the elected 1-row phrase is broadcast."""
+    return retrieval.phrase_search(_docs(spark, sf_dir))
+
+
+@register(
+    "search_bm25_ranked",
+    f"""
+WITH {_POSTINGS_CTE}, {_qt_cte(10, 5)},
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT count(*)::BIGINT AS n_docs,
+              (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+sc AS (
+  SELECT t.doc_id,
+         floor(ln(1.0::DOUBLE + (st.n_docs - q.df + 0.5::DOUBLE)
+                  / (q.df + 0.5::DOUBLE))
+               * 1000000 + 0.5::DOUBLE)::BIGINT AS bidf6,
+         (t.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+           / (t.tf + 1.2::DOUBLE
+                * (0.25::DOUBLE + 0.75::DOUBLE * d.dl / st.avgdl)) AS sat
+  FROM tf t JOIN qt q USING (token) JOIN dl d USING (doc_id) CROSS JOIN st
+),
+agg AS (
+  SELECT doc_id, count(*)::INT AS n_terms_hit,
+         sum(floor(bidf6 * sat + 0.5::DOUBLE)::BIGINT)::BIGINT AS s6
+  FROM sc GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, n_terms_hit, s6 / 1000000.0::DOUBLE AS bm25,
+         (row_number() OVER (ORDER BY s6 DESC, doc_id))::INT AS rank
+  FROM agg
+)
+SELECT * FROM ranked WHERE rank <= 20
+""",
+)
+def q_search_bm25_ranked(spark, sf_dir):
+    """BM25-ranked top-20 retrieval for the five df-rank-10..14 query terms
+    (k1=1.2, b=0.75). Per-term idf logs are integer-quantized before the
+    saturation multiply (the token_surprisal determinism contract), so the
+    per-doc sums and the global ranking compare exact longs vs the oracle.
+    Plan: postings ⋈ broadcast(terms) ⋈ doc-length → per-doc sum → one
+    bounded top-k window over the hit set only."""
+    return retrieval.bm25_query_search(_docs(spark, sf_dir), 10, 5, 20)
