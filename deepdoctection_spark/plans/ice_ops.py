@@ -495,3 +495,33 @@ def q_ice_evolved_scan(spark, sf_dir):
     assert pruned >= 3, f"evolved-era partition pruning inert: {pruned}"
     return _materialize_then_rm(
         _summarize(t.scan(spark, ("event_type", "=", "click"))), tmp)
+
+
+@register(
+    "ice_metadata_agg",
+    """
+WITH live AS (SELECT * FROM events WHERE event_id > 50)
+SELECT event_type AS partition, count(*)::BIGINT AS n_rows,
+       min(event_id)::BIGINT AS event_id_min,
+       max(event_id)::BIGINT AS event_id_max,
+       (count(*) - count(event_id))::BIGINT AS event_id_nulls
+FROM live GROUP BY event_type
+""",
+)
+def q_ice_metadata_agg(spark, sf_dir):
+    """Metadata-only aggregation (Iceberg metadata-table scan): after two
+    partitioned appends and a copy-on-write DELETE, per-partition row count
+    and event_id min/max/nulls are answered from manifest entries alone —
+    ZERO data-file reads. The oracle recomputes the same aggregate by
+    actually scanning the live rows, so agreement proves the manifests'
+    footer-stat bookkeeping tracks every commit (append → harvest →
+    delete-rewrite) exactly. At 100 TB this is the difference between a
+    full scan and a driver-side read of O(#files) manifest rows."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_meta_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 IN (0, 1)"), partition_by="event_type")
+    t.append(ev.where("event_id % 3 = 2"), partition_by="event_type")
+    t.delete_where(spark, ("event_id", "<=", 50), mode="cow")
+    out = t.metadata_agg(spark, cols=["event_id"]).drop("n_files")
+    return _materialize_then_rm(out, tmp)

@@ -1824,6 +1824,62 @@ class IceTable:
                 (_pred_column(col, op, lit) for col, op, lit in preds)))
         return df
 
+    def metadata_agg(self, spark: SparkSession,
+                     cols: list[str] | None = None,
+                     seq: int | None = None) -> DataFrame:
+        """Metadata-only aggregation (Iceberg's metadata-table scan shape):
+        per-partition file count, row count, and per-column min/max/null
+        count answered ENTIRELY from manifest entries — zero data-file
+        reads. At 100 TB this turns ``SELECT count(*) … GROUP BY partition``
+        from a full scan into a driver-side walk of O(#files) manifest rows
+        (the same rows commit planning already reads).
+
+        Exact-by-construction: footer row counts are exact, and min/max/
+        null-count per file are parquet footer statistics merged across
+        files. Refuses snapshots that carry merge-on-read delete files
+        (their matched rows are unknowable without reading data — compact
+        first) and requested columns that some file lacks stats for (a
+        stats-less file must never be silently claimed covered)."""
+        raw = self._raw_snapshot(seq)
+        if self._delete_entries(raw):
+            raise ValueError(
+                "metadata_agg: snapshot carries merge-on-read delete files; "
+                "their effect requires reading data — compact() first")
+        cols = cols or []
+        groups: dict[str, dict] = {}
+        for f in self._snap_files(raw):
+            part = f.get("partition") or {}
+            key = next(iter(part.values()), "<all>")
+            g = groups.setdefault(
+                key, {"n_files": 0, "n_rows": 0,
+                      **{c: None for c in cols}})
+            g["n_files"] += 1
+            g["n_rows"] += f["rows"]
+            for c in cols:
+                s = f.get("stats", {}).get(c)
+                if s is None:
+                    raise ValueError(
+                        f"metadata_agg: file {f['path']} has no footer "
+                        f"stats for column {c!r}")
+                cur = g[c]
+                if cur is None:
+                    g[c] = dict(s)
+                else:
+                    cur["min"] = min(cur["min"], s["min"])
+                    cur["max"] = max(cur["max"], s["max"])
+                    cur["nulls"] += s.get("nulls", 0)
+        rows = [
+            tuple([k, g["n_files"], g["n_rows"]]
+                  + [v for c in cols
+                     for v in (g[c]["min"], g[c]["max"], g[c]["nulls"])])
+            for k, g in sorted(groups.items())
+        ]
+        names = ["partition", "n_files", "n_rows"] + [
+            f"{c}_{suffix}" for c in cols
+            for suffix in ("min", "max", "nulls")
+        ]
+        return spark.createDataFrame(rows, names)
+
 
 def _ddl(df: DataFrame) -> str:
     return ",".join(f"{f.name} {f.dataType.simpleString()}"

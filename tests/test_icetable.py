@@ -10,6 +10,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from deepdoctection_spark.sources.icetable import CommitConflict, IceTable
 
 
@@ -1109,3 +1111,54 @@ def test_expire_snapshots_refuses_branch_handle(spark, tbl):
     with pytest.raises(ValueError, match="main table handle"):
         b.expire_snapshots(keep_last=1)
     assert tbl.read(spark).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# metadata-only aggregation (Iceberg metadata-table scan)
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_agg_matches_full_scan(spark, tbl):
+    tbl.append(_df(spark, 0, 60), partition_by="tag")
+    tbl.append(_df(spark, 60, 100, tag="b"), partition_by="tag")
+    tbl.delete_where(spark, ("id", "<", 10), mode="cow")
+    meta = {
+        r["partition"]: r
+        for r in tbl.metadata_agg(spark, cols=["id"]).collect()
+    }
+    full = {
+        r["tag"]: r
+        for r in tbl.read(spark)
+        .groupBy("tag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("id").alias("id_min"),
+            F.max("id").alias("id_max"),
+        )
+        .collect()
+    }
+    assert set(meta) == set(full) == {"a", "b"}
+    for k in full:
+        assert meta[k]["n_rows"] == full[k]["n_rows"]
+        assert meta[k]["id_min"] == full[k]["id_min"]
+        assert meta[k]["id_max"] == full[k]["id_max"]
+        assert meta[k]["id_nulls"] == 0
+        assert meta[k]["n_files"] >= 1
+    # n_files is exactly the live planning view — zero data reads needed
+    assert sum(r["n_files"] for r in meta.values()) == len(tbl.plan_files()[0])
+
+
+def test_metadata_agg_refuses_pending_mor_deletes(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.delete_where(spark, ("id", "=", 5), mode="mor")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tbl.metadata_agg(spark)
+    tbl.compact(spark)
+    rows = tbl.metadata_agg(spark).collect()
+    assert rows[0]["n_rows"] == 99  # compaction folded the delete in
+
+
+def test_metadata_agg_refuses_statless_column(spark, tbl):
+    tbl.append(_df(spark, 0, 10).selectExpr("id", "cast(null as string) AS s"))
+    with pytest.raises(ValueError, match="no footer stats"):
+        tbl.metadata_agg(spark, cols=["s"])
