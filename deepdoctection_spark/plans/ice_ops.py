@@ -525,3 +525,48 @@ def q_ice_metadata_agg(spark, sf_dir):
     t.delete_where(spark, ("event_id", "<=", 50), mode="cow")
     out = t.metadata_agg(spark, cols=["event_id"]).drop("n_files")
     return _materialize_then_rm(out, tmp)
+
+
+@register(
+    "ice_changelog",
+    f"""
+WITH chg AS (
+  SELECT 'delete' AS _change_type, * FROM events
+  WHERE (event_id % 3 IN (0, 1) AND event_id <= 40) OR event_id = 43
+  UNION ALL
+  SELECT 'insert' AS _change_type, * FROM events WHERE event_id % 3 = 2
+)
+SELECT _change_type, event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 3) AS sum_value,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM chg GROUP BY _change_type, event_type
+""",
+)
+def q_ice_changelog(spark, sf_dir):
+    """Net row-level CDC between snapshots 2 and 5 (Iceberg changelog
+    table): two appends (from_seq=2), then a copy-on-write DELETE of the
+    event_id<=40 rows, an append of the last third, and a merge-on-read
+    positional delete of event_id=43 (43%3=1 — a row that SURVIVED the
+    CoW delete, so only a delete-binding change exposes it). The
+    changelog must emit exactly the
+    CoW-deleted rows + the MoR-deleted row as 'delete' and the appended
+    third as 'insert' — the CoW rewrite's surviving rows, which moved
+    between files, net to NOTHING (exceptAll in both directions), and
+    carried files with an unchanged delete binding are never read. The
+    oracle recomputes the expected change set from the commit definitions."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_cdc_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0"))
+    t.append(ev.where("event_id % 3 = 1"))          # from_seq = 2
+    t.delete_where(spark, ("event_id", "<=", 40), mode="cow")
+    t.append(ev.where("event_id % 3 = 2"))
+    t.delete_where(spark, ("event_id", "=", 43), mode="mor")  # to_seq = 5
+    out = (
+        t.changes(spark, from_seq=2)
+        .groupBy("_change_type", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("sum_value"),
+             F.count_distinct("user_id").alias("n_users"))
+    )
+    return _materialize_then_rm(out, tmp)

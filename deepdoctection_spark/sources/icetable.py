@@ -351,6 +351,37 @@ def _merge_entry_stats(entries: list[dict]) -> dict[str, dict]:
     }
 
 
+def _pos_target_sets(dels: list[dict]) -> dict[str, set]:
+    """Per positional-delete file, the set of data-file paths it targets."""
+    return {d["path"]: set(d["targets"]) for d in dels if d["kind"] == "pos"}
+
+
+def _delete_applies(f: dict, d: dict, tsets: dict[str, set]) -> bool:
+    """Whether delete entry ``d`` may affect data file ``f`` (the per-file
+    delete binding computed at plan time): positional deletes by exact
+    target path; equality deletes by ``data_seq < delete_seq`` plus
+    key-range disjointness from the footer stats."""
+    if d["kind"] == "pos":
+        return f["path"] in tsets[d["path"]]
+    if (f.get("data_seq") or 0) >= d["delete_seq"]:
+        return False  # file written at/after the delete committed
+    for k in d.get("eq_cols", []):
+        fs = (f.get("stats") or {}).get(k)
+        ds = (d.get("stats") or {}).get(k)
+        if fs and ds and (fs["max"] < ds["min"] or fs["min"] > ds["max"]):
+            return False  # key ranges disjoint: no row can match
+    return True
+
+
+def _delete_binding(f: dict, dels: list[dict],
+                    tsets: dict[str, set]) -> tuple[str, ...]:
+    """The (sorted) delete-file paths applicable to ``f`` — the file's
+    delete-binding signature. Two snapshots bind a carried file
+    identically iff these tuples are equal."""
+    return tuple(sorted(d["path"] for d in dels
+                        if _delete_applies(f, d, tsets)))
+
+
 def _manifest_partitions(entries: list[dict]) -> dict[str, list[str]] | None:
     """Partition values covered by a manifest ({col: sorted values}), or
     None when any entry is unpartitioned or the value set is too large to
@@ -1563,21 +1594,10 @@ class IceTable:
         if not files:
             return spark.createDataFrame(
                 [], schema=schema or "dummy int")
-        tsets = {d["path"]: set(d["targets"])
-                 for d in dels if d["kind"] == "pos"}
+        tsets = _pos_target_sets(dels)
 
         def applies(f: dict, d: dict) -> bool:
-            if d["kind"] == "pos":
-                return f["path"] in tsets[d["path"]]
-            if (f.get("data_seq") or 0) >= d["delete_seq"]:
-                return False  # file written at/after the delete committed
-            for k in d.get("eq_cols", []):
-                fs = (f.get("stats") or {}).get(k)
-                ds = (d.get("stats") or {}).get(k)
-                if fs and ds and (fs["max"] < ds["min"]
-                                  or fs["min"] > ds["max"]):
-                    return False  # key ranges disjoint: no row can match
-            return True
+            return _delete_applies(f, d, tsets)
 
         dirty = [f for f in files if any(applies(f, d) for d in dels)]
         if not dirty:
@@ -1879,6 +1899,49 @@ class IceTable:
             for suffix in ("min", "max", "nulls")
         ]
         return spark.createDataFrame(rows, names)
+
+    def changes(self, spark: SparkSession, from_seq: int,
+                to_seq: int | None = None) -> DataFrame:
+        """Net row-level changelog between two snapshots (the Iceberg CDC /
+        changelog-table surface): the table schema plus ``_change_type`` ∈
+        {'insert','delete'} — rows visible at ``to_seq`` but not at
+        ``from_seq`` are inserts, the reverse are deletes (multiset
+        semantics: k extra copies ⇒ k change rows).
+
+        File-identity short-circuit (the 100 TB property): a data file
+        present in BOTH snapshots with an UNCHANGED delete binding
+        contributes nothing and is NEVER read — the diff costs O(changed
+        files), not O(table). Files only in one snapshot, plus carried
+        files whose merge-on-read delete binding changed, are read at
+        their respective snapshots and netted with exceptAll in both
+        directions, so a copy-on-write rewrite that merely moved rows
+        between files emits nothing. Schema evolution across the window is
+        refused (a changelog row needs one schema)."""
+        raw_a = self._raw_snapshot(from_seq)
+        raw_b = self._raw_snapshot(to_seq)
+        if raw_a["schema"] != raw_b["schema"]:
+            raise ValueError(
+                "changes: schema evolved across the window "
+                f"({raw_a['schema']!r} -> {raw_b['schema']!r})")
+        dels_a, dels_b = self._delete_entries(raw_a), self._delete_entries(raw_b)
+        ts_a, ts_b = _pos_target_sets(dels_a), _pos_target_sets(dels_b)
+        fa = {f["path"]: f for f in self._snap_files(raw_a)}
+        fb = {f["path"]: f for f in self._snap_files(raw_b)}
+        side_a = [f for p, f in fa.items() if p not in fb]
+        side_b = [f for p, f in fb.items() if p not in fa]
+        for p in fa.keys() & fb.keys():
+            if (_delete_binding(fa[p], dels_a, ts_a)
+                    != _delete_binding(fb[p], dels_b, ts_b)):
+                side_a.append(fa[p])
+                side_b.append(fb[p])
+        schema = raw_b["schema"]
+        old = self._read_with_deletes(spark, schema, side_a, raw_a)
+        new = self._read_with_deletes(spark, schema, side_b, raw_b)
+        return (
+            old.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                new.exceptAll(old).withColumn("_change_type", F.lit("insert")))
+        )
 
 
 def _ddl(df: DataFrame) -> str:

@@ -37,6 +37,7 @@ BNLJ_WHITELIST = {
     "sketch_hdr_quantiles",  # 3-row percentile grid × tiny bucket table
     "eval_rank_metrics",  # knn_bruteforce × 2: same 20-query-vector broadcast
     "data_expectations",  # four 1-row aggregate relations scalar-combined
+    "search_bm25_ranked",  # 1-row corpus stats (n_docs, avgdl) broadcast
 }
 
 

@@ -1162,3 +1162,79 @@ def test_metadata_agg_refuses_statless_column(spark, tbl):
     tbl.append(_df(spark, 0, 10).selectExpr("id", "cast(null as string) AS s"))
     with pytest.raises(ValueError, match="no footer stats"):
         tbl.metadata_agg(spark, cols=["s"])
+
+
+# ---------------------------------------------------------------------------
+# snapshot changelog (CDC)
+# ---------------------------------------------------------------------------
+
+
+def _changed(spark, tbl, from_seq, to_seq=None):
+    rows = tbl.changes(spark, from_seq, to_seq).collect()
+    return (
+        sorted(r["id"] for r in rows if r["_change_type"] == "insert"),
+        sorted(r["id"] for r in rows if r["_change_type"] == "delete"),
+    )
+
+
+def test_changes_append_only_window(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    tbl.append(_df(spark, 10, 15))
+    ins, dels = _changed(spark, tbl, 1)
+    assert ins == list(range(10, 15)) and dels == []
+
+
+def test_changes_cow_rewrite_nets_to_deleted_rows_only(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.delete_where(spark, ("id", "<", 5), mode="cow")
+    ins, dels = _changed(spark, tbl, 1)
+    # the rewrite moved 95 surviving rows to new files; they must net out
+    assert ins == [] and dels == [0, 1, 2, 3, 4]
+
+
+def test_changes_mor_binding_change_exposes_carried_file(spark, tbl):
+    tbl.append(_df(spark, 0, 100))
+    tbl.delete_where(spark, ("id", "=", 7), mode="mor")
+    ins, dels = _changed(spark, tbl, 1)
+    assert ins == [] and dels == [7]
+
+
+def test_changes_overwrite_and_reverse_window(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    tbl.overwrite(_df(spark, 5, 12, tag="ow"))
+    ins, dels = _changed(spark, tbl, 1)
+    assert ins == list(range(5, 12)) and dels == list(range(0, 10))
+    # empty window
+    ins, dels = _changed(spark, tbl, 2, 2)
+    assert ins == [] and dels == []
+
+
+def test_changes_skips_untouched_files(spark, tbl, monkeypatch):
+    tbl.append(_df(spark, 0, 50))        # untouched throughout
+    tbl.append(_df(spark, 50, 60))
+    tbl.append(_df(spark, 60, 70))
+    from deepdoctection_spark.sources.icetable import IceTable as IT
+
+    seen: list[str] = []
+    orig = IT._read_files
+
+    def spy(self, spark_, schema, files, lineage=False):
+        seen.extend(f["path"] for f in files)
+        return orig(self, spark_, schema, files, lineage=lineage)
+
+    monkeypatch.setattr(IT, "_read_files", spy)
+    ins, dels = _changed(spark, tbl, 2)
+    assert ins == list(range(60, 70)) and dels == []
+    first_commit = {f["path"] for f in tbl._load_manifest(
+        tbl._raw_snapshot(1)["manifests"][0]["path"])}
+    assert not (set(seen) & first_commit)  # snapshot-1 files never read
+
+
+def test_changes_refuses_schema_evolution(spark, tbl):
+    tbl.append(_df(spark, 0, 10))
+    tbl.append(
+        _df(spark, 10, 20).withColumn("extra", F.lit(1)),
+        allow_schema_change=True,
+    )
+    with pytest.raises(ValueError, match="schema evolved"):
+        tbl.changes(spark, 1)
