@@ -570,3 +570,58 @@ def q_ice_changelog(spark, sf_dir):
              F.count_distinct("user_id").alias("n_users"))
     )
     return _materialize_then_rm(out, tmp)
+
+
+@register(
+    "ice_incr_matview",
+    f"""
+WITH live AS (
+  SELECT * FROM events
+  WHERE (event_id % 3 IN (0, 1) AND NOT (event_id <= 40) AND event_id != 43)
+     OR event_id % 3 = 2
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 3) AS sum_value
+FROM live GROUP BY event_type
+""",
+)
+def q_ice_incr_matview(spark, sf_dir):
+    """Incremental materialized-view maintenance via the changelog — the
+    REASON a CDC surface exists: a per-event_type (count, sum) view built
+    at snapshot 2 is brought current by aggregating ONLY the change rows
+    (insert:+, delete:-) and merging the deltas — the table is never
+    re-scanned. Same commit sequence as ice_changelog (CoW delete, append,
+    MoR delete). The oracle computes the view directly over the expected
+    live rows, so agreement proves base ⊕ delta == full recompute,
+    including group disappearance (groups whose count reaches 0 drop out).
+    At 100 TB this is the difference between re-aggregating the table and
+    aggregating the day's delta."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_mv_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0"))
+    t.append(ev.where("event_id % 3 = 1"))          # base view built here
+    base = (
+        t.read(spark, seq=2)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+    )
+    t.delete_where(spark, ("event_id", "<=", 40), mode="cow")
+    t.append(ev.where("event_id % 3 = 2"))
+    t.delete_where(spark, ("event_id", "=", 43), mode="mor")
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        t.changes(spark, from_seq=2)
+        .groupBy("event_type")
+        .agg(F.sum(sign).cast("long").alias("n_events"),
+             F.sum(sign * F.col("value")).alias("sum_value"))
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n_events").cast("long").alias("n_events"),
+             F.round(F.sum("sum_value"), 3).alias("sum_value"))
+        .where(F.col("n_events") > 0)
+    )
+    return _materialize_then_rm(merged, tmp)
