@@ -415,3 +415,77 @@ def char_diversity(docs: DataFrame) -> DataFrame:
         )
         .drop("_coll")
     )
+
+
+# Line-level drop phrases from the published C4 cleaning recipe (Raffel et
+# al. 2020 §2.2): boilerplate/policy lines removed before page-level gates.
+C4_LINE_PHRASES = (
+    "javascript",
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+)
+
+
+def c4_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style cleaning gate (Raffel et al. 2020, §2.2) — the other
+    canonical pre-training corpus filter next to :func:`gopher_rules`.
+    Line level: keep only lines with ≥5 words that end in terminal
+    punctuation (. ! ? ") and contain none of the boilerplate phrases in
+    ``C4_LINE_PHRASES``. Page level: drop documents whose CLEANED text has
+    <3 sentences (terminal-punctuation count), or whose RAW text contains
+    'lorem ipsum' or a curly brace.
+
+    Everything is exact integer/boolean arithmetic over built-in
+    higher-order functions (transform/filter/array_join/translate) — zero
+    UDF, no explode, no shuffle: at 100 TB this is one narrow
+    whole-stage-codegen map over the corpus scan, trivially partitionable.
+
+    Reference analogue: the page-level summary/filter annotations
+    (/root/reference/deepdoctection/datapoint/annotation.py:471-488),
+    generalized to the published C4 rule set."""
+    text = F.col(text_col)
+    lines = F.split(text, "\n", -1)
+    # per-line whitespace trim shared by both engines (rtrim only strips
+    # spaces; this also eats \r and \t at the seams)
+    # explicit whitespace class: Java's \s and RE2's \s disagree on \x0B,
+    # and the oracle runs on RE2 — spell the set out in both engines
+    ws_cls = "[ \\t\\r\\f\\x0B]"
+    wlines = F.transform(
+        lines, lambda l: F.regexp_replace(l, f"(^{ws_cls}+)|({ws_cls}+$)", "")
+    )
+
+    def _line_keep(l):
+        n_words = F.size(
+            F.filter(F.split(l, ws_cls + "+"), lambda w: F.length(w) > 0)
+        )
+        terminal = F.substring(l, -1, 1).isin(".", "!", "?", '"')
+        low = F.lower(l)
+        no_boiler = ~low.contains(C4_LINE_PHRASES[0])
+        for p in C4_LINE_PHRASES[1:]:
+            no_boiler = no_boiler & ~low.contains(p)
+        return (n_words >= 5) & terminal & no_boiler
+
+    kept = F.filter(wlines, _line_keep)
+    clean = F.array_join(kept, "\n")
+    n_sent = (F.length(clean) - F.length(F.translate(clean, ".!?", ""))).cast(
+        "long"
+    )
+    flag_sentences = n_sent >= 3
+    flag_lorem = ~F.lower(text).contains("lorem ipsum")
+    flag_brace = ~text.contains("{")
+    keep = (F.size(kept) >= 1) & flag_sentences & flag_lorem & flag_brace
+    return docs.select(
+        id_col,
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("kept_lines"),
+        n_sent.cast("int").alias("n_sentences"),
+        F.length(clean).cast("int").alias("clean_chars"),
+        flag_sentences.alias("flag_sentences"),
+        flag_lorem.alias("flag_lorem"),
+        flag_brace.alias("flag_brace"),
+        keep.alias("keep"),
+    )

@@ -625,3 +625,63 @@ def q_ice_incr_matview(spark, sf_dir):
         .where(F.col("n_events") > 0)
     )
     return _materialize_then_rm(merged, tmp)
+
+
+@register(
+    "ice_orphan_cleanup",
+    f"""
+WITH slice AS (
+  SELECT * FROM events WHERE event_id % 3 IN (0, 1)
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_orphan_cleanup(spark, sf_dir):
+    """Iceberg remove_orphan_files: two appends, then three injected
+    orphans — a stray data parquet (a torn write's leftover), an
+    unreferenced manifest and an unreferenced Bloom sidecar (a lost
+    commit race's debris). Asserted: dry-run reports EXACTLY the three
+    injected files and deletes nothing; the real run removes them and
+    ONLY them (every referenced file survives, pinned by count); reads at
+    head and at seq=1 are unchanged. The oracle sees the two appends —
+    agreement proves cleanup never touched live data."""
+    import json as _json
+    import os
+
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_orph_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0"), bloom_cols=["event_type"])
+    t.append(ev.where("event_id % 3 = 1"), bloom_cols=["event_type"])
+    data_dir = t.data_dir
+    live_before = sorted(
+        os.path.join(r, fn) for r, _d, fs in os.walk(data_dir) for fn in fs)
+    # inject orphans: torn-write parquet + lost-race manifest + sidecar
+    src = live_before[0]
+    orphan_parquet = os.path.join(data_dir, "deadbeef0000-99999.parquet")
+    shutil.copyfile(src, orphan_parquet)
+    orphan_manifest = os.path.join(t.meta_dir, "manifest-deadbeef.json")
+    with open(orphan_manifest, "w") as f:
+        _json.dump([], f)
+    puffin = os.path.join(t.meta_dir, "puffin")
+    os.makedirs(puffin, exist_ok=True)
+    orphan_sidecar = os.path.join(puffin, "deadbeef.orphan.bloom.json")
+    with open(orphan_sidecar, "w") as f:
+        _json.dump({"m": 8, "k": 1, "bits": []}, f)
+
+    dry = t.remove_orphans(dry_run=True)
+    assert dry["n_orphans"] == 3, dry
+    assert dry["orphan_data_files"] == ["deadbeef0000-99999.parquet"], dry
+    assert dry["orphan_manifests"] == ["manifest-deadbeef.json"], dry
+    assert os.path.exists(orphan_parquet), "dry run must not delete"
+
+    real = t.remove_orphans()
+    assert real["n_orphans"] == 3, real
+    assert not os.path.exists(orphan_parquet)
+    assert not os.path.exists(orphan_manifest)
+    assert not os.path.exists(orphan_sidecar)
+    live_after = sorted(
+        os.path.join(r, fn) for r, _d, fs in os.walk(data_dir) for fn in fs)
+    assert live_after == live_before, "cleanup touched a referenced file"
+    assert t.read(spark, seq=1).count() > 0  # time travel intact
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)

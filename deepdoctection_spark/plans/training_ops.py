@@ -1984,6 +1984,111 @@ def q_quality_char_diversity(spark, sf_dir):
     return textstats.char_diversity(_docs(spark, sf_dir))
 
 
+# Deterministic multi-line "web page" synthesis over the documents table —
+# the corpus text itself is punctuation-free word soup, on which every C4
+# line rule is vacuously false; this template (same construction replayed in
+# both engines, the FakeData/transcripts philosophy) exercises BOTH branches
+# of every flag: terminal-punct keep, short-line drop, soup drop, boilerplate
+# drop, sentence-count gate (doc_id%5), lorem page drop (%7, case-insensitive
+# via the capitalized marker), brace page drop (%11).
+_C4_PAGES_CTE = """
+pages AS (
+  SELECT doc_id, concat_ws(chr(10),
+    'Document ' || doc_id || ' opens with a proper sentence.',
+    'too short.',
+    substr(text, 1, 40),
+    CASE WHEN doc_id % 4 = 0
+         THEN 'We updated our privacy policy effective today.' END,
+    CASE WHEN doc_id % 5 IN (0, 1)
+         THEN 'A second full sentence arrives with words!' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'Does the third sentence complete the document?' END,
+    CASE WHEN doc_id % 7 = 0
+         THEN 'Filler contains Lorem Ipsum boilerplate markers today.' END,
+    CASE WHEN doc_id % 11 = 0
+         THEN 'code sample { return 1; } inline' END
+  ) AS text FROM documents
+)
+"""
+
+
+def _c4_pages(docs):
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("Document "), d.cast("string"),
+                     F.lit(" opens with a proper sentence.")),
+            F.lit("too short."),
+            F.substring("text", 1, 40),
+            F.when(d % 4 == 0,
+                   F.lit("We updated our privacy policy effective today.")),
+            F.when((d % 5).isin(0, 1),
+                   F.lit("A second full sentence arrives with words!")),
+            F.when(d % 5 == 0,
+                   F.lit("Does the third sentence complete the document?")),
+            F.when(d % 7 == 0,
+                   F.lit("Filler contains Lorem Ipsum boilerplate markers "
+                         "today.")),
+            F.when(d % 11 == 0,
+                   F.lit("code sample { return 1; } inline")),
+        ).alias("text"),
+    )
+
+
+def _c4_oracle() -> str:
+    """C4 rule set in DuckDB — same explicit whitespace class, line
+    predicate and page gates as operators/textstats.c4_rules, so flags are
+    bit-identical with no regex-dialect seam."""
+    ws = "[ \\t\\r\\f\\x0B]"
+    no_boiler = " AND ".join(
+        f"NOT contains(lower(l), '{p}')" for p in textstats.C4_LINE_PHRASES
+    )
+    return f"""
+WITH {_C4_PAGES_CTE.strip()},
+f AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM pages
+), w AS (
+  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+    list_filter(
+      list_transform(lines,
+        l -> regexp_replace(l, '(^{ws}+)|({ws}+$)', '', 'g')),
+      l -> len(list_filter(regexp_split_to_array(l, '{ws}+'),
+                           x -> len(x) > 0)) >= 5
+           AND right(l, 1) IN ('.', '!', '?', '"')
+           AND {no_boiler}
+    ) AS kept
+  FROM f
+), m AS (
+  -- array_to_string of an empty list is NULL in DuckDB; Spark's
+  -- array_join gives '' — coalesce to match
+  SELECT doc_id, text, n_lines, len(kept)::BIGINT AS kept_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM w
+), s AS (
+  SELECT *, (len(clean) - len(translate(clean, '.!?', '')))::BIGINT AS n_sent,
+         NOT contains(lower(text), 'lorem ipsum') AS flag_lorem,
+         NOT contains(text, chr(123)) AS flag_brace
+  FROM m
+)
+SELECT doc_id, n_lines::INT AS n_lines, kept_lines::INT AS kept_lines,
+  n_sent::INT AS n_sentences, len(clean)::INT AS clean_chars,
+  (n_sent >= 3) AS flag_sentences, flag_lorem, flag_brace,
+  (kept_lines >= 1 AND n_sent >= 3 AND flag_lorem AND flag_brace) AS keep
+FROM s
+"""
+
+
+@register("quality_c4_rules", _c4_oracle())
+def q_quality_c4_rules(spark, sf_dir):
+    """C4 cleaning gate (line-keep + page-drop rules) over deterministic
+    template pages — exact integer/boolean arithmetic, zero UDF, one
+    codegen map (operators/textstats.c4_rules); every flag exercises both
+    branches (see _C4_PAGES_CTE)."""
+    return textstats.c4_rules(_c4_pages(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 # query-time retrieval: boolean AND, phrase match, BM25 top-k search
 # ---------------------------------------------------------------------------

@@ -1302,6 +1302,95 @@ class IceTable:
             return None
         return [r.asDict() for r in rows]
 
+    def _live_sets(
+        self, seqs: set[int]
+    ) -> tuple[set[str], set[str], set[str]]:
+        """(data-file rels, Bloom-sidecar rels, manifest filenames)
+        referenced by the given main-branch sequences PLUS every snapshot of
+        every branch — branch snapshots share data/manifests with main, so
+        anything any branch references stays live until the branch is
+        deleted. Merge-on-read delete files live in data/ and their
+        manifests in metadata/; both are live while a referencing snapshot
+        lists them."""
+        live: set[str] = set()
+        live_sidecars: set[str] = set()
+        live_manifests: set[str] = set()
+        live_raws = [self._raw_snapshot(seq) for seq in seqs]
+        for bname in self.branches():
+            b = IceTable(self.path, branch=bname)
+            live_raws.extend(b._raw_snapshot(s) for s in b._committed_seqs())
+        for raw in live_raws:
+            live_manifests.update(
+                m["path"] for m in raw.get("manifests", []))
+            for f in self._snap_files(raw):
+                live.add(f["path"])
+                live_sidecars.update((f.get("bloom") or {}).values())
+            live_manifests.update(
+                m["path"] for m in raw.get("delete_manifests", []))
+            for d in self._delete_entries(raw):
+                live.add(d["path"])
+        return live, live_sidecars, live_manifests
+
+    def remove_orphans(self, dry_run: bool = False) -> dict:
+        """Iceberg ``remove_orphan_files``: find (and unless ``dry_run``,
+        delete) physical files under the table location that NO committed
+        snapshot on any branch references. Orphans accumulate from torn
+        writes and lost optimistic-commit races — the loser of a commit race
+        rebases, but the data files and manifests of its failed attempt are
+        never referenced by any snapshot (see ``_commit``). Unlike
+        :meth:`expire_snapshots` (which reclaims files referenced ONLY by
+        expired snapshots and destroys time travel to them), orphan removal
+        never changes what ANY snapshot reads — safe on a live table, and at
+        100 TB it is routine maintenance after crashed writer fleets.
+
+        Main-handle-only for the same shared-directory reason as expiry:
+        a branch handle's snapshot view is partial."""
+        if self.branch_name is not None:
+            raise ValueError(
+                "remove_orphans must run on the main table handle, not a "
+                f"branch ({self.branch_name!r}): data files and manifests "
+                "are shared across branches and a branch-local view would "
+                "misclassify files referenced only by main"
+            )
+        live, live_sidecars, live_manifests = self._live_sets(
+            set(self._committed_seqs()))
+        orphan_data: list[str] = []
+        if os.path.isdir(self.data_dir):
+            for root, _dirs, files in os.walk(self.data_dir):
+                for fn in files:
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, self.data_dir)
+                    if rel not in live:
+                        orphan_data.append(rel)
+        puffin = os.path.join(self.meta_dir, "puffin")
+        orphan_sidecars = [
+            fn for fn in (os.listdir(puffin) if os.path.isdir(puffin) else [])
+            if f"puffin/{fn}" not in live_sidecars
+        ]
+        orphan_manifests = [
+            fn for fn in os.listdir(self.meta_dir)
+            if fn.startswith("manifest-") and fn.endswith(".json")
+            and fn not in live_manifests
+        ]
+        if not dry_run:
+            for rel in orphan_data:
+                os.remove(os.path.join(self.data_dir, rel))
+            for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+                if not os.listdir(root) and root != self.data_dir:
+                    os.rmdir(root)
+            for fn in orphan_sidecars:
+                os.remove(os.path.join(puffin, fn))
+            for fn in orphan_manifests:
+                os.remove(os.path.join(self.meta_dir, fn))
+        return {
+            "orphan_data_files": sorted(orphan_data),
+            "orphan_sidecars": sorted(orphan_sidecars),
+            "orphan_manifests": sorted(orphan_manifests),
+            "n_orphans": (len(orphan_data) + len(orphan_sidecars)
+                          + len(orphan_manifests)),
+            "dry_run": dry_run,
+        }
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Snapshot expiry (Iceberg ``expire_snapshots``): drop all but the
         newest ``keep_last`` snapshots and physically delete the manifests
@@ -1325,28 +1414,7 @@ class IceTable:
         seqs = self._committed_seqs()
         retain = set(seqs[-keep_last:]) if keep_last > 0 else set()
         retain.update(self.tags().values())  # named refs pin their snapshots
-        live: set[str] = set()
-        live_sidecars: set[str] = set()
-        live_manifests: set[str] = set()
-        live_raws = [self._raw_snapshot(seq) for seq in retain]
-        # branch snapshots share data/manifests with main: everything any
-        # branch references stays live until the branch is deleted
-        for bname in self.branches():
-            b = IceTable(self.path, branch=bname)
-            live_raws.extend(b._raw_snapshot(s) for s in b._committed_seqs())
-        for raw in live_raws:
-            live_manifests.update(
-                m["path"] for m in raw.get("manifests", []))
-            for f in self._snap_files(raw):
-                live.add(f["path"])
-                live_sidecars.update((f.get("bloom") or {}).values())
-            # merge-on-read delete files live in data/ and their manifests
-            # in metadata/ — both stay live while a retained snapshot's
-            # delete manifest list references them
-            live_manifests.update(
-                m["path"] for m in raw.get("delete_manifests", []))
-            for d in self._delete_entries(raw):
-                live.add(d["path"])
+        live, live_sidecars, live_manifests = self._live_sets(retain)
         deleted_files = 0
         if os.path.isdir(self.data_dir):
             for root, _dirs, files in os.walk(self.data_dir, topdown=False):

@@ -69,3 +69,55 @@ def test_char_diversity_exact(spark):
     assert (got[4]["n_chars"], got[4]["distinct_chars"], got[4]["simpson_micro"]) == (0, 0, 0)
     # spaces are stripped before counting: 'a a a' ≡ 'aaa'
     assert got[5]["simpson_micro"] == 1_000_000 and got[5]["n_chars"] == 3
+
+
+# -- C4 cleaning gate (Raffel et al. 2020 §2.2) -----------------------------
+
+from deepdoctection_spark.operators.textstats import c4_rules  # noqa: E402
+
+
+def _run_c4(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    return {r["doc_id"]: r.asDict() for r in c4_rules(df).collect()}
+
+
+def test_c4_line_keep_rules(spark):
+    good = "This first sentence has enough words to pass."
+    out = _run_c4(spark, [
+        (1, good + "\nshort one.\nno terminal punctuation on this line"),
+        (2, good + "\nPlease read our Privacy Policy before continuing today."),
+        (3, 'He said the quote ends with a quotation mark instead."'),
+    ])
+    a = out[1]  # only the good line survives: <5 words and no-punct drop
+    assert a["n_lines"] == 3 and a["kept_lines"] == 1 and a["n_sentences"] == 1
+    assert not a["flag_sentences"] and not a["keep"]
+    b = out[2]  # boilerplate phrase drops an otherwise-valid line
+    assert b["kept_lines"] == 1
+    assert out[3]["kept_lines"] == 1  # closing-quote terminal counts
+
+
+def test_c4_page_gates(spark):
+    three = ("One proper sentence stands entirely alone here.\n"
+             "A second proper sentence follows the first one!\n"
+             "Does a third proper sentence close the page?")
+    out = _run_c4(spark, [
+        (1, three),
+        (2, three + "\nsome Lorem IPSUM filler text"),
+        (3, three + "\ncode { x }"),
+        (4, ""),
+    ])
+    a = out[1]
+    assert a["kept_lines"] == 3 and a["n_sentences"] == 3 and a["keep"]
+    assert a["flag_sentences"] and a["flag_lorem"] and a["flag_brace"]
+    assert not out[2]["flag_lorem"] and not out[2]["keep"]  # case-insensitive
+    assert not out[3]["flag_brace"] and not out[3]["keep"]
+    e = out[4]
+    assert e["kept_lines"] == 0 and e["clean_chars"] == 0 and not e["keep"]
+
+
+def test_c4_whitespace_seams(spark):
+    # trailing \r / \t around an otherwise-valid line must not break the
+    # terminal-punctuation check or the word count
+    line = "\t  Tabs and spaces surround this proper sentence.  \r"
+    out = _run_c4(spark, [(1, line + "\n" + line + "\n" + line)])
+    assert out[1]["kept_lines"] == 3 and out[1]["keep"]

@@ -1238,3 +1238,55 @@ def test_changes_refuses_schema_evolution(spark, tbl):
     )
     with pytest.raises(ValueError, match="schema evolved"):
         tbl.changes(spark, 1)
+
+
+# -- remove_orphan_files maintenance ----------------------------------------
+
+
+def _walk(d):
+    return sorted(
+        os.path.relpath(os.path.join(r, fn), d)
+        for r, _dirs, fs in os.walk(d) for fn in fs)
+
+
+def test_remove_orphans_only_touches_unreferenced(spark, tbl, tmp_path):
+    tbl.append(_df(spark, 0, 50), bloom_cols=["tag"])
+    tbl.append(_df(spark, 50, 80))
+    before_data = _walk(tbl.data_dir)
+    before_meta = _walk(tbl.meta_dir)
+    # clean table: nothing to do
+    assert tbl.remove_orphans(dry_run=True)["n_orphans"] == 0
+    # inject a torn-write data file + lost-race manifest + stray sidecar
+    import shutil as _sh
+    _sh.copyfile(os.path.join(tbl.data_dir, before_data[0]),
+                 os.path.join(tbl.data_dir, "feedface-00099.parquet"))
+    with open(os.path.join(tbl.meta_dir, "manifest-feedface.json"), "w") as f:
+        json.dump([], f)
+    with open(os.path.join(tbl.meta_dir, "puffin", "stray.bloom.json"),
+              "w") as f:
+        json.dump({"m": 8, "k": 1, "bits": []}, f)
+    dry = tbl.remove_orphans(dry_run=True)
+    assert dry["n_orphans"] == 3 and dry["dry_run"]
+    assert dry["orphan_data_files"] == ["feedface-00099.parquet"]
+    # dry run deleted nothing
+    assert "feedface-00099.parquet" in _walk(tbl.data_dir)
+    real = tbl.remove_orphans()
+    assert real["n_orphans"] == 3
+    assert _walk(tbl.data_dir) == before_data
+    assert _walk(tbl.meta_dir) == before_meta
+    assert tbl.read(spark).count() == 80
+    assert tbl.read(spark, seq=1).count() == 50  # time travel intact
+
+
+def test_remove_orphans_spares_mor_deletes_and_branches(spark, tbl):
+    tbl.append(_df(spark, 0, 60))
+    tbl.delete_where(spark, ("id", "<", 10), mode="mor")
+    tbl.create_branch("dev")
+    dev = IceTable(tbl.path, branch="dev")
+    dev.append(_df(spark, 1000, 1010, tag="dev-only"))
+    # branch-only data files and MoR delete files are all referenced
+    assert tbl.remove_orphans(dry_run=True)["n_orphans"] == 0
+    assert tbl.read(spark).count() == 50
+    assert dev.read(spark).count() == 60  # 50 surviving + 10 dev rows
+    with pytest.raises(ValueError):
+        dev.remove_orphans()
