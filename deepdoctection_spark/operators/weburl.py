@@ -1,0 +1,93 @@
+"""Canonical-URL normalization + URL-level dedup — crawl-pipeline keying.
+
+Web-scale corpora are keyed by URL before any content hash is computed:
+the same page is fetched as ``http://www.Example.com/a/?utm_source=x`` and
+``https://example.com/a`` and must collapse to ONE canonical key or every
+downstream stage (frontier dedup, recrawl scheduling, per-site quotas)
+double-counts it. The normalization here is the standard recipe: lowercase
+scheme+host, strip a leading ``www.``, drop default ports (http:80 /
+https:443), collapse trailing slashes on the path, drop the fragment, drop
+``utm_*`` tracking parameters and sort the rest.
+
+Everything is pure column expressions (regexp_extract / split / filter /
+array_sort / concat) — zero UDF, no shuffle for the canonical key itself;
+the dedup verdict is one window over the canonical key. At 100 TB this is
+a narrow codegen map plus a single hash shuffle on the canonical URL, the
+same shape as exact content dedup.
+
+Reference analogue: deterministic external-id derivation
+(/root/reference/deepdoctection/datapoint/convert.py md5 helpers) — here
+the id is a normalized URL rather than a content hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*"
+
+
+def canonical_url(u):
+    """Column → Column: the canonical form of an absolute http(s) URL."""
+    scheme = F.lower(F.regexp_extract(u, f"({_SCHEME})://", 1))
+    hostport = F.lower(F.regexp_extract(u, f"{_SCHEME}://([^/?#]*)", 1))
+    hp = F.split(hostport, ":")
+    host = F.regexp_replace(F.element_at(hp, 1), r"^www\.", "")
+    port = F.when(F.size(hp) > 1, F.element_at(hp, 2)).otherwise(F.lit(""))
+    is_default = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    portpart = F.when(is_default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.regexp_extract(u, f"{_SCHEME}://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.startswith("utm_"),
+    )
+    qn = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, portpart, path,
+        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)),
+    )
+
+
+def host_quota_sample(df: DataFrame, host_col: str = "host",
+                      id_col: str = "doc_id", k: int = 10) -> DataFrame:
+    """Cap each host's contribution at ``k`` documents — the per-domain
+    quota every web-derived training corpus applies so a single huge site
+    cannot dominate the mix. Selection is a DETERMINISTIC uniform draw:
+    rank within host by ``md5(id)`` (a stable pseudo-random order both
+    engines compute identically), keep the first ``k``. One window shuffle
+    on host; re-runs and cluster-size changes return the same sample."""
+    w = Window.partitionBy(host_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("host_rank") <= k)
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "raw_url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-row canonical key + dedup verdict: ``is_canonical_rep`` marks the
+    lowest-id row of each canonical group (the fetch to keep). One window
+    over the canonical key — a single hash shuffle, skew-bounded by the
+    group sizes (a hot URL's group is capped by its variant count, not the
+    corpus)."""
+    canon = df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        id_col,
+        url_col,
+        "canonical_url",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical_rep"),
+        F.count("*").over(w).cast("int").alias("n_variants"),
+    )

@@ -2090,6 +2090,135 @@ def q_quality_c4_rules(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# canonical-URL dedup (crawl-pipeline URL keying)
+# ---------------------------------------------------------------------------
+
+# Deterministic raw-URL synthesis: five fetch variants per logical page
+# (doc_id // 5). v0/v1/v2 must collapse to one canonical key (case + www +
+# trailing slash + default port + utm params + fragment); v3 keeps its
+# sorted non-tracking query; v4 differs for real (scheme + non-default
+# port). Same construction replayed in both engines.
+_URL_RAW_CTE = """
+raw AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://example.com/site/' || (doc_id // 5)
+      WHEN 1 THEN 'HTTPS://WWW.Example.COM/site/' || (doc_id // 5) || '/'
+      WHEN 2 THEN 'https://example.com:443/site/' || (doc_id // 5)
+                  || '?utm_source=feed&utm_campaign=x#top'
+      WHEN 3 THEN 'https://example.com/site/' || (doc_id // 5) || '?b=2&a=1'
+      ELSE 'http://example.com:8080/site/' || (doc_id // 5) || '#frag'
+    END AS raw_url
+  FROM documents
+)
+"""
+
+_URL_CANON_ORACLE = f"""
+WITH {_URL_RAW_CTE.strip()},
+c AS (
+  SELECT doc_id, raw_url,
+    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(raw_url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(raw_url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(raw_url, '\\?([^#]*)', 1) AS query
+  FROM raw
+), p AS (
+  SELECT doc_id, raw_url, scheme,
+    regexp_replace(string_split(hostport, ':')[1], '^www\\.', '') AS host,
+    CASE WHEN len(string_split(hostport, ':')) > 1
+         THEN string_split(hostport, ':')[2] ELSE '' END AS port,
+    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path0, '/+$', '') END AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+      string_split(query, '&'),
+      q -> len(q) > 0 AND NOT starts_with(q, 'utm_'))), '&'), '') AS qn
+  FROM c
+), k AS (
+  SELECT doc_id, raw_url,
+    scheme || '://' || host
+    || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                  OR (scheme = 'https' AND port = '443')
+             THEN '' ELSE ':' || port END)
+    || path || (CASE WHEN qn = '' THEN '' ELSE '?' || qn END)
+      AS canonical_url
+  FROM p
+)
+SELECT doc_id, raw_url, canonical_url,
+  (doc_id = min(doc_id) OVER (PARTITION BY canonical_url))
+    AS is_canonical_rep,
+  (count(*) OVER (PARTITION BY canonical_url))::INT AS n_variants
+FROM k
+"""
+
+
+def _raw_urls(docs):
+    d = F.col("doc_id")
+    b = F.expr("doc_id div 5").cast("string")
+    v = d % 5
+    site = F.concat(F.lit("/site/"), b)
+
+    def u(prefix, suffix=""):
+        return F.concat(F.lit(prefix), site, F.lit(suffix))
+
+    url = (
+        F.when(v == 0, u("https://example.com"))
+        .when(v == 1, u("HTTPS://WWW.Example.COM", "/"))
+        .when(v == 2, u("https://example.com:443",
+                        "?utm_source=feed&utm_campaign=x#top"))
+        .when(v == 3, u("https://example.com", "?b=2&a=1"))
+        .otherwise(u("http://example.com:8080", "#frag"))
+    )
+    return docs.select("doc_id", url.alias("raw_url"))
+
+
+@register("dedup_url_canonical", _URL_CANON_ORACLE)
+def q_dedup_url_canonical(spark, sf_dir):
+    """Canonical-URL normalization + dedup verdict over five fetch variants
+    per logical page — the crawl-frontier keying step (operators/weburl.py:
+    pure column expressions for the key, ONE window shuffle for the
+    verdict)."""
+    from deepdoctection_spark.operators import weburl
+
+    return weburl.url_dedup(_raw_urls(_docs(spark, sf_dir)))
+
+
+_HOST_QUOTA_ORACLE = """
+WITH h AS (
+  SELECT doc_id, 'h' || (doc_id % 7) || '.example.org' AS host
+  FROM documents
+), r AS (
+  SELECT doc_id, host,
+    row_number() OVER (
+      PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id
+    )::INT AS host_rank
+  FROM h
+)
+SELECT doc_id, host, host_rank FROM r WHERE host_rank <= 10
+"""
+
+
+@register("sample_host_quota", _HOST_QUOTA_ORACLE)
+def q_sample_host_quota(spark, sf_dir):
+    """Per-domain quota sampling: cap each host at 10 docs via a
+    deterministic md5-ordered draw (operators/weburl.host_quota_sample) —
+    seven synthetic hosts over the corpus, 70 survivors. The md5 rank
+    order is computed identically by both engines, so the SAMPLE ITSELF
+    is value-checked, not just its size."""
+    from deepdoctection_spark.operators import weburl
+
+    d = F.col("doc_id")
+    hosts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("h"), (d % 7).cast("string"),
+                 F.lit(".example.org")).alias("host"),
+    )
+    return weburl.host_quota_sample(hosts, k=10)
+
+
+# ---------------------------------------------------------------------------
 # query-time retrieval: boolean AND, phrase match, BM25 top-k search
 # ---------------------------------------------------------------------------
 
