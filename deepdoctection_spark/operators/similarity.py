@@ -89,6 +89,58 @@ def knn_bruteforce(
     )
 
 
+def mine_hard_negatives(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    dup_cosine: float = 0.98,
+    round_to: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per query,
+    the top-k most-similar corpus vectors BELOW the duplicate band (rounded
+    cosine < ``dup_cosine``). Duplicates and near-copies are the worst
+    possible negatives — they are unlabeled positives that poison the
+    contrastive loss — so the miner excludes the duplicate band and returns
+    the informative just-below-duplicate neighbors.
+
+    Same plan shape as :func:`knn_bruteforce` (broadcast query block against
+    the streaming corpus, one window); the duplicate filter is a column
+    predicate applied BEFORE ranking — no extra shuffle, and the window
+    ranks only non-duplicate rows. At 10^9 vectors the corpus side streams;
+    swap the scorer for the IVF probe path unchanged."""
+    from pyspark.sql.window import Window
+
+    base = embeddings.select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qemb"), F.col("emb")), round_to).alias(
+                "cosine_sim"
+            ),
+        )
+        .where(F.col("cosine_sim") < dup_cosine)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def _plane_literal(plane: np.ndarray) -> Column:
     return F.array(*[F.lit(float(v)).cast("double") for v in plane])
 

@@ -308,6 +308,47 @@ def q_knn(spark, sf_dir):
     )
 
 
+@register(
+    "mine_hard_negatives",
+    f"""
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding, x -> CAST(x * 2 AS FLOAT))
+  FROM embeddings WHERE vec_id < 20
+),
+base AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+         FROM emb2),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM base WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, vec_id, round({_COS}, 5) AS cosine_sim
+  FROM q, base WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine_sim, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored WHERE cosine_sim < 0.98
+) WHERE rank <= 5
+""",
+)
+def q_mine_hard_negatives(spark, sf_dir):
+    """Hard-negative mining with PLANTED duplicates: each query vector gets
+    an exact-direction copy (×2 scaling — cosine exactly 1.0) planted into
+    the corpus at vec_id+100000; the miner must exclude every planted copy
+    (rounded cosine ≥ 0.98) and return the informative below-band top-k
+    (operators/similarity.mine_hard_negatives)."""
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    planted = embs.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    out = similarity.mine_hard_negatives(embs.unionByName(planted))
+    return out
+
+
 def _planes_sql() -> list[str]:
     return [
         "[" + ", ".join(f"{v}::DOUBLE" for v in plane) + "]"

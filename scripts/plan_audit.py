@@ -28,7 +28,8 @@ BNLJ_WHITELIST = {
     "ann_ivf_search_trained", "ann_ivf_search_pruned",
     "ann_ivf_search_repl",  # same k-centroid broadcast as the ivf family
     "semdedup_embed",  # IVF coarse-assign: k-centroid broadcast (PLANS.md)
-    "eval_coco_map", "knn_bruteforce", "quality_surprisal", "rel_repeated",
+    "eval_coco_map", "knn_bruteforce", "mine_hard_negatives",
+    "quality_surprisal", "rel_repeated",
     "tfidf_bm25_terms",  # 1-row corpus stats (n_docs, avgdl) broadcast
     "mixture_weights",  # two 1-row global-total broadcasts (token + weight sums)
     "quality_perplexity_bigram",  # 1-row vocab-size broadcast (add-one smoothing V)
