@@ -1,0 +1,141 @@
+"""WARC crawl-archive ingest: the Common Crawl container as a first-class
+source (kernels/warc.py holds the stdlib codec).
+
+Reference analogue: the byte-serializer sources (SerializerFiles /
+SerializerPdfDoc, dd/utils — one datapoint per container unit); here the
+container is the web-archive format a 100 TB crawl corpus actually arrives
+in. Spark-first shape:
+
+- Real ingest (`warc_records`) is ONE narrow `mapInPandas` stage over a
+  table of (blob_id, content binary) — at production scale that table is
+  `spark.read.format("binaryFile").load("s3://…/*.warc.gz")`, so parsing
+  runs scan-aligned with ZERO shuffles and O(one inflated member) memory
+  per task (kernels/warc.split_members streams via `unused_data`).
+- The synthesis side (`synth_warc`) exists for the oracle fixture: it
+  assembles deterministic multi-member `.warc.gz` blobs from the documents
+  table (one groupBy shuffle — fixture-only; real pipelines read archives,
+  they don't write them from rows).
+
+Every parsed field the query exposes (type, target URI, Content-Length,
+payload prefix) comes out of the genuine gzip-inflate + header parse, and
+the DuckDB oracle recomputes it closed-form from `documents` — the same
+round-trip-vs-formula philosophy as the image codecs (multimodal_ops.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deepdoctection_spark.kernels import warc as K
+
+INFO_PAYLOAD = b"software: ddspark-crawler/1.0\r\nformat: WARC file version 1.1\r\n"
+WARC_DATE = "2026-01-01T00:00:00Z"
+PREFIX_CHARS = 32
+
+BLOB_SCHEMA = "blob_id long, n_members int, content binary"
+REC_SCHEMA = (
+    "blob_id long, rec_idx int, warc_type string, url string, "
+    "content_length long, text_prefix string, error string"
+)
+
+
+def _record_id(doc_id: int) -> str:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def doc_url(doc_id_col) -> F.Column:
+    """Deterministic target URI, same host scheme as weburl.host_quota."""
+    return F.concat(
+        F.lit("https://h"), (doc_id_col % 7).cast("string"),
+        F.lit(".example.org/p/"), doc_id_col.cast("string"),
+    )
+
+
+def synth_warc(docs: DataFrame, per_blob: int = 8) -> DataFrame:
+    """documents → deterministic `.warc.gz` blobs: member 0 is a warcinfo
+    record, then one `resource` record per doc (ascending doc_id), each its
+    own gzip member (the Common Crawl layout)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob_id = int(pdf["blob_id"].iloc[0])
+        members = [
+            K.gzip_member(
+                K.build_record(
+                    "warcinfo",
+                    [("WARC-Date", WARC_DATE),
+                     ("WARC-Record-ID", _record_id(-1 - blob_id))],
+                    INFO_PAYLOAD,
+                )
+            )
+        ]
+        for did, text, url in zip(
+            pdf["doc_id"].tolist(), pdf["text"].tolist(), pdf["url"].tolist()
+        ):
+            members.append(
+                K.gzip_member(
+                    K.build_record(
+                        "resource",
+                        [("WARC-Date", WARC_DATE),
+                         ("WARC-Record-ID", _record_id(int(did))),
+                         ("WARC-Target-URI", url),
+                         ("Content-Type", "text/plain")],
+                        str(text).encode("utf-8"),
+                    )
+                )
+            )
+        return pd.DataFrame(
+            [(blob_id, len(members), b"".join(members))],
+            columns=["blob_id", "n_members", "content"],
+        )
+
+    base = docs.select(
+        "doc_id", "text",
+        F.expr(f"doc_id div {per_blob}").alias("blob_id"),
+        doc_url(F.col("doc_id")).alias("url"),
+    )
+    return base.groupBy("blob_id").applyInPandas(build, schema=BLOB_SCHEMA)
+
+
+def warc_records(blobs: DataFrame) -> DataFrame:
+    """Parse `.warc.gz` blobs → one row per record. Narrow mapInPandas
+    stage; malformed blobs quarantine to a single error row (never throw),
+    matching the engine-wide poison-row contract."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bid, raw in zip(pdf["blob_id"].tolist(), pdf["content"].tolist()):
+                bid = int(bid)
+                try:  # row quarantine
+                    for idx, headers, payload in K.parse_warc_blob(bytes(raw)):
+                        wtype = headers.get("warc-type", "")
+                        is_doc = wtype == "resource"
+                        rows.append((
+                            bid, idx, wtype,
+                            headers.get("warc-target-uri") if is_doc else None,
+                            int(headers["content-length"]),
+                            payload.decode("utf-8")[:PREFIX_CHARS]
+                            if is_doc else None,
+                            None,
+                        ))
+                except Exception as exc:
+                    rows.append((
+                        bid, None, None, None, None, None,
+                        f"{type(exc).__name__}: {exc}"[:200],
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "rec_idx", "warc_type", "url",
+                    "content_length", "text_prefix", "error",
+                ],
+            )
+
+    return blobs.select("blob_id", "content").mapInPandas(parse, schema=REC_SCHEMA)

@@ -2259,6 +2259,47 @@ def q_sample_host_quota(spark, sf_dir):
     return weburl.host_quota_sample(hosts, k=10)
 
 
+_WARC_ORACLE = """
+WITH resp AS (
+  SELECT doc_id // 8 AS blob_id,
+         row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)::INT
+           AS rec_idx,
+         'resource' AS warc_type,
+         'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+         strlen(text)::BIGINT AS content_length,
+         substr(text, 1, 32) AS text_prefix
+  FROM documents
+), info AS (
+  SELECT DISTINCT doc_id // 8 AS blob_id, 0::INT AS rec_idx,
+         'warcinfo' AS warc_type, NULL::VARCHAR AS url,
+         {info_len}::BIGINT AS content_length, NULL::VARCHAR AS text_prefix
+  FROM documents
+)
+SELECT blob_id, rec_idx, warc_type, url, content_length, text_prefix,
+       NULL::VARCHAR AS error
+FROM (SELECT * FROM info UNION ALL SELECT * FROM resp)
+"""
+
+
+from deepdoctection_spark.operators.webcrawl import INFO_PAYLOAD as _WARC_INFO  # noqa: E402
+
+
+@register("warc_parse_records", _WARC_ORACLE.format(info_len=len(_WARC_INFO)))
+def q_warc_parse_records(spark, sf_dir):
+    """Common Crawl-style WARC ingest, full round trip: documents are packed
+    into multi-member `.warc.gz` blobs (one gzip member per record, warcinfo
+    head record per archive — operators/webcrawl.synth_warc), then the
+    stdlib codec (kernels/warc.py) inflates members via `unused_data`
+    streaming and parses every record header; the oracle recomputes each
+    exposed field (type, target URI, Content-Length, payload prefix)
+    closed-form from `documents`, so gzip framing, header serialization and
+    Content-Length slicing are all value-checked end to end."""
+    from deepdoctection_spark.operators import webcrawl
+
+    blobs = webcrawl.synth_warc(_docs(spark, sf_dir))
+    return webcrawl.warc_records(blobs)
+
+
 # ---------------------------------------------------------------------------
 # query-time retrieval: boolean AND, phrase match, BM25 top-k search
 # ---------------------------------------------------------------------------

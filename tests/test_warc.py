@@ -1,0 +1,82 @@
+"""WARC codec (kernels/warc.py) + crawl ingest operator (operators/webcrawl.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from deepdoctection_spark.kernels import warc as K
+from deepdoctection_spark.operators import webcrawl as W
+
+
+def _blob(payloads: list[bytes]) -> bytes:
+    return b"".join(
+        K.gzip_member(
+            K.build_record(
+                "resource",
+                [("WARC-Target-URI", f"https://x.org/{i}")],
+                p,
+            )
+        )
+        for i, p in enumerate(payloads)
+    )
+
+
+def test_kernel_round_trip_multi_member():
+    payloads = [b"alpha", b"", b"payload with spaces and \xf0\x9f\x8c\x90 utf8"]
+    recs = K.parse_warc_blob(_blob(payloads))
+    assert [idx for idx, _, _ in recs] == [0, 1, 2]
+    for i, (_, headers, payload) in enumerate(recs):
+        assert payload == payloads[i]
+        assert headers["warc-type"] == "resource"
+        assert headers["warc-target-uri"] == f"https://x.org/{i}"
+        assert int(headers["content-length"]) == len(payloads[i])
+
+
+def test_member_split_never_crosses_boundaries():
+    # a payload that CONTAINS a full serialized record must not confuse the
+    # member walk (framing comes from gzip, not from content scanning)
+    inner = K.build_record("resource", [], b"inner")
+    recs = K.parse_warc_blob(_blob([inner, b"tail"]))
+    assert [p for _, _, p in recs] == [inner, b"tail"]
+
+
+def test_truncated_member_raises():
+    blob = _blob([b"hello"])
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        K.split_members(blob[:-5])
+
+
+def test_corrupt_member_raises():
+    blob = _blob([b"hello", b"world"])
+    bad = blob[:10] + b"\x00\x00\x00\x00" + blob[14:]
+    with pytest.raises(ValueError):
+        K.parse_warc_blob(bad)
+
+
+def test_content_length_violation_raises():
+    rec = K.build_record("resource", [], b"abcdef")
+    torn = rec.replace(b"Content-Length: 6", b"Content-Length: 99")
+    with pytest.raises(ValueError, match="payload truncated"):
+        K.parse_record(torn)
+
+
+def test_spark_round_trip_and_quarantine(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(20)
+    blobs = W.synth_warc(docs)
+    poison = spark.createDataFrame(
+        [(999999, 1, b"not a gzip member at all")],
+        "blob_id long, n_members int, content binary",
+    )
+    out = W.warc_records(blobs.unionByName(poison)).collect()
+    good = [r for r in out if r["error"] is None]
+    bad = [r for r in out if r["error"] is not None]
+    assert len(bad) == 1 and bad[0]["blob_id"] == 999999
+    docs_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    resources = [r for r in good if r["warc_type"] == "resource"]
+    assert len(resources) == len(docs_rows)
+    for r in resources:
+        did = int(r["url"].rsplit("/", 1)[1])
+        assert r["content_length"] == len(docs_rows[did].encode())
+        assert docs_rows[did].startswith(r["text_prefix"])
+    infos = [r for r in good if r["warc_type"] == "warcinfo"]
+    assert all(r["rec_idx"] == 0 and r["url"] is None for r in infos)
