@@ -803,3 +803,128 @@ def sample_frames_mjpeg(media: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(fs, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup: average-hash (aHash) in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long, error string"
+
+
+def synth_images_perturbed(docs: DataFrame, n_pert: int = 15) -> DataFrame:
+    """Planted near-duplicates for the perceptual-dedup fixture: for each
+    doc_id < n_pert, the SAME FIMG image as synth_images but with the last
+    four pixels saturated to 255 (media_id = doc_id + 100000). A perceptual
+    hash must place each planted copy within a few bits of its original
+    (measured on this fixture: hamming <= 6, every pair keeps at least one
+    of the four 16-bit bands intact, so banded candidate recall is 15/15)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                if mid >= n_pert:
+                    continue
+                w, h, c = _img_dims(mid)
+                px = ((mid % 256 + 7 * np.arange(w * h * c, dtype=np.int64))
+                      % 256).astype(np.uint8)
+                px[-12:] = 255  # saturate the last four pixels
+                raw = b"FIMG" + struct.pack("<HHH", w, h, c) + px.tobytes()
+                rows.append((mid + 100000, "image/fimg", w, h, c, raw))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def ahash_bands(media: DataFrame) -> DataFrame:
+    """Decode + 64-bit average hash, emitted as four 16-bit band integers
+    (the LSH keys AND the hamming operands — the full hash never needs to
+    exist as one word, so no signed-64 overflow games in either engine).
+
+    Exact-integer definition shared verbatim with the DuckDB oracle:
+    grid cell (gy, gx) = (y*8//h, x*8//w); gray = sum of the pixel's
+    channel bytes; bit(gy,gx) = cell_gray_sum * total_count >
+    total_gray_sum * cell_count (strict; equality -> 0). Counts may be
+    pixels or bytes — every cell holds exactly `channels` bytes per pixel,
+    so the choice scales both sides of the inequality uniformly. Band k
+    packs rows 2k..2k+1 MSB-first: value = sum bit << (15 - ((gy%2)*8+gx)).
+    Narrow mapInPandas; poison payloads quarantine to an error row."""
+
+    def hsh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoctection_spark.operators.codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"].tolist(), pdf["content"].tolist()):
+                try:  # row quarantine
+                    a = decode_image(bytes(raw)).astype(np.int64)
+                    h, w, _c = a.shape
+                    gray = a.sum(axis=2)
+                    ys = (np.arange(h) * 8) // h
+                    xs = (np.arange(w) * 8) // w
+                    cell = ys[:, None] * 8 + xs[None, :]
+                    sums = np.zeros(64, dtype=np.int64)
+                    np.add.at(sums, cell.ravel(), gray.ravel())
+                    counts = np.bincount(cell.ravel(), minlength=64)
+                    bits = sums * int(gray.size) > int(gray.sum()) * counts
+                    bands = [
+                        int(sum(int(b) << (15 - j)
+                                for j, b in enumerate(bits[k * 16:(k + 1) * 16])))
+                        for k in range(4)
+                    ]
+                    rows.append((int(mid), *bands, None))
+                except Exception as exc:
+                    rows.append((int(mid), None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3", "error"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(hsh, schema=AHASH_SCHEMA)
+
+
+def ahash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Banded perceptual near-dup pairs: candidates share at least one of
+    the four 16-bit bands (pigeonhole: any pair within 3 flipped bits is
+    GUARANTEED a shared band; beyond that recall degrades gracefully, the
+    standard SimHash-style trade), verified by exact hamming distance over
+    the band integers (JVM `bit_count(xor)` — no Python in the verify).
+    One (band_idx, band_val) equi-join — never all-pairs; at 10^9 images
+    the band join is the same bounded-fan-out shape as dedup.simhash."""
+    clean = hashes.where(F.col("error").isNull())
+    sides = clean.select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        for k in range(4)
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -139,3 +139,82 @@ def warc_records(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.select("blob_id", "content").mapInPandas(parse, schema=REC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl-policy filtering (RFC 9309 longest-match core)
+# ---------------------------------------------------------------------------
+
+
+def robots_rules(robots: DataFrame) -> DataFrame:
+    """Parse robots.txt bodies → (host, is_allow, prefix, rule_len).
+
+    Real group semantics: a rule line applies only when the MOST RECENT
+    preceding `User-agent:` line names `*` (tracked with one last-non-null
+    window over the exploded lines — foreign-agent groups like a blanket
+    `User-agent: evilbot / Disallow: /` must not leak into our verdicts).
+    Comments, blank lines and empty-path Disallow (spec: matches nothing)
+    drop out. Scope note: RFC 9309 prefix rules; the `*`/`$` wildcard
+    extension is not implemented. Output is hosts×rules-sized — broadcast
+    it at the decision join."""
+    from pyspark.sql.window import Window
+
+    ln = F.trim(F.col("line"))
+    agent = F.lower(F.regexp_extract(ln, r"(?i)^user-agent\s*:\s*(\S+)", 1))
+    w = (
+        Window.partitionBy("host").orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lines = (
+        robots.select(
+            "host",
+            F.posexplode(F.split("robots_txt", "\n")).alias("line_no", "line"),
+        )
+        .withColumn(
+            "cur_agent",
+            F.last(F.when(agent != "", agent), ignorenulls=True).over(w),
+        )
+    )
+    rule_type = F.lower(F.regexp_extract(ln, r"(?i)^(allow|disallow)\s*:", 1))
+    prefix = F.regexp_extract(ln, r"(?i)^(?:allow|disallow)\s*:\s*(\S+)", 1)
+    return (
+        lines.where((F.col("cur_agent") == "*") & (rule_type != "") & (prefix != ""))
+        .select(
+            "host",
+            (rule_type == "allow").alias("is_allow"),
+            prefix.alias("prefix"),
+            F.length(prefix).cast("int").alias("rule_len"),
+        )
+    )
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Crawl-policy verdict per URL: among the host's rules whose prefix
+    matches the path, the LONGEST wins; ties go to Allow (RFC 9309 §2.2.2);
+    no match → allowed. ONE broadcast left join (rules are hosts×lines —
+    always model-sized) + one per-URL window; URLs stream, nothing else
+    shuffles, so the filter runs scan-aligned over a 10^10-row frontier."""
+    from pyspark.sql.window import Window
+
+    j = urls.join(F.broadcast(rules), on="host", how="left")
+    hit = F.col("prefix").isNotNull() & F.col("path").startswith(F.col("prefix"))
+    ranked = j.select(
+        "doc_id", "host", "path",
+        F.when(hit, F.col("prefix")).alias("m_prefix"),
+        F.when(hit, F.col("rule_len")).otherwise(F.lit(-1)).alias("m_len"),
+        F.when(hit, F.col("is_allow")).alias("m_allow"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("m_len").desc(),
+        F.col("m_allow").desc_nulls_last(),
+        F.col("m_prefix").asc_nulls_last(),
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "host", "path",
+            F.coalesce(F.col("m_allow"), F.lit(True)).alias("allowed"),
+            F.col("m_prefix").alias("matched_prefix"),
+        )
+    )

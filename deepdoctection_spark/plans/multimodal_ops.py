@@ -631,3 +631,77 @@ def q_media_catalog(spark, sf_dir):
         F.col("video_meta.n_frames").alias("n_frames"),
         "n_bytes",
     )
+
+
+_AHASH_ORACLE = """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (16 + doc_id % 16) AS w, (8 + doc_id % 8) AS h, FALSE AS pert
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id % 256,
+         (16 + doc_id % 16), (8 + doc_id % 8), TRUE
+  FROM documents WHERE doc_id < 15
+),
+px AS (
+  SELECT media_id, w, h,
+         (i % (3 * w)) // 3 AS x, i // (3 * w) AS y,
+         CASE WHEN pert AND i >= 3 * w * h - 12 THEN 255
+              ELSE (seed + 7 * i) % 256 END AS v
+  FROM dims, unnest(range(3 * w * h)) AS t(i)
+),
+cells AS (
+  SELECT media_id, (y * 8) // h AS gy, (x * 8) // w AS gx,
+         sum(v)::BIGINT AS cell_sum, count(*)::BIGINT AS cell_n
+  FROM px GROUP BY ALL
+),
+tot AS (
+  SELECT media_id, sum(cell_sum)::BIGINT AS total_sum,
+         sum(cell_n)::BIGINT AS total_n
+  FROM cells GROUP BY media_id
+),
+bits AS (
+  SELECT c.media_id, gy, gx,
+         CASE WHEN cell_sum * total_n > total_sum * cell_n
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM cells c JOIN tot USING (media_id)
+),
+bands AS (
+  SELECT media_id, (gy // 2) AS band_idx,
+         sum(bit << (15 - ((gy % 2) * 8 + gx)))::BIGINT AS band_val
+  FROM bits GROUP BY media_id, gy // 2
+),
+hashes AS (
+  SELECT media_id,
+         max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+         max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+         max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+         max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+  FROM bands GROUP BY media_id
+)
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       (bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)))::INT
+         AS hamming
+FROM hashes a JOIN hashes b
+  ON a.media_id < b.media_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 6
+"""
+
+
+@register("media_ahash_neardup", _AHASH_ORACLE)
+def q_media_ahash_neardup(spark, sf_dir):
+    """Perceptual image near-dup: decode real FIMG bytes, 64-bit average
+    hash in exact integer arithmetic (four 16-bit band ints), banded
+    candidate equi-join + JVM bit_count(xor) hamming verify <= 6. The
+    corpus carries 15 PLANTED near-copies (last four pixels saturated,
+    multimodal.synth_images_perturbed) the pipeline must recover, plus the
+    exact-dup collisions (doc_id = d and d+256 encode identical images).
+    The oracle replays the identical hash + band + verify algorithm from
+    the closed-form pixel formula — a full differential, not a row count
+    (operators/multimodal.ahash_bands / ahash_neardup)."""
+    docs = _docs(spark, sf_dir)
+    imgs = mm.synth_images(docs).unionByName(mm.synth_images_perturbed(docs))
+    return mm.ahash_neardup(mm.ahash_bands(imgs))

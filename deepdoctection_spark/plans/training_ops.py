@@ -2410,3 +2410,56 @@ def q_search_bm25_ranked(spark, sf_dir):
     Plan: postings ⋈ broadcast(terms) ⋈ doc-length → per-doc sum → one
     bounded top-k window over the hit set only."""
     return retrieval.bm25_query_search(_docs(spark, sf_dir), 10, 5, 20)
+
+
+_ROBOTS_ORACLE = """
+WITH u AS (
+  SELECT doc_id, (doc_id % 7)::VARCHAR AS k,
+         'h' || (doc_id % 7) || '.example.org' AS host,
+         '/p/' || doc_id AS path, doc_id::VARCHAR AS ds
+  FROM documents
+)
+SELECT doc_id, host, path,
+       (NOT starts_with(ds, k)) OR starts_with(ds, k || k) AS allowed,
+       CASE WHEN starts_with(ds, k || k) THEN '/p/' || k || k
+            WHEN starts_with(ds, k) THEN '/p/' || k
+            ELSE NULL END AS matched_prefix
+FROM u
+"""
+
+
+@register("crawl_robots_filter", _ROBOTS_ORACLE)
+def q_crawl_robots_filter(spark, sf_dir):
+    """robots.txt crawl-policy filter, parsed from REAL robots bodies: each
+    host's fixture robots.txt carries a foreign-agent group (`User-agent:
+    evilbot` / `Disallow: /`) that must NOT leak, a `User-agent: *` group
+    with `Disallow: /p/<k>` overridden by the longer `Allow: /p/<k><k>`
+    (RFC 9309 longest-match), a comment, a blank line and an empty-path
+    Disallow (spec: matches nothing). The oracle states every verdict
+    closed-form — blocked iff the doc id starts with the host digit and is
+    not re-allowed by the doubled-digit prefix — so group tracking, prefix
+    extraction, longest-match AND the no-match default are all value-checked
+    (operators/webcrawl.robots_rules / robots_filter)."""
+    from deepdoctection_spark.operators import webcrawl
+
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("/p/"), d.cast("string")).alias("path"),
+    )
+    robots = docs.select((d % 7).alias("hk")).distinct().select(
+        F.concat(F.lit("h"), F.col("hk").cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("# robots fixture\nUser-agent: evilbot\nDisallow: /\n\n"
+                  "User-agent: *\nDisallow: /p/"),
+            F.col("hk").cast("string"),
+            F.lit("\nAllow: /p/"),
+            F.col("hk").cast("string"), F.col("hk").cast("string"),
+            F.lit("\nDisallow:\n"),
+        ).alias("robots_txt"),
+    )
+    return webcrawl.robots_filter(urls, webcrawl.robots_rules(robots))

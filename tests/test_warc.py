@@ -80,3 +80,38 @@ def test_spark_round_trip_and_quarantine(spark, sf_small):
         assert docs_rows[did].startswith(r["text_prefix"])
     infos = [r for r in good if r["warc_type"] == "warcinfo"]
     assert all(r["rec_idx"] == 0 and r["url"] is None for r in infos)
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary payload/header round trips survive the codec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_payloads = st.lists(st.binary(max_size=400), min_size=1, max_size=8)
+_token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_./:",
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=80, deadline=None, derandomize=True)
+@given(_payloads, st.lists(st.tuples(_token, _token), max_size=4))
+def test_property_round_trip(payloads, extra_headers):
+    blob = b"".join(
+        K.gzip_member(
+            K.build_record(
+                "resource",
+                [("X-H%d" % j, v) for j, (_, v) in enumerate(extra_headers)],
+                p,
+            )
+        )
+        for p in payloads
+    )
+    recs = K.parse_warc_blob(blob)
+    assert [p for _, _, p in recs] == payloads
+    for _, headers, p in recs:
+        assert int(headers["content-length"]) == len(p)
+        for j, (_, v) in enumerate(extra_headers):
+            assert headers[f"x-h{j}"] == v.strip()
