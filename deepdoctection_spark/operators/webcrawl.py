@@ -146,17 +146,12 @@ def warc_records(blobs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def robots_rules(robots: DataFrame) -> DataFrame:
-    """Parse robots.txt bodies → (host, is_allow, prefix, rule_len).
-
-    Real group semantics: a rule line applies only when the MOST RECENT
-    preceding `User-agent:` line names `*` (tracked with one last-non-null
-    window over the exploded lines — foreign-agent groups like a blanket
-    `User-agent: evilbot / Disallow: /` must not leak into our verdicts).
-    Comments, blank lines and empty-path Disallow (spec: matches nothing)
-    drop out. Scope note: RFC 9309 prefix rules; the `*`/`$` wildcard
-    extension is not implemented. Output is hosts×rules-sized — broadcast
-    it at the decision join."""
+def _agent_lines(robots: DataFrame) -> DataFrame:
+    """Explode robots.txt bodies into lines tagged with the governing
+    `User-agent` group (`cur_agent` = the most recent preceding agent name,
+    tracked with one last-non-null window — foreign-agent groups like a
+    blanket `User-agent: evilbot / Disallow: /` must not leak into our
+    verdicts). Shared by the rule and crawl-delay parsers."""
     from pyspark.sql.window import Window
 
     ln = F.trim(F.col("line"))
@@ -165,7 +160,7 @@ def robots_rules(robots: DataFrame) -> DataFrame:
         Window.partitionBy("host").orderBy("line_no")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lines = (
+    return (
         robots.select(
             "host",
             F.posexplode(F.split("robots_txt", "\n")).alias("line_no", "line"),
@@ -175,6 +170,18 @@ def robots_rules(robots: DataFrame) -> DataFrame:
             F.last(F.when(agent != "", agent), ignorenulls=True).over(w),
         )
     )
+
+
+def robots_rules(robots: DataFrame) -> DataFrame:
+    """Parse robots.txt bodies → (host, is_allow, prefix, rule_len).
+
+    Real group semantics via `_agent_lines`; comments, blank lines and
+    empty-path Disallow (spec: matches nothing) drop out. Scope note:
+    RFC 9309 prefix rules; the `*`/`$` wildcard extension is not
+    implemented. Output is hosts×rules-sized — broadcast it at the
+    decision join."""
+    ln = F.trim(F.col("line"))
+    lines = _agent_lines(robots)
     rule_type = F.lower(F.regexp_extract(ln, r"(?i)^(allow|disallow)\s*:", 1))
     prefix = F.regexp_extract(ln, r"(?i)^(?:allow|disallow)\s*:\s*(\S+)", 1)
     return (
@@ -217,4 +224,63 @@ def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce(F.col("m_allow"), F.lit(True)).alias("allowed"),
             F.col("m_prefix").alias("matched_prefix"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# frontier politeness scheduling (per-host Crawl-delay fetch slots)
+# ---------------------------------------------------------------------------
+
+
+def robots_delays(robots: DataFrame) -> DataFrame:
+    """Parse `Crawl-delay: <seconds>` under the `User-agent: *` group →
+    (host, delay_ms). When a group states the directive more than once the
+    LARGEST value wins (conservative politeness — the de-facto extension has
+    no tie rule). Hosts without the directive are simply absent; the
+    scheduler fills its default there. Output is hosts-sized — broadcast."""
+    delay = F.regexp_extract(
+        F.trim(F.col("line")), r"(?i)^crawl-delay\s*:\s*(\d+)", 1
+    )
+    return (
+        _agent_lines(robots)
+        .where((F.col("cur_agent") == "*") & (delay != ""))
+        .groupBy("host")
+        .agg((F.max(delay.cast("long")) * 1000).alias("delay_ms"))
+    )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    n_fetchers: int = 64,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """Politeness scheduler over a URL frontier: per host, rank URLs by
+    (priority DESC, path) and assign fetch slot k the start time
+    ``k * delay_ms``; every URL of a host lands on the same fetcher shard
+    (md5(host) % n_fetchers) so connection reuse and the politeness clock
+    stay fetcher-local.
+
+    Plan shape: ONE broadcast join (delays are hosts-sized) + ONE window
+    keyed by host — the frontier streams, nothing else shuffles, so this is
+    a single host-hash exchange over a 10^10-row frontier. Per-host slotting
+    is inherently sequential (politeness serializes each host anyway); hosts
+    so large their partition skews are capped upstream by
+    weburl.host_quota_sample before scheduling."""
+    from pyspark.sql.window import Window
+
+    j = urls.join(F.broadcast(delays), on="host", how="left")
+    delay_ms = F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms)).cast("long")
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("path"))
+    slot = (F.row_number().over(w) - 1).cast("int")
+    fetcher = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 8), 16, 10).cast("long")
+        % n_fetchers
+    ).cast("int")
+    return j.select(
+        "doc_id", "host", "path", F.col("priority").cast("int").alias("priority"),
+        fetcher.alias("fetcher"),
+        slot.alias("slot"),
+        delay_ms.alias("delay_ms"),
+        (slot.cast("long") * delay_ms).alias("fetch_at_ms"),
     )

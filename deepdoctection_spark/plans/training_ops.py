@@ -2463,3 +2463,68 @@ def q_crawl_robots_filter(spark, sf_dir):
         ).alias("robots_txt"),
     )
     return webcrawl.robots_filter(urls, webcrawl.robots_rules(robots))
+
+
+_FRONTIER_ORACLE = """
+WITH u AS (
+  SELECT doc_id, (doc_id % 7) AS k,
+         'h' || (doc_id % 7) || '.example.org' AS host,
+         '/p/' || doc_id AS path,
+         ((doc_id * 13) % 97)::INT AS priority
+  FROM documents
+),
+s AS (
+  SELECT doc_id, host, path, priority,
+         (('0x' || substr(md5(host), 1, 8))::BIGINT % 64)::INT AS fetcher,
+         (row_number() OVER (PARTITION BY host
+                             ORDER BY priority DESC, path) - 1)::INT AS slot,
+         (CASE WHEN k % 2 = 0 THEN (k + 1) * 1000 ELSE 1000 END)::BIGINT
+           AS delay_ms
+  FROM u
+)
+SELECT doc_id, host, path, priority, fetcher, slot, delay_ms,
+       (slot * delay_ms)::BIGINT AS fetch_at_ms
+FROM s
+"""
+
+
+@register("crawl_frontier_schedule", _FRONTIER_ORACLE)
+def q_crawl_frontier_schedule(spark, sf_dir):
+    """Politeness-scheduled crawl frontier: per-host `Crawl-delay` parsed
+    from REAL robots bodies (even-digit hosts state `Crawl-delay: <k+1>`
+    under `User-agent: *`; a foreign-agent `Crawl-delay: 99` that must NOT
+    leak; odd hosts omit it and take the 1 s default), then every URL gets
+    its fetch slot (priority-descending rank within host), fetcher shard
+    (md5(host) % 64 — host-affine so the politeness clock is fetcher-local)
+    and start time slot*delay_ms. The oracle restates delays closed-form
+    from the host digit and replays the same window, so group tracking,
+    the max-wins duplicate rule, the default path, ranking and the slot
+    arithmetic are all value-checked (operators/webcrawl.robots_delays /
+    frontier_schedule)."""
+    from deepdoctection_spark.operators import webcrawl
+
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"),
+        F.concat(F.lit("/p/"), d.cast("string")).alias("path"),
+        ((d * 13) % 97).cast("int").alias("priority"),
+    )
+    hk = F.col("hk")
+    robots = docs.select((d % 7).alias("hk")).distinct().select(
+        F.concat(F.lit("h"), hk.cast("string"),
+                 F.lit(".example.org")).alias("host"),
+        F.concat(
+            F.lit("User-agent: evilbot\nCrawl-delay: 99\n\n"
+                  "User-agent: *\n"),
+            F.when(hk % 2 == 0,
+                   F.concat(F.lit("Crawl-delay: "),
+                            (hk + 1).cast("string"),
+                            F.lit("\nCrawl-delay: 1\n")))
+             .otherwise(F.lit("")),
+            F.lit("Disallow:\n"),
+        ).alias("robots_txt"),
+    )
+    return webcrawl.frontier_schedule(urls, webcrawl.robots_delays(robots))
