@@ -178,17 +178,42 @@ def _priority(name: str) -> int:
     return _LAST_CHECKED_ROUND.get(name, 0)  # never-checked first, then stalest
 
 
+# The 7 queries never driver-checked through r04 (the r4 verdict's coverage
+# stragglers) lead the sweep outright so cumulative driver coverage of the
+# pre-r5 registry closes at 124/124 even under a tight cap.
+_SWEEP_FRONT = (
+    "events_gapfill_locf", "rel_array_ops", "rel_grouping_sets", "rel_pivot",
+    "rel_unpivot", "rel_window_suite", "stream_interval_join",
+)
+
 # Within the never-driver-checked block, family-redundant queries go last:
-# ann_ivf_search_repl shares its code path with the r4-driver-green
-# ann_ivf_search_trained/_pruned, so if a 50-query sweep cap cuts the
-# block, the cut lands on redundancy instead of a unique surface.
-_P0_TAIL = {"ann_ivf_search_repl"}
+# with 57 never-checked and a ~50 cap, ~7 must miss the driver sweep, so the
+# cut is chosen, not accidental — each tail query shares most of its code
+# path with an in-cap sibling (repl with ann_ivf_search_trained/_pruned;
+# hits/triangles/bfs with pagerank/components' edge-harvest plumbing;
+# cms with hll's hash-agg shape; split-assign and the expectations report
+# are thin layers over already-swept stats). All remain value-checked every
+# round by scripts/self_correctness.py.
+_P0_TAIL = {
+    "ann_ivf_search_repl",
+    "graph_hits",
+    "graph_triangles",
+    "graph_bfs_levels",
+    "sketch_cms_heavy",
+    "corpus_split_assign",
+    "data_expectations",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = sorted(
         QUERIES,
-        key=lambda n: (_priority(n), n in _P0_TAIL, list(QUERIES).index(n)),
+        key=lambda n: (
+            n not in _SWEEP_FRONT,
+            _priority(n),
+            n in _P0_TAIL,
+            list(QUERIES).index(n),
+        ),
     )
     return {n: QUERIES[n] for n in names}
 

@@ -284,3 +284,85 @@ def frontier_schedule(
         delay_ms.alias("delay_ms"),
         (slot.cast("long") * delay_ms).alias("fetch_at_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap ingest (sitemaps.org urlset XML, JVM-side parse) + discovery diff
+# ---------------------------------------------------------------------------
+
+_SITEMAP_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+)
+
+
+def synth_sitemaps(docs: DataFrame) -> DataFrame:
+    """documents → one deterministic sitemaps.org urlset per host: every doc
+    URL of the host plus 'ghost' entries (url_id = doc_id + 1_000_000 for
+    doc_id % 5 == 0, hosted on the PARENT doc's host) the frontier has never
+    seen — so the discovery diff has both outcomes. lastmod/priority derive
+    closed-form from url_id. Fixture-only (one groupBy); real pipelines read
+    urlset bodies out of fetched responses."""
+    d = F.col("doc_id")
+    ids = docs.select(d.alias("url_id"), (d % 7).alias("hk")).unionByName(
+        docs.where(d % 5 == 0).select(
+            (d + 1000000).alias("url_id"), (d % 7).alias("hk")
+        )
+    )
+    uid = F.col("url_id")
+    host = F.concat(F.lit("h"), F.col("hk").cast("string"), F.lit(".example.org"))
+    entry = F.concat(
+        F.lit("  <url><loc>https://"), host, F.lit("/p/"), uid.cast("string"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad(((uid % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (uid % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    return (
+        ids.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(_SITEMAP_HEAD),
+                F.concat_ws("\n", F.sort_array(F.collect_list("entry"))),
+                F.lit("\n</urlset>\n"),
+            ).alias("xml")
+        )
+    )
+
+
+def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
+    """Parse urlset XML → (host, loc, lastmod, priority_pct). Entirely
+    JVM-side: one `regexp_extract_all` over the body + explode, then field
+    extracts — no Python crosses, so parsing runs scan-aligned over fetched
+    sitemap bodies (each `<url>` element must sit on one line, the layout
+    crawl-served sitemaps use). Absent optional fields → NULL; priority is
+    kept as exact integer percent (0.7 → 70)."""
+    e = F.col("entry")
+    lm = F.regexp_extract(e, "<lastmod>([^<]*)</lastmod>", 1)
+    pr = F.regexp_extract(e, r"<priority>0\.(\d)</priority>", 1)
+    return (
+        sitemaps.select(
+            "host",
+            F.explode(
+                F.regexp_extract_all("xml", F.lit("<url>(.*?)</url>"), 1)
+            ).alias("entry"),
+        )
+        .select(
+            "host",
+            F.regexp_extract(e, "<loc>([^<]*)</loc>", 1).alias("loc"),
+            F.when(lm != "", lm).alias("lastmod"),
+            F.when(pr != "", pr.cast("int") * 10).alias("priority_pct"),
+        )
+    )
+
+
+def sitemap_discover(entries: DataFrame, frontier: DataFrame) -> DataFrame:
+    """Discovery diff: which sitemap URLs the crawl already knows. ONE hash
+    join on url (frontier must be url-unique — it is, post `url_dedup`);
+    both sides stream, AQE handles host skew, so the diff is two exchanges
+    at 10^10 rows — never a broadcast of either big side."""
+    f = frontier.select(F.col("url").alias("loc"), F.lit(True).alias("known"))
+    return entries.join(f, on="loc", how="left").withColumn(
+        "known", F.coalesce(F.col("known"), F.lit(False))
+    )

@@ -2528,3 +2528,41 @@ def q_crawl_frontier_schedule(spark, sf_dir):
         ).alias("robots_txt"),
     )
     return webcrawl.frontier_schedule(urls, webcrawl.robots_delays(robots))
+
+
+_SITEMAP_ORACLE = """
+WITH ids AS (
+  SELECT doc_id AS url_id, (doc_id % 7) AS k, TRUE AS known FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, (doc_id % 7), FALSE FROM documents
+  WHERE doc_id % 5 = 0
+)
+SELECT url_id,
+       'h' || k || '.example.org' AS host,
+       '2026-01-' || lpad(((url_id % 28) + 1)::VARCHAR, 2, '0') AS lastmod,
+       ((url_id % 10) * 10)::INT AS priority_pct,
+       known
+FROM ids
+"""
+
+
+@register("crawl_sitemap_discover", _SITEMAP_ORACLE)
+def q_crawl_sitemap_discover(spark, sf_dir):
+    """Sitemap ingest + discovery diff: per-host sitemaps.org urlset XML is
+    synthesised from `documents` (every doc URL plus never-crawled 'ghost'
+    entries), parsed back ENTIRELY JVM-side (`regexp_extract_all` + explode
+    + field extracts — operators/webcrawl.sitemap_entries), then diffed
+    against the URL frontier with one hash join (`sitemap_discover`). The
+    oracle restates loc/lastmod/priority closed-form from url_id and the
+    known flag from ghost membership, so XML assembly, the regex parse,
+    NULL handling and the discovery join are all value-checked round-trip."""
+    from deepdoctection_spark.operators import webcrawl
+
+    docs = _docs(spark, sf_dir)
+    ents = webcrawl.sitemap_entries(webcrawl.synth_sitemaps(docs))
+    frontier = docs.select(webcrawl.doc_url(F.col("doc_id")).alias("url"))
+    disc = webcrawl.sitemap_discover(ents, frontier)
+    return disc.select(
+        F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("url_id"),
+        "host", "lastmod", "priority_pct", "known",
+    )
