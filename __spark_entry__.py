@@ -202,6 +202,9 @@ _P0_TAIL = {
     "sketch_cms_heavy",
     "corpus_split_assign",
     "data_expectations",
+    # shares the postings CTE + broadcast-terms plumbing with the in-cap
+    # search_boolean_and / search_bm25_ranked pair
+    "search_phrase_match",
 }
 
 

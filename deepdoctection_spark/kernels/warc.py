@@ -98,3 +98,59 @@ def parse_warc_blob(blob: bytes) -> list[tuple[int, dict[str, str], bytes]]:
     return [
         (i, *parse_record(raw)) for i, raw in enumerate(split_members(blob))
     ]
+
+
+# ---------------------------------------------------------------------------
+# HTTP response payloads + WET conversion (the Common Crawl WARC→WET product)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TAG = _re.compile(r"<[^>]*>")
+
+
+def build_http_response(status: int, reason: str, body: bytes,
+                        content_type: str = "text/html; charset=utf-8") -> bytes:
+    """Serialize an HTTP/1.1 response message (the payload of a WARC
+    `response` record, WARC Content-Type `application/http;
+    msgtype=response`)."""
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    )
+    return head.encode("ascii") + body
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Parse an HTTP response message → (status, lower-cased headers, body).
+    Body is sliced by Content-Length when present (ignoring trailing junk),
+    else everything after the header block. Raises ValueError on a
+    malformed status line — row quarantine upstream."""
+    head_end = payload.find(CRLF + CRLF)
+    if head_end < 0:
+        raise ValueError("no HTTP header/body separator")
+    lines = payload[:head_end].split(CRLF)
+    first = lines[0].split(None, 2)
+    if len(first) < 2 or not first[0].startswith(b"HTTP/") or not first[1].isdigit():
+        raise ValueError(f"bad HTTP status line {lines[0][:40]!r}")
+    headers: dict[str, str] = {}
+    for ln in lines[1:]:
+        k, sep, v = ln.partition(b":")
+        if sep:
+            headers[k.strip().decode("utf-8").lower()] = v.strip().decode("utf-8")
+    body = payload[head_end + 4:]
+    if "content-length" in headers:
+        body = body[: int(headers["content-length"])]
+    return int(first[1]), headers, body
+
+
+def html_to_wet(html: str) -> str:
+    """The WET plain-text conversion: every tag becomes a line break, lines
+    are trimmed, empties drop, survivors join with '\\n'. Deliberately the
+    DUMB whole-page conversion the Common Crawl WET product applies —
+    boilerplate REMOVAL is a downstream, separately-scored concern
+    (kernels/html.py's density-based extractor); WET keeps nav/footer/title
+    text verbatim."""
+    lines = (seg.strip() for seg in _TAG.sub("\n", html).split("\n"))
+    return "\n".join(ln for ln in lines if ln)

@@ -2566,3 +2566,39 @@ def q_crawl_sitemap_discover(spark, sf_dir):
         F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("url_id"),
         "host", "lastmod", "priority_pct", "known",
     )
+
+
+_WET_ORACLE = """
+SELECT doc_id,
+       'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+       (CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END)::INT AS http_status,
+       'text/html' AS content_type,
+       CASE WHEN doc_id % 11 = 0 THEN 'not found'
+            ELSE 'Doc ' || doc_id || chr(10) || 'site nav' || chr(10)
+                 || 'Doc ' || doc_id || chr(10) || text || chr(10) || 'contact'
+       END AS wet_text
+FROM documents
+"""
+
+
+@register("warc_wet_convert", _WET_ORACLE)
+def q_warc_wet_convert(spark, sf_dir):
+    """WARC→WET conversion over REAL HTTP response records: documents are
+    packed into `.warc.gz` response blobs (200 HTML pages on a
+    title/nav/h1/body/footer template; every 11th doc a 404 error page),
+    then the converter re-parses the gzip members, the WARC headers AND the
+    HTTP/1.1 message, and emits the WET plain-text (tags → line breaks,
+    trimmed, empties dropped — Common Crawl's dumb whole-page conversion;
+    boilerplate REMOVAL stays a downstream concern). The oracle restates
+    status and the full WET text closed-form from the template, so the
+    gzip/WARC/HTTP round-trip and the tag-strip contract are all
+    value-checked (operators/webcrawl.synth_warc_responses /
+    warc_wet_records; kernels/warc.parse_http_response / html_to_wet)."""
+    from deepdoctection_spark.operators import webcrawl
+
+    docs = _docs(spark, sf_dir)
+    recs = webcrawl.warc_wet_records(webcrawl.synth_warc_responses(docs))
+    return recs.select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url", "http_status", "content_type", "wet_text",
+    )

@@ -115,3 +115,62 @@ def test_property_round_trip(payloads, extra_headers):
         assert int(headers["content-length"]) == len(p)
         for j, (_, v) in enumerate(extra_headers):
             assert headers[f"x-h{j}"] == v.strip()
+
+
+# --- WARC→WET (HTTP response records → plain text) -------------------------
+
+
+def test_http_response_round_trip_and_content_length_slice():
+    body = b"<p>hello</p>JUNKJUNK"  # trailing junk beyond Content-Length
+    msg = K.build_http_response(200, "OK", body[:12]) + b"JUNKJUNK"
+    status, headers, got = K.parse_http_response(msg)
+    assert status == 200
+    assert headers["content-type"].startswith("text/html")
+    assert got == b"<p>hello</p>"
+
+
+def test_http_bad_status_line_raises():
+    import pytest
+
+    with pytest.raises(ValueError, match="status line"):
+        K.parse_http_response(b"NOTHTTP 200 OK\r\n\r\nx")
+
+
+def test_html_to_wet_keeps_boilerplate_drops_tags():
+    html = ("<html><head><title>T</title></head><body>"
+            "<nav> nav  text </nav><p>a b</p><br/><footer></footer></body></html>")
+    assert K.html_to_wet(html) == "T\nnav  text\na b"
+
+
+def test_wet_records_status_and_text(spark, sf_small):
+    from deepdoctection_spark.operators.webcrawl import (
+        synth_warc_responses,
+        warc_wet_records,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    out = warc_wet_records(synth_warc_responses(docs))
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert all(r["error"] is None for r in rows)
+    for r in rows:
+        did = int(r["url"].rsplit("/", 1)[1])
+        if did % 11 == 0:
+            assert r["http_status"] == 404 and r["wet_text"] == "not found"
+        else:
+            assert r["http_status"] == 200
+            assert r["wet_text"].startswith(f"Doc {did}\nsite nav\nDoc {did}\n")
+            assert r["wet_text"].endswith("\ncontact")
+        assert r["wet_len"] == len(r["wet_text"])
+        assert r["content_type"] == "text/html"
+
+
+def test_wet_corrupt_blob_quarantines(spark):
+    from deepdoctection_spark.operators.webcrawl import warc_wet_records
+
+    blobs = spark.createDataFrame(
+        [(1, 2, bytearray(b"\x1f\x8bgarbage"))],
+        "blob_id long, n_members int, content binary",
+    )
+    rows = warc_wet_records(blobs).collect()
+    assert len(rows) == 1 and rows[0]["error"] is not None
