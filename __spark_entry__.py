@@ -205,6 +205,10 @@ _P0_TAIL = {
     # shares the postings CTE + broadcast-terms plumbing with the in-cap
     # search_boolean_and / search_bm25_ranked pair
     "search_phrase_match",
+    # the ADC search query (in-cap) runs the PQ encoder inside its own plan
+    "ann_pq_codes",
+    # same pure-column quality-gate shape as the in-cap gopher/C4 rule gates
+    "quality_char_diversity",
 }
 
 

@@ -91,3 +91,53 @@ def url_dedup(df: DataFrame, url_col: str = "raw_url",
         (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical_rep"),
         F.count("*").over(w).cast("int").alias("n_variants"),
     )
+
+
+def resolve_redirects(edges: DataFrame, max_hops: int = 32) -> DataFrame:
+    """Resolve HTTP redirect chains to their terminal URL by pointer
+    doubling: each round joins the current pointer table with itself, so
+    after k rounds every pointer has advanced up to 2^k hops — chains of
+    length ≤ max_hops resolve in ceil(log2(max_hops)) self equi-joins
+    instead of max_hops sequential ones. The canonical web-graph
+    canonicalization step before URL dedup: at 10^10 redirect edges each
+    round is ONE hash self-join (AQE-planned) and lineage is cut per round
+    with localCheckpoint (the dedupclusters discipline), never a driver
+    collect.
+
+    edges: (src, dst) — a functional graph (one outgoing redirect per src;
+    dedupe upstream if a crawl recorded several). Returns one row per src:
+    (src, final_url, hops, resolved) where resolved=False marks redirect
+    LOOPS (the pointer never reaches a terminal URL — a real crawl signal,
+    those URLs are dropped from the frontier)."""
+    import math
+
+    cur = edges.select(
+        "src", F.col("dst").alias("ptr"), F.lit(1).cast("int").alias("hops")
+    )
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        hop = cur.select(
+            F.col("src").alias("ptr"),
+            F.col("ptr").alias("nxt"),
+            F.col("hops").alias("add"),
+        )
+        cur = (
+            cur.join(hop, on="ptr", how="left")
+            .select(
+                "src",
+                F.coalesce("nxt", "ptr").alias("ptr"),
+                (F.col("hops") + F.coalesce("add", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    srcs = edges.select(F.col("src").alias("ptr")).distinct().withColumn(
+        "is_src", F.lit(True)
+    )
+    return (
+        cur.join(srcs, on="ptr", how="left")
+        .select(
+            "src",
+            F.col("ptr").alias("final_url"),
+            F.col("hops").cast("int").alias("hops"),
+            F.col("is_src").isNull().alias("resolved"),
+        )
+    )

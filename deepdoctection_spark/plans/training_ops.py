@@ -2602,3 +2602,87 @@ def q_warc_wet_convert(spark, sf_dir):
         F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
         "url", "http_status", "content_type", "wet_text",
     )
+
+
+_REDIRECT_ORACLE = """
+WITH s AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+u AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS src_url,
+         (doc_id - (doc_id % 4)) AS tgt
+  FROM s
+)
+SELECT src_url,
+       'https://h' || (tgt % 7) || '.example.org/p/' || tgt AS final_url,
+       (doc_id % 4)::INT AS hops,
+       TRUE AS resolved
+FROM u
+"""
+
+
+@register("crawl_redirect_resolve", _REDIRECT_ORACLE)
+def q_crawl_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling: every doc with
+    doc_id % 4 ≠ 0 redirects one id down, so the fixture holds ~3/4 of the
+    corpus in chains of length 1-3 ending at the %4==0 terminals. The
+    oracle states each source's terminal URL and hop count closed-form, so
+    the doubling joins, hop accumulation and the terminal test are all
+    value-checked (operators/weburl.resolve_redirects; loop flagging is
+    pinned separately in tests/test_redirects.py — the fixture graph is
+    loop-free by construction)."""
+    from deepdoctection_spark.operators import weburl
+    from deepdoctection_spark.operators.webcrawl import doc_url
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    edges = docs.where(d % 4 != 0).select(
+        doc_url(d).alias("src"), doc_url(d - 1).alias("dst")
+    )
+    res = weburl.resolve_redirects(edges)
+    return res.select(
+        F.col("src").alias("src_url"), "final_url", "hops", "resolved"
+    )
+
+
+_ANCHOR_ORACLE = """
+WITH l AS (
+  SELECT doc_id AS src,
+         ((doc_id * 7 + j * 13) % 300)::BIGINT AS dst,
+         'w' || ((doc_id + j) % 5) AS anchor
+  FROM documents, unnest([0, 1, 2]) AS t(j)
+),
+pa AS (SELECT dst, anchor, count(*)::BIGINT AS n FROM l GROUP BY dst, anchor),
+tot AS (SELECT dst, sum(n)::BIGINT AS dst_indegree FROM pa GROUP BY dst),
+rk AS (
+  SELECT dst, anchor, n,
+         (row_number() OVER (PARTITION BY dst
+                             ORDER BY n DESC, anchor))::INT AS rank
+  FROM pa
+)
+SELECT r.dst, r.rank, r.anchor, r.n, t.dst_indegree
+FROM rk r JOIN tot t USING (dst) WHERE r.rank <= 3
+"""
+
+
+@register("crawl_anchor_profile", _ANCHOR_ORACLE)
+def q_crawl_anchor_profile(spark, sf_dir):
+    """Anchor-text profile per link target: each doc emits three
+    deterministic links (dst = (id·7 + j·13) mod 300, anchor from a 5-word
+    vocabulary), then the profile reduces to each target's top-3 anchors by
+    count with its total in-degree — the 'what the web calls this page'
+    signal. The oracle replays the identical agg + windows in SQL, so the
+    one-shuffle profile shape (hash agg → same-key windows) is value-checked
+    (operators/graph.anchor_text_profile)."""
+    from deepdoctection_spark.operators.graph import anchor_text_profile
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    links = docs.select(
+        d.alias("src"), F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j")
+    ).select(
+        "src",
+        ((F.col("src") * 7 + F.col("j") * 13) % 300).cast("long").alias("dst"),
+        F.concat(F.lit("w"), ((F.col("src") + F.col("j")) % 5).cast("string"))
+        .alias("anchor"),
+    )
+    return anchor_text_profile(links, k=3)
