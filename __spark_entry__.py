@@ -209,6 +209,12 @@ _P0_TAIL = {
     "ann_pq_codes",
     # same pure-column quality-gate shape as the in-cap gopher/C4 rule gates
     "quality_char_diversity",
+    # the encode side replays bpe_train_vocab's merge table (in-cap, whose
+    # unrolled oracle already value-checks the merge applications)
+    "bpe_encode_corpus",
+    # maintenance sweep over the same ref-walk the in-cap ice_changelog /
+    # r4-driver-green ice_* family already exercises
+    "ice_orphan_cleanup",
 }
 
 

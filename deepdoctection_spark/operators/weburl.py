@@ -141,3 +141,67 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 32) -> DataFrame:
             F.col("is_src").isNull().alias("resolved"),
         )
     )
+
+
+def host_rollup(
+    pages: DataFrame,
+    blocked_drop_ppm: int = 300_000,
+    dup_sample_ppm: int = 100_000,
+) -> DataFrame:
+    """Domain-level curation rollup — the FineWeb-style decision table that
+    keeps/samples/drops whole hosts before any per-page work. pages:
+    (host, fingerprint, n_tokens, blocked). Per host: page count, exact-dup
+    ratio (pages minus distinct fingerprints), robots-blocked ratio and
+    mean tokens — all as exact integers (ppm / milli-tokens, the engine-wide
+    determinism contract) — then the verdict: 'drop' when the blocked share
+    clears blocked_drop_ppm, else 'sample' when the dup share clears
+    dup_sample_ppm, else 'keep'.
+
+    ONE hash agg keyed by host (countDistinct plans as a two-phase partial
+    agg); at 10^10 pages the output is hosts-sized, so the rollup is the
+    cheapest possible gate to run FIRST in a curation cascade."""
+    n = F.col("n_pages")
+    agg = pages.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    dup_ppm = F.floor((n - F.col("n_unique")) * 1_000_000 / n).cast("long")
+    blocked_ppm = F.floor(F.col("n_blocked") * 1_000_000 / n).cast("long")
+    mean_tokens_milli = F.floor(F.col("total_tokens") * 1_000 / n).cast("long")
+    return agg.select(
+        "host", "n_pages", "n_unique",
+        dup_ppm.alias("dup_ppm"),
+        blocked_ppm.alias("blocked_ppm"),
+        mean_tokens_milli.alias("mean_tokens_milli"),
+        F.when(blocked_ppm >= blocked_drop_ppm, F.lit("drop"))
+        .when(dup_ppm >= dup_sample_ppm, F.lit("sample"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+def crawl_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """URL-level diff between two crawl snapshots — the change-detection
+    feed for revisit scheduling: ONE url-keyed full-outer hash join of
+    (url, fingerprint) tables, then a pure-column status verdict:
+    'added' (no old row), 'deleted' (no new row), 'changed' (fingerprints
+    differ), 'unchanged'. Both snapshot scans prune to two columns; at
+    10^10 URLs this is one exchange per side with AQE skew handling, and
+    the downstream host change-rate rollup reuses host_rollup's
+    hosts-keyed agg shape."""
+    o = old.select("url", F.col("fingerprint").alias("old_fp"))
+    n = new.select("url", F.col("fingerprint").alias("new_fp"))
+    ofp, nfp = F.col("old_fp"), F.col("new_fp")
+    return (
+        o.join(n, on="url", how="full_outer")
+        .select(
+            "url", "old_fp", "new_fp",
+            F.when(ofp.isNull(), F.lit("added"))
+            .when(nfp.isNull(), F.lit("deleted"))
+            .when(ofp != nfp, F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -2686,3 +2686,118 @@ def q_crawl_anchor_profile(spark, sf_dir):
         .alias("anchor"),
     )
     return anchor_text_profile(links, k=3)
+
+
+_HOST_ROLLUP_ORACLE = """
+WITH p AS (
+  SELECT 'h' || (doc_id % 7) || '.example.org' AS host,
+         md5(text) AS fingerprint,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         (starts_with(doc_id::VARCHAR, (doc_id % 7)::VARCHAR)
+          AND NOT starts_with(doc_id::VARCHAR,
+                              (doc_id % 7)::VARCHAR || (doc_id % 7)::VARCHAR))
+           AS blocked
+  FROM documents
+),
+a AS (
+  SELECT host, count(*)::BIGINT AS n_pages,
+         count(DISTINCT fingerprint)::BIGINT AS n_unique,
+         sum(blocked::BIGINT)::BIGINT AS n_blocked,
+         sum(n_tokens)::BIGINT AS total_tokens
+  FROM p GROUP BY host
+)
+SELECT host, n_pages, n_unique,
+       floor((n_pages - n_unique) * 1000000 / n_pages)::BIGINT AS dup_ppm,
+       floor(n_blocked * 1000000 / n_pages)::BIGINT AS blocked_ppm,
+       floor(total_tokens * 1000 / n_pages)::BIGINT AS mean_tokens_milli,
+       CASE WHEN floor(n_blocked * 1000000 / n_pages) >= 300000 THEN 'drop'
+            WHEN floor((n_pages - n_unique) * 1000000 / n_pages) >= 100000
+              THEN 'sample'
+            ELSE 'keep' END AS verdict
+FROM a
+"""
+
+
+@register("crawl_host_rollup", _HOST_ROLLUP_ORACLE)
+def q_crawl_host_rollup(spark, sf_dir):
+    """Domain-level curation rollup: per host the page count, exact-dup
+    share (md5 fingerprints), robots-blocked share (the robots fixture's
+    closed-form digit rule) and mean token count — exact integer ppm/milli —
+    plus the keep/sample/drop verdict. ONE hosts-keyed hash agg; the
+    cheapest gate in the cascade, run before any per-page work
+    (operators/weburl.host_rollup). The oracle replays the identical
+    aggregation and thresholds."""
+    from deepdoctection_spark.operators import weburl
+
+    d = F.col("doc_id")
+    k = (d % 7).cast("string")
+    ds = d.cast("string")
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("h"), k, F.lit(".example.org")).alias("host"),
+        F.md5(F.col("text").cast("binary")).alias("fingerprint"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (ds.startswith(k) & ~ds.startswith(F.concat(k, k))).alias("blocked"),
+    )
+    return weburl.host_rollup(pages)
+
+
+_SNAPDIFF_ORACLE = """
+WITH o AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+         md5(text) AS old_fp
+  FROM documents
+),
+n AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+         CASE WHEN doc_id % 5 = 0 THEN md5('v2#' || text) ELSE md5(text) END
+           AS new_fp
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/new/' || doc_id,
+         md5(doc_id::VARCHAR)
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT url, old_fp, new_fp,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'deleted'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n USING (url)
+"""
+
+
+@register("crawl_snapshot_diff", _SNAPDIFF_ORACLE)
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Two-crawl snapshot diff: snapshot A holds every doc URL; snapshot B
+    drops every 13th (deleted), rewrites every 5th's fingerprint (changed)
+    and adds /new/ URLs for every 17th (added). One full-outer hash join +
+    a column verdict classifies every URL; the oracle replays the identical
+    construction and join (operators/weburl.crawl_snapshot_diff)."""
+    from deepdoctection_spark.operators import weburl
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+    )
+    old = docs.select(
+        url.alias("url"), F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    new = docs.where(d % 13 != 0).select(
+        url.alias("url"),
+        F.when(
+            d % 5 == 0,
+            F.md5(F.concat(F.lit("v2#"), F.col("text")).cast("binary")),
+        ).otherwise(F.md5(F.col("text").cast("binary"))).alias("fingerprint"),
+    ).unionByName(
+        docs.where(d % 17 == 0).select(
+            F.concat(
+                F.lit("https://h"), (d % 7).cast("string"),
+                F.lit(".example.org/new/"), d.cast("string"),
+            ).alias("url"),
+            F.md5(d.cast("string").cast("binary")).alias("fingerprint"),
+        )
+    )
+    return weburl.crawl_snapshot_diff(old, new)
