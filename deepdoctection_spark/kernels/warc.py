@@ -107,6 +107,9 @@ def parse_warc_blob(blob: bytes) -> list[tuple[int, dict[str, str], bytes]]:
 import re as _re
 
 _TAG = _re.compile(r"<[^>]*>")
+_NONCONTENT = _re.compile(
+    r"(?is)<!--.*?-->|<(script|style)[^>]*>.*?</\1\s*>"
+)
 
 
 def build_http_response(status: int, reason: str, body: bytes,
@@ -151,6 +154,8 @@ def html_to_wet(html: str) -> str:
     DUMB whole-page conversion the Common Crawl WET product applies —
     boilerplate REMOVAL is a downstream, separately-scored concern
     (kernels/html.py's density-based extractor); WET keeps nav/footer/title
-    text verbatim."""
+    text verbatim — but script/style element CONTENT and comments are not
+    text and drop entirely (the one removal the WET product does do)."""
+    html = _NONCONTENT.sub("\n", html)
     lines = (seg.strip() for seg in _TAG.sub("\n", html).split("\n"))
     return "\n".join(ln for ln in lines if ln)

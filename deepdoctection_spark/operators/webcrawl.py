@@ -340,7 +340,9 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
     kept as exact integer percent (0.7 → 70)."""
     e = F.col("entry")
     lm = F.regexp_extract(e, "<lastmod>([^<]*)</lastmod>", 1)
-    pr = F.regexp_extract(e, r"<priority>0\.(\d)</priority>", 1)
+    # any spec-legal 0.0-1.0 value, incl. "1.0" and multi-digit fractions;
+    # round before the int cast so 0.29*100 = 28.999… lands on 29, not 28
+    pr = F.regexp_extract(e, r"<priority>([01](?:\.\d+)?)</priority>", 1)
     return (
         sitemaps.select(
             "host",
@@ -352,7 +354,9 @@ def sitemap_entries(sitemaps: DataFrame) -> DataFrame:
             "host",
             F.regexp_extract(e, "<loc>([^<]*)</loc>", 1).alias("loc"),
             F.when(lm != "", lm).alias("lastmod"),
-            F.when(pr != "", pr.cast("int") * 10).alias("priority_pct"),
+            F.when(
+                pr != "", F.round(pr.cast("double") * 100).cast("int")
+            ).alias("priority_pct"),
         )
     )
 

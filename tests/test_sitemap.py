@@ -57,3 +57,15 @@ def test_parse_plan_is_jvm_only(spark):
                                "host string, xml string")
     plan = sitemap_entries(sm)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_priority_full_range_and_rounding(spark):
+    xml = ("<urlset>"
+           "<url><loc>https://a.org/1</loc><priority>1.0</priority></url>\n"
+           "<url><loc>https://a.org/2</loc><priority>0.85</priority></url>\n"
+           "<url><loc>https://a.org/3</loc><priority>0.29</priority></url>\n"
+           "</urlset>")
+    sm = spark.createDataFrame([("a.org", xml)], "host string, xml string")
+    out = {r["loc"]: r["priority_pct"] for r in sitemap_entries(sm).collect()}
+    assert out == {"https://a.org/1": 100, "https://a.org/2": 85,
+                   "https://a.org/3": 29}

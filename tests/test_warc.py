@@ -174,3 +174,10 @@ def test_wet_corrupt_blob_quarantines(spark):
     )
     rows = warc_wet_records(blobs).collect()
     assert len(rows) == 1 and rows[0]["error"] is not None
+
+
+def test_html_to_wet_drops_script_style_comment_content():
+    html = ("<html><head><script>var x = 1 > 0;</script><style>p{color:red}"
+            "</style><!-- note > here --></head><body><p>keep me</p>"
+            "</body></html>")
+    assert K.html_to_wet(html) == "keep me"
