@@ -104,3 +104,33 @@ def transcript_expectations(transcripts: DataFrame) -> DataFrame:
         F.col("r.n_violations").alias("n_violations"),
         (F.col("r.n_violations") == 0).alias("passed"),
     )
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str, k: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity audit over a release candidate: one row per
+    quasi-identifier equivalence class with its size (``class_n``), the
+    number of distinct sensitive values it hides (``l_div``), and an
+    ``at_risk`` flag for classes smaller than ``k`` — the rows an attacker
+    who knows the quasi-identifiers can pin to ≤k-1 candidates (Sweeney
+    2002; Machanavajjhala et al. 2006 for l-diversity).
+
+    A corpus-release gate runs this before publishing any table that pairs
+    demographic-ish columns with payloads. Plan shape: ONE hash aggregation
+    keyed by the quasi-identifier tuple (map-side combined; distinct
+    sensitive values via the same agg) — output is O(|distinct QI tuples|),
+    independent of row count, so the audit is a free side-pass at any
+    scale. Skewed classes are irrelevant: the agg's combiner collapses each
+    class partition-locally.
+
+    Reference analogue: the dataflow sanity layer (datasets/info.py
+    summaries) — this is its privacy-risk counterpart.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("long").alias("class_n"),
+            F.count_distinct(sensitive_col).cast("long").alias("l_div"),
+        )
+        .withColumn("at_risk", (F.col("class_n") < k).cast("int"))
+    )

@@ -270,3 +270,134 @@ def hdr_quantiles(docs: DataFrame, group_col: str = "lang") -> DataFrame:
         "bucket",
         _hdr_lower_bound(F.col("bucket")).cast("long").alias("est_lb"),
     )
+
+
+# KMV (k-minimum-values / bottom-k theta) sketch geometry: 60-bit hash from
+# the first 15 md5 nibbles (exact BIGINT both engines), k = 64 retained
+# minima. Unbiased estimator (k-1)·2^60/kth for a full sketch; a sketch
+# holding fewer than k values IS the exact distinct set.
+KMV_K = 64
+KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_hash(col):
+    return F.conv(
+        F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _kmv_est(n, kth):
+    """Estimate from aggregated integers only (HLL's determinism contract):
+    floats appear in one final expression identical on both engines."""
+    return F.when(n < KMV_K, n.cast("double")).otherwise(
+        F.lit(KMV_K - 1.0) * F.lit(KMV_DOMAIN) / kth
+    )
+
+
+def kmv_setops(sets: DataFrame, key_col: str = "url",
+               set_col: str = "s") -> DataFrame:
+    """Theta-sketch set algebra over two keyed sets 'a' and 'b': distinct
+    estimates for a, b, a∪b, a∩b and a∖b from two k=64 bottom-k sketches,
+    next to the exact counts (the accuracy foil a production run drops).
+
+    HLL (``hll_distinct``) merges by register-max and so answers UNION
+    cardinality only; the KMV sketch is a uniform sample of the hashed key
+    space, so intersect/difference fall out of the union sketch by
+    membership counting (Beyer et al. 2007; the Theta sketch of Dasgupta
+    et al. 2016): every member of the union's bottom-k that lies below a
+    set's own kth minimum is, by construction, IN that set's bottom-k —
+    sketch-only membership tests, no second corpus pass.
+
+    Plan shape (the 100 TB story): one distinct per set (the only
+    key-cardinality shuffle — at scale replace with the same hash-agg the
+    dedup path uses), then TWO-LEVEL bottom-k: a partition-local
+    row_number over (set, partition_id) cuts each partition to ≤k
+    candidate rows, and the global per-set bottom-k sorts only ≤k·P
+    survivors — the full distinct-key set is never globally sorted. All
+    set algebra then runs on ≤3k rows. The exact-count columns are the
+    test foil only: they are the full distinct-shuffle the sketch avoids.
+
+    Reference analogue: dataflow summary statistics
+    (/root/reference/deepdoctection/dataflow/stats.py) — this is their
+    sublinear set-overlap cousin for two-crawl / two-corpus comparison.
+    """
+    from pyspark.sql import Window
+
+    s, k = F.col(set_col), KMV_K
+    dist = sets.select(s.alias("s"), _kmv_hash(F.col(key_col)).alias("h")
+                       ).distinct()
+    w_local = Window.partitionBy("s", F.spark_partition_id()).orderBy("h")
+    cand = (
+        dist.withColumn("rn", F.row_number().over(w_local))
+        .where(F.col("rn") <= k).select("s", "h")
+    )
+    w_set = Window.partitionBy("s").orderBy("h")
+    sk = (
+        cand.withColumn("rn", F.row_number().over(w_set))
+        .where(F.col("rn") <= k).select("s", "h")
+    )
+    sk_a = sk.where("s = 'a'").select("h")
+    sk_b = sk.where("s = 'b'").select("h")
+    w_all = Window.orderBy("h")
+    sk_u = (
+        sk_a.unionByName(sk_b).distinct()
+        .withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") <= k).select("h")
+    )
+    flagged = (
+        sk_u.join(sk_a.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(sk_b.withColumn("in_b", F.lit(1)), "h", "left")
+        .select("h", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                F.coalesce("in_b", F.lit(0)).alias("in_b"))
+    )
+
+    def _one(df: DataFrame, op: str) -> DataFrame:
+        agg = df.agg(F.count("*").cast("long").alias("sk_n"),
+                     F.max("h").alias("kth"))
+        return agg.select(
+            F.lit(op).alias("op"), "sk_n", "kth",
+            F.floor(_kmv_est(F.col("sk_n"), F.col("kth")) + 0.5)
+            .cast("long").alias("est"),
+        )
+
+    base = _one(sk_a, "a").unionByName(_one(sk_b, "b")).unionByName(
+        _one(sk_u, "union"))
+    u = base.where("op = 'union'").select(
+        F.col("sk_n").alias("u_n"), F.col("est").alias("u_est"))
+    partial = flagged.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("long")
+        .alias("n_a_only"),
+    )
+
+    def _derived(n_col: str, op: str) -> DataFrame:
+        return partial.crossJoin(F.broadcast(u)).select(
+            F.lit(op).alias("op"),
+            F.col(n_col).alias("sk_n"),
+            F.lit(None).cast("long").alias("kth"),
+            F.floor(F.col(n_col).cast("double") * F.col("u_est")
+                    / F.col("u_n") + 0.5).cast("long").alias("est"),
+        )
+
+    ex_a = sets.where(s == "a").select(_kmv_hash(F.col(key_col)).alias("h"))
+    ex_b = sets.where(s == "b").select(_kmv_hash(F.col(key_col)).alias("h"))
+    inter = ex_a.distinct().join(ex_b.distinct(), "h")
+    exact = (
+        ex_a.agg(F.count_distinct("h").alias("exact")).select(
+            F.lit("a").alias("op"), "exact")
+        .unionByName(ex_b.agg(F.count_distinct("h").alias("exact")).select(
+            F.lit("b").alias("op"), "exact"))
+        .unionByName(
+            ex_a.unionByName(ex_b).agg(
+                F.count_distinct("h").alias("exact")).select(
+                F.lit("union").alias("op"), "exact"))
+        .unionByName(inter.agg(F.count("*").cast("long").alias("exact"))
+                     .select(F.lit("intersect").alias("op"), "exact"))
+        .unionByName(
+            ex_a.distinct().join(ex_b.distinct(), "h", "left_anti")
+            .agg(F.count("*").cast("long").alias("exact"))
+            .select(F.lit("a_not_b").alias("op"), "exact"))
+    )
+    ops = base.unionByName(_derived("n_both", "intersect")).unionByName(
+        _derived("n_a_only", "a_not_b"))
+    return ops.join(exact, "op").select("op", "sk_n", "kth", "est", "exact")

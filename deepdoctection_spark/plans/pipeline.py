@@ -815,3 +815,37 @@ def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(null_row)
     )
     return transcript_expectations(corrupted)
+
+
+def _oracle_k_anon() -> str:
+    from deepdoctection_spark.sources.transcripts import TRANSCRIPT_BASE_SQL
+
+    return f"""
+WITH t AS (SELECT * FROM ({TRANSCRIPT_BASE_SQL}))
+SELECT role, tool, (turn_idx // 4)::BIGINT AS pos_bucket,
+       count(*)::BIGINT AS class_n,
+       count(DISTINCT conv_id)::BIGINT AS l_div,
+       (count(*) < 5)::INT AS at_risk
+FROM t GROUP BY 1, 2, 3
+"""
+
+
+@register("privacy_k_anon", _oracle_k_anon())
+def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the transcript table treating
+    (role, tool, turn-position bucket) as the quasi-identifier tuple and
+    conv_id as the sensitive attribute: per equivalence class its size,
+    distinct-conversation diversity, and the at_risk flag for classes an
+    attacker could pin below k=5. ONE map-side-combined hash agg; output
+    O(|QI tuples|) regardless of corpus size
+    (operators/expectations.k_anonymity_report)."""
+    from deepdoctection_spark.operators.expectations import (
+        k_anonymity_report,
+    )
+
+    t = build_transcripts(spark, sf_dir).withColumn(
+        "pos_bucket", F.floor(F.col("turn_idx") / 4).cast("long")
+    )
+    return k_anonymity_report(
+        t, ["role", "tool", "pos_bucket"], "conv_id", k=5
+    )

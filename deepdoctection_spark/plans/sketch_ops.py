@@ -200,3 +200,101 @@ def q_sketch_hdr_quantiles(spark, sf_dir):
     from deepdoctection_spark.operators.sketches import hdr_quantiles
 
     return hdr_quantiles(_docs(spark, sf_dir))
+
+
+_KMV_URLS_CTE = """
+a_urls AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url
+  FROM documents
+),
+b_urls AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/new/' || doc_id
+  FROM documents WHERE doc_id % 17 = 0
+)
+"""
+
+
+@register(
+    "sketch_kmv_setops",
+    f"""
+WITH {_KMV_URLS_CTE},
+ha AS (SELECT DISTINCT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+       FROM a_urls),
+hb AS (SELECT DISTINCT ('0x' || substr(md5(url), 1, 15))::BIGINT AS h
+       FROM b_urls),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+sku AS (SELECT h FROM (SELECT DISTINCT h FROM (
+          SELECT h FROM ska UNION ALL SELECT h FROM skb))
+        ORDER BY h LIMIT 64),
+flag AS (SELECT h, (h IN (SELECT h FROM ska))::INT AS in_a,
+                (h IN (SELECT h FROM skb))::INT AS in_b FROM sku),
+base AS (
+  SELECT 'a' AS op, count(*)::BIGINT AS sk_n, max(h) AS kth FROM ska
+  UNION ALL SELECT 'b', count(*)::BIGINT, max(h) FROM skb
+  UNION ALL SELECT 'union', count(*)::BIGINT, max(h) FROM sku
+),
+est_base AS (SELECT op, sk_n, kth,
+  floor(CASE WHEN sk_n < 64 THEN sk_n::DOUBLE
+        ELSE 63.0 * 1152921504606846976.0 / kth END + 0.5)::BIGINT AS est
+  FROM base),
+u AS (SELECT sk_n AS u_n, est AS u_est FROM est_base WHERE op = 'union'),
+part AS (SELECT sum(in_a * in_b)::BIGINT AS n_both,
+                sum(in_a * (1 - in_b))::BIGINT AS n_a_only FROM flag),
+der AS (
+  SELECT 'intersect' AS op, n_both AS sk_n, NULL::BIGINT AS kth,
+         floor(n_both::DOUBLE * u_est / u_n + 0.5)::BIGINT AS est
+  FROM part, u
+  UNION ALL
+  SELECT 'a_not_b', n_a_only, NULL::BIGINT,
+         floor(n_a_only::DOUBLE * u_est / u_n + 0.5)::BIGINT
+  FROM part, u
+),
+exact AS (
+  SELECT 'a' AS op, count(*)::BIGINT AS exact FROM ha
+  UNION ALL SELECT 'b', count(*)::BIGINT FROM hb
+  UNION ALL SELECT 'union', count(*)::BIGINT
+    FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+  UNION ALL SELECT 'intersect', count(*)::BIGINT
+    FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb)
+  UNION ALL SELECT 'a_not_b', count(*)::BIGINT
+    FROM (SELECT h FROM ha EXCEPT SELECT h FROM hb)
+)
+SELECT o.op, o.sk_n, o.kth, o.est, x.exact
+FROM (SELECT * FROM est_base UNION ALL SELECT * FROM der) o
+JOIN exact x USING (op)
+""",
+)
+def q_sketch_kmv_setops(spark, sf_dir):
+    """KMV/theta-sketch set algebra between two crawl snapshots' URL sets
+    (the snapshot-diff fixture): distinct estimates for a, b, a∪b, a∩b,
+    a∖b from k=64 bottom-k sketches next to the exact counts. HLL answers
+    union only; this is the sketch that sizes crawl overlap / churn
+    without a distinct-shuffle. Two-level bottom-k (partition-local cut,
+    then per-set top-64) — the full key set is never globally sorted."""
+    from pyspark.sql import functions as F
+
+    from deepdoctection_spark.operators.sketches import kmv_setops
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url_p = F.concat(
+        F.lit("https://h"), (d % 7).cast("string"),
+        F.lit(".example.org/p/"), d.cast("string"),
+    )
+    a = docs.select(F.lit("a").alias("s"), url_p.alias("url"))
+    b = docs.where(d % 13 != 0).select(
+        F.lit("b").alias("s"), url_p.alias("url")
+    ).unionByName(
+        docs.where(d % 17 == 0).select(
+            F.lit("b").alias("s"),
+            F.concat(
+                F.lit("https://h"), (d % 7).cast("string"),
+                F.lit(".example.org/new/"), d.cast("string"),
+            ).alias("url"),
+        )
+    )
+    return kmv_setops(a.unionByName(b))

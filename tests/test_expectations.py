@@ -62,3 +62,31 @@ def test_each_corruption_detected(spark):
 def test_gap_in_turn_idx_is_noncontiguous(spark):
     rows = [("a", 0, "user", "x", _TS), ("a", 2, "user", "y", _TS)]
     assert _report(spark, rows)["turn_idx_contiguous"] == (1, False)
+
+
+def test_k_anonymity_report_flags_small_classes(spark):
+    from deepdoctection_spark.operators.expectations import k_anonymity_report
+
+    rows = (
+        # a 6-member class hiding 3 distinct sensitive values -> safe
+        [("adult", "city", f"p{i % 3}") for i in range(6)]
+        # a 2-member class -> at risk under k=5
+        + [("minor", "town", "p9"), ("minor", "town", "p9")]
+    )
+    df = spark.createDataFrame(rows, "age string, loc string, person string")
+    out = {(r.age, r.loc): r for r in k_anonymity_report(
+        df, ["age", "loc"], "person", k=5).collect()}
+    safe, risky = out[("adult", "city")], out[("minor", "town")]
+    assert (safe.class_n, safe.l_div, safe.at_risk) == (6, 3, 0)
+    assert (risky.class_n, risky.l_div, risky.at_risk) == (2, 1, 1)
+
+
+def test_k_anonymity_partitioning_invariance(spark):
+    from deepdoctection_spark.operators.expectations import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [(f"a{i % 4}", f"s{i % 7}") for i in range(100)], "qi string, s string"
+    )
+    a = sorted(map(tuple, k_anonymity_report(df.coalesce(1), ["qi"], "s").collect()))
+    b = sorted(map(tuple, k_anonymity_report(df.repartition(16), ["qi"], "s").collect()))
+    assert a == b

@@ -177,3 +177,73 @@ def test_hdr_quantiles_partitioning_invariant(spark, sf_parity):
     a = {(r.lang, r.q_pct): r.est_lb for r in hdr_quantiles(docs.repartition(3)).collect()}
     b = {(r.lang, r.q_pct): r.est_lb for r in hdr_quantiles(docs.repartition(31)).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# KMV / theta set operations
+# --------------------------------------------------------------------------
+
+
+def _kmv_two_sets(spark, n_a=400, overlap=200, n_b_extra=150):
+    rows = [("a", f"u{i}") for i in range(n_a)]
+    rows += [("b", f"u{i}") for i in range(n_a - overlap, n_a)]
+    rows += [("b", f"x{i}") for i in range(n_b_extra)]
+    # duplicate mentions must not move any estimate (sketch of DISTINCT keys)
+    rows += rows[:50]
+    return spark.createDataFrame(rows, "s string, url string")
+
+
+def test_kmv_setops_estimates_and_invariants(spark):
+    from deepdoctection_spark.operators.sketches import KMV_K, kmv_setops
+
+    out = {r.op: r for r in kmv_setops(_kmv_two_sets(spark)).collect()}
+    assert set(out) == {"a", "b", "union", "intersect", "a_not_b"}
+    for r in out.values():
+        assert r.sk_n <= KMV_K
+    assert out["a"].exact == 400
+    assert out["b"].exact == 350
+    assert out["union"].exact == 550
+    assert out["intersect"].exact == 200
+    assert out["a_not_b"].exact == 200
+    # union-sketch membership partition: in_a rows split into both/only
+    assert out["intersect"].sk_n + out["a_not_b"].sk_n <= KMV_K
+    # k=64 → SE ≈ 1/sqrt(62) ≈ 12.7%; assert 4σ on the direct sketches
+    for op in ("a", "b", "union"):
+        r = out[op]
+        assert abs(r.est - r.exact) / r.exact < 0.51, (op, r)
+    # derived ops: absolute error bounded by the same sampling argument,
+    # relative to the UNION size (their denominators), not their own
+    for op in ("intersect", "a_not_b"):
+        r = out[op]
+        assert abs(r.est - r.exact) / out["union"].exact < 0.51, (op, r)
+
+
+def test_kmv_small_sets_are_exact(spark):
+    from deepdoctection_spark.operators.sketches import kmv_setops
+
+    sets = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20)]
+        + [("b", f"u{i}") for i in range(10, 35)],
+        "s string, url string",
+    )
+    out = {r.op: r for r in kmv_setops(sets).collect()}
+    # every sketch holds the whole set → estimates ARE the exact counts
+    for op, r in out.items():
+        assert r.est == r.exact, (op, r)
+    assert out["intersect"].exact == 10
+    assert out["a_not_b"].exact == 10
+    assert out["union"].exact == 35
+
+
+def test_kmv_partitioning_invariance(spark):
+    """The two-level bottom-k must yield the identical sketch regardless of
+    input partitioning (the candidate superset always contains the true
+    bottom-k)."""
+    from deepdoctection_spark.operators.sketches import kmv_setops
+
+    base = _kmv_two_sets(spark)
+    one = {(r.op): (r.sk_n, r.kth, r.est)
+           for r in kmv_setops(base.coalesce(1)).collect()}
+    many = {(r.op): (r.sk_n, r.kth, r.est)
+            for r in kmv_setops(base.repartition(13)).collect()}
+    assert one == many
