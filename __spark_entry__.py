@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 168, 51 never-driver-checked) lead the r05 sweep.
+# 185, 68 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -215,7 +215,33 @@ _P0_TAIL = {
     # maintenance sweep over the same ref-walk the in-cap ice_changelog /
     # r4-driver-green ice_* family already exercises
     "ice_orphan_cleanup",
+    # one map-side hash agg over the transcript QI tuple — the identical
+    # shape as the in-cap crawl_host_rollup (and the r4-green expectations
+    # family)
+    "privacy_k_anon",
+    # driver-side walk of the same manifest rows the in-cap
+    # ice_metadata_agg (and the r4-driver-green ice_* family) already
+    # value-checks; only the binning arithmetic is new
+    "ice_binpack_plan",
+    # broadcast-model log-prob scoring per doc — same shape as the in-cap
+    # quality_perplexity_bigram
+    "classify_nb_lang",
+    # fixed-size mergeable bucket-table agg — same shape as the in-cap
+    # sketch_hll_distinct
+    "sketch_hdr_quantiles",
+    # narrow pure-column scan-map like the in-cap gopher/C4 gates (and the
+    # r4-driver-green pii_scrub shares its planted-PII fixture pattern)
+    "pii_luhn_validate",
+    # same loader-prep rank-window + broadcast-model-side shape as the
+    # in-cap loader_epoch_shuffle (weights side is r4-green mixture_weights)
+    "loader_mixture_schedule",
 }
+
+# Newest unique surfaces promoted to just after the r4 stragglers: the KMV
+# two-level bottom-k path and the exactly-once streaming near-dup ingest
+# share no plan shape with any other in-cap query, so under the ~50 cap they
+# must not sit at the registration-ordered end of the priority-0 block.
+_P0_PROMOTE = ("sketch_kmv_setops", "stream_neardup_ingest")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -224,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key=lambda n: (
             n not in _SWEEP_FRONT,
             _priority(n),
+            n not in _P0_PROMOTE,
             n in _P0_TAIL,
             list(QUERIES).index(n),
         ),

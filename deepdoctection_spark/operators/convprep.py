@@ -176,3 +176,76 @@ def conv_prefix_dups(
             F.col("ns").cast("long").alias("n_turns_super"),
         )
     )
+
+
+# Feistel epoch-shuffle geometry: a 32-bit balanced Feistel network (two
+# 16-bit halves, 3 rounds, md5-derived round keys) — a keyed BIJECTION on
+# [0, 2^32), so every epoch is a full deterministic permutation computed
+# row-locally with no global sort and no stored permutation table.
+FEISTEL_HALF = 65536
+FEISTEL_ROUNDS = 3
+
+
+def _feistel_f(epoch: Column, rnd: int, half: Column) -> Column:
+    """16-bit round function: first 4 md5 nibbles of 'shuf#epoch#round#x'."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.lit("shuf"), epoch.cast("string"),
+                              F.lit(str(rnd)), half.cast("string"))
+                  .cast("binary")),
+            1, 4),
+        16, 10,
+    ).cast("long")
+
+
+def epoch_shuffle(df: DataFrame, id_col: str = "doc_id",
+                  epochs: int = 3, n_shards: int = 8) -> DataFrame:
+    """Deterministic multi-epoch training-loader shuffle: for each epoch a
+    keyed Feistel permutation maps every row id to a unique 32-bit ``perm``
+    value; ``shard = perm % n_shards`` and the shard-local rank define the
+    exact order each loader shard consumes.
+
+    Why not ORDER BY rand(seed)? At 10^12 rows a global sort is a full
+    range-shuffle per epoch, the seed's order is not seekable (resuming at
+    step k means re-sorting), and Spark's rand() is partition-dependent.
+    The Feistel network (Black & Rogaway 2002's cycle-walking cipher,
+    minus the walk: the domain is fixed at 2^32 and ids must fit it) is a
+    stateless column expression: each epoch's permutation costs one narrow
+    map, shards balance by uniformity of the keyed mix, and resuming shard
+    s at step k is a ``perm``-range predicate that PUSHES DOWN to a table
+    sorted by (epoch, shard, perm) — no state, no sort, no permutation
+    table to store or broadcast.
+
+    The only non-map cost is the per-shard rank window, partitioned by
+    (epoch, shard) — ``epochs × n_shards`` bounded groups. A production
+    writer skips even that: writing bucketed-by-shard sorted-by-perm makes
+    the rank implicit in file order.
+
+    Output: (epoch, id, perm, shard, rank_in_shard) — bit-identical across
+    engines (md5 + integer arithmetic only).
+    """
+    idc = F.col(id_col).cast("long")
+    e = df.select(idc.alias("id")).withColumn(
+        "epoch", F.explode(F.array(*[F.lit(i) for i in range(epochs)]))
+    )
+    cur = e.select(
+        "epoch", "id",
+        (F.col("id") / FEISTEL_HALF).cast("long").alias("l0"),
+        (F.col("id") % FEISTEL_HALF).alias("r0"),
+    )
+    for i in range(FEISTEL_ROUNDS):
+        l, r = F.col(f"l{i}"), F.col(f"r{i}")
+        cur = cur.select(
+            "epoch", "id",
+            r.alias(f"l{i + 1}"),
+            l.bitwiseXOR(_feistel_f(F.col("epoch"), i, r))
+            .alias(f"r{i + 1}"),
+        )
+    ln, rn = F.col(f"l{FEISTEL_ROUNDS}"), F.col(f"r{FEISTEL_ROUNDS}")
+    p = cur.select(
+        "epoch", "id", (ln * FEISTEL_HALF + rn).alias("perm")
+    ).withColumn("shard", (F.col("perm") % n_shards).cast("int"))
+    w = Window.partitionBy("epoch", "shard").orderBy("perm")
+    return p.withColumn(
+        "rank_in_shard", F.row_number().over(w).cast("long")
+    )

@@ -932,3 +932,41 @@ def split_assign(docs: DataFrame, train: int = 80, val: int = 10) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def stride_schedule(docs: DataFrame, weights: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic cross-source interleave for a mixture-weighted training
+    loader (stride scheduling, Waldspurger & Weihl 1995): source s's k-th
+    document is consumed at virtual time (k − ½)/w_s, so sorting by the
+    schedule key yields a stream whose every prefix tracks the mixture
+    proportions within one document per source — the interleave that turns
+    ``mixture_weights`` (what share) and ``epoch_shuffle`` (order within a
+    source) into an executable epoch plan without any RNG state.
+
+    key_q3 = (2k − 1)·10⁹ DIV (2·weight_q6): exact BIGINT arithmetic, so
+    the schedule is bit-identical across engines, re-runs and cluster
+    sizes. Within-source k here is a per-source md5-ordered rank window;
+    at 10^12 rows a production loader takes k from ``epoch_shuffle``'s
+    shard-local rank instead (bounded window groups) and never sorts a
+    whole source. The weights side is sources-sized and broadcast.
+
+    Returns (source, id, k, key_q3); the loader materializes by writing
+    bucketed/sorted by key_q3 — ordering is carried by the key, no global
+    rank is ever computed.
+    """
+    order_key = F.md5(
+        F.concat(F.lit("sched#"), F.col(id_col).cast("string"))
+        .cast("binary"))
+    w = Window.partitionBy("source").orderBy(order_key)
+    ranked = docs.select("source", id_col).withColumn(
+        "k", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(weights.select("source", "weight_q6")),
+                    "source")
+        .select(
+            "source", id_col, "k",
+            F.expr("((2 * k - 1) * 1000000000L) DIV (2 * weight_q6)")
+            .alias("key_q3"),
+        )
+    )

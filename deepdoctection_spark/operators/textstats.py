@@ -489,3 +489,52 @@ def c4_rules(
         flag_brace.alias("flag_brace"),
         keep.alias("keep"),
     )
+
+
+def luhn_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Checksum-validated payment-card detection: extract maximal digit
+    runs, keep card-length candidates (13-19 digits), and validate each
+    with the Luhn mod-10 checksum (ISO/IEC 7812) — the filter that
+    separates real card numbers from order ids / timestamps / hashes,
+    cutting the false-positive mass a length-only regex scrub
+    (``pii_scrub``) would redact.
+
+    Maximal ``\\d+`` runs need no lookaround boundaries, so extraction is
+    engine-portable (RE2 and Java regex agree); the checksum is a pure
+    integer fold over the reversed digits (doubling every second digit,
+    subtracting 9 above 9) via JVM higher-order functions — transform +
+    aggregate over a sequence, zero Python, zero shuffle. 100 TB shape: a
+    narrow map over the corpus scan; the per-doc candidate explode is
+    bounded by text length.
+
+    Returns (doc_id, cand, n_digits, len_ok, luhn_valid) — one row per
+    extracted run of ≥13 digits. Reference analogue: the SimpleTransform
+    pre-clean stage (pipe/transform.py) as a compliance gate.
+    """
+    runs = F.regexp_extract_all(F.col(text_col), F.lit(r"\d+"), 0)
+    ex = (
+        docs.select("doc_id", F.explode(runs).alias("cand"))
+        .where(F.length("cand") >= 13)
+    )
+    rev = F.reverse(F.col("cand"))
+    chars = F.split(rev, "")
+    n = F.length("cand")
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            i % 2 == 1, F.element_at(chars, i).cast("int")
+        ).otherwise(
+            F.when(F.element_at(chars, i).cast("int") * 2 > 9,
+                   F.element_at(chars, i).cast("int") * 2 - 9)
+            .otherwise(F.element_at(chars, i).cast("int") * 2)
+        ),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    len_ok = (n <= 19).cast("int")
+    return ex.select(
+        "doc_id",
+        "cand",
+        n.cast("int").alias("n_digits"),
+        len_ok.alias("len_ok"),
+        ((total % 10 == 0).cast("int") * len_ok).alias("luhn_valid"),
+    )

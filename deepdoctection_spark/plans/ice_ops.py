@@ -685,3 +685,48 @@ def q_ice_orphan_cleanup(spark, sf_dir):
     assert live_after == live_before, "cleanup touched a referenced file"
     assert t.read(spark, seq=1).count() > 0  # time travel intact
     return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
+    "ice_binpack_plan",
+    """
+WITH files AS (
+  SELECT count(*)::BIGINT AS rows_, min(event_id)::BIGINT AS emin
+  FROM events
+  WHERE (event_id // 12) % (1 + (event_id % 12) % 3) = 0
+  GROUP BY event_id % 12
+),
+ranked AS (
+  SELECT rows_, emin,
+         row_number() OVER (ORDER BY rows_ DESC, emin)::BIGINT AS file_rank
+  FROM files
+)
+SELECT file_rank, rows_ AS file_rows, emin AS stat_min,
+       CASE WHEN rows_ >= 800 THEN -1 ELSE
+         coalesce(sum(rows_) FILTER (WHERE rows_ < 800)
+                  OVER (ORDER BY rows_ DESC, emin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) // 800
+       END::BIGINT AS bin_id
+FROM ranked
+""",
+)
+def q_ice_binpack_plan(spark, sf_dir):
+    """Metadata-only compaction planning: 12 single-file appends of
+    deterministically varied sizes, then the binpack scheduler groups the
+    small files into ~800-row rewrite bins and excludes right-sized files
+    (bin_id = -1) — ZERO data reads, answered from manifest row counts +
+    footer min stats alone. The oracle recomputes the identical plan from
+    the slice definitions, so agreement proves the manifests' per-file
+    bookkeeping carries exactly what the scheduler needs
+    (sources/icetable.compaction_plan)."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_binpack_")
+    t = IceTable(f"{tmp}/tbl")
+    for i in range(12):
+        t.append(
+            ev.where(f"event_id % 12 = {i} "
+                     f"AND (event_id DIV 12) % {1 + i % 3} = 0").coalesce(1)
+        )
+    return _materialize_then_rm(
+        t.compaction_plan(spark, target_rows=800, stat_col="event_id"), tmp)

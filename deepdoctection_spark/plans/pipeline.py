@@ -849,3 +849,41 @@ def q_privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(
         t, ["role", "tool", "pos_bucket"], "conv_id", k=5
     )
+
+
+_EPOCH_SHUFFLE_ORACLE = """
+WITH ep AS (SELECT unnest([0, 1, 2]) AS epoch),
+s0 AS (SELECT epoch, doc_id AS id, (doc_id // 65536)::BIGINT AS l0,
+              (doc_id % 65536)::BIGINT AS r0
+       FROM documents, ep),
+s1 AS (SELECT epoch, id, r0 AS l1,
+       xor(l0, ('0x' || substr(md5('shuf#' || epoch || '#0#' || r0),
+                               1, 4))::BIGINT) AS r1 FROM s0),
+s2 AS (SELECT epoch, id, r1 AS l2,
+       xor(l1, ('0x' || substr(md5('shuf#' || epoch || '#1#' || r1),
+                               1, 4))::BIGINT) AS r2 FROM s1),
+s3 AS (SELECT epoch, id, r2 AS l3,
+       xor(l2, ('0x' || substr(md5('shuf#' || epoch || '#2#' || r2),
+                               1, 4))::BIGINT) AS r3 FROM s2),
+p AS (SELECT epoch, id, (l3 * 65536 + r3)::BIGINT AS perm FROM s3)
+SELECT epoch, id, perm, (perm % 8)::INT AS shard,
+       row_number() OVER (PARTITION BY epoch, perm % 8 ORDER BY perm)::BIGINT
+         AS rank_in_shard
+FROM p
+"""
+
+
+@register("loader_epoch_shuffle", _EPOCH_SHUFFLE_ORACLE)
+def q_loader_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three training epochs of the deterministic Feistel loader shuffle
+    over the documents corpus: per epoch a keyed 32-bit bijection gives
+    every doc a unique perm value, a balanced shard, and a shard-local
+    consumption rank — no global sort, no rand(), resumable at any step by
+    a perm-range predicate (operators/convprep.epoch_shuffle). The oracle
+    unrolls the identical 3-round network in SQL."""
+    from deepdoctection_spark.operators.convprep import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return epoch_shuffle(docs, id_col="doc_id", epochs=3, n_shards=8)

@@ -2801,3 +2801,112 @@ def q_crawl_snapshot_diff(spark, sf_dir):
         )
     )
     return weburl.crawl_snapshot_diff(old, new)
+
+
+_LUHN_SQL = """
+CASE WHEN i % 2 = 1 THEN substr(reverse(cand), i, 1)::INT
+     ELSE CASE WHEN 2 * substr(reverse(cand), i, 1)::INT > 9
+               THEN 2 * substr(reverse(cand), i, 1)::INT - 9
+               ELSE 2 * substr(reverse(cand), i, 1)::INT END END
+"""
+
+
+@register(
+    "pii_luhn_validate",
+    f"""
+WITH aug AS (
+  SELECT doc_id,
+    'acct ' || lpad((('0x' || substr(md5('card#' || doc_id), 1, 13))
+                     ::BIGINT)::VARCHAR, 16, '0')
+    || ' ref ' || lpad((doc_id % 1000000000000)::VARCHAR, 12, '0')
+    || CASE WHEN doc_id % 5 = 0 THEN ' id 999999999999999999999'
+            ELSE '' END
+    || ' end' AS text
+  FROM documents
+),
+runs AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\d+')) AS cand
+         FROM aug),
+keep AS (SELECT doc_id, cand FROM runs WHERE length(cand) >= 13)
+SELECT doc_id, cand, length(cand)::INT AS n_digits,
+       (length(cand) <= 19)::INT AS len_ok,
+       ((list_sum(list_transform(range(1, length(cand) + 1),
+                                 i -> {_LUHN_SQL})) % 10 = 0)::INT
+        * (length(cand) <= 19)::INT) AS luhn_valid
+FROM keep
+""",
+)
+def q_pii_luhn_validate(spark, sf_dir):
+    """Checksum-validated card-number detection over planted candidates:
+    each doc carries a deterministic 16-digit run (~10% Luhn-valid by
+    hash), a 12-digit run (below card length — must NOT surface), and
+    every 5th doc a 21-digit run (over card length — surfaced with
+    len_ok=0, never valid). The oracle replays extraction AND the mod-10
+    fold digit-for-digit (operators/textstats.luhn_candidates)."""
+    from deepdoctection_spark.operators.textstats import luhn_candidates
+
+    d = F.col("doc_id")
+    c16 = F.lpad(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("card#"), d.cast("string"))
+                      .cast("binary")), 1, 13),
+            16, 10),
+        16, "0")
+    aug = F.concat(
+        F.lit("acct "), c16,
+        F.lit(" ref "), F.lpad((d % (10 ** 12)).cast("string"), 12, "0"),
+        F.when(d % 5 == 0, F.lit(" id 999999999999999999999"))
+        .otherwise(F.lit("")),
+        F.lit(" end"),
+    )
+    docs = _docs(spark, sf_dir)
+    return luhn_candidates(docs.select("doc_id", aug.alias("text")))
+
+
+_MIX_WTS_CTE = f"""
+toksm AS (SELECT source, string_split({_NORM}, ' ') AS ws FROM documents),
+per_srcm AS (
+  SELECT source, sum(len(list_filter(ws, w -> len(w) > 0)))::BIGINT
+           AS n_tokens
+  FROM toksm GROUP BY source
+),
+qm AS (
+  SELECT source,
+         floor(n_tokens * 1000000
+               / sum(n_tokens) OVER ())::BIGINT AS p_q6
+  FROM per_srcm
+),
+sm AS (SELECT source, floor(sqrt(p_q6::DOUBLE) * 1000 + 0.5)::BIGINT AS s_q3
+       FROM qm),
+wts AS (SELECT source,
+               floor(s_q3 * 1000000 / sum(s_q3) OVER ())::BIGINT
+                 AS weight_q6
+        FROM sm)
+"""
+
+
+@register(
+    "loader_mixture_schedule",
+    f"""
+WITH {_MIX_WTS_CTE},
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('sched#' || doc_id))::BIGINT AS k
+  FROM documents
+)
+SELECT r.source, r.doc_id, r.k,
+       ((2 * r.k - 1) * 1000000000 // (2 * w.weight_q6))::BIGINT AS key_q3
+FROM ranked r JOIN wts w USING (source)
+""",
+)
+def q_loader_mixture_schedule(spark, sf_dir):
+    """Stride-scheduled mixture interleave: temperature-scaled per-source
+    weights (the mixture_weights math) drive a deterministic virtual-time
+    key so any prefix of the key-sorted stream tracks the mixture within
+    one doc per source — the executable epoch plan, no RNG, no global
+    rank (operators/corpusprep.stride_schedule). The oracle replays the
+    weight quantization AND the stride arithmetic exactly."""
+    docs = _docs(spark, sf_dir)
+    return corpusprep.stride_schedule(
+        docs, corpusprep.mixture_weights(docs))

@@ -1968,6 +1968,57 @@ class IceTable:
         ]
         return spark.createDataFrame(rows, names)
 
+    def compaction_plan(self, spark: SparkSession, target_rows: int,
+                        stat_col: str, seq: int | None = None) -> DataFrame:
+        """Metadata-only compaction planning (the scheduling half of
+        Iceberg's ``rewrite_data_files`` binpack strategy): group the
+        snapshot's small files into rewrite bins of ~``target_rows`` rows
+        WITHOUT reading any data — the decision of *what to compact* comes
+        from the same O(#files) manifest rows commit planning already
+        reads, so a maintenance daemon can run it continuously against a
+        100 TB table for free and only pay I/O for the bins it accepts.
+
+        Deterministic strategy (differentially testable, unlike a greedy
+        first-fit whose output depends on iteration order): files sort by
+        (rows DESC, footer-min of ``stat_col`` ASC — a total order, since
+        paths are not stable identities), files already at/over
+        ``target_rows`` are excluded with ``bin_id = -1`` (rewriting a
+        right-sized file is wasted I/O), and the rest split at cumulative-
+        row-count multiples of ``target_rows`` — each bin rewrites to ~one
+        target-sized file via :meth:`compact` on its file subset.
+
+        Refuses snapshots carrying merge-on-read delete files for the same
+        reason :meth:`metadata_agg` does: footer row counts over-count
+        deleted rows, so bins would be mis-sized — fold deletes first.
+
+        Returns (file_rank, file_rows, stat_min, bin_id), one row per data
+        file."""
+        raw = self._raw_snapshot(seq)
+        if self._delete_entries(raw):
+            raise ValueError(
+                "compaction_plan: snapshot carries merge-on-read delete "
+                "files; footer row counts over-count — compact() first")
+        entries = []
+        for f in self._snap_files(raw):
+            s = f.get("stats", {}).get(stat_col)
+            if s is None:
+                raise ValueError(
+                    f"compaction_plan: file {f['path']} has no footer "
+                    f"stats for tie-break column {stat_col!r}")
+            entries.append((f["rows"], s["min"]))
+        entries.sort(key=lambda e: (-e[0], e[1]))
+        rows, cum = [], 0
+        for rank, (n, smin) in enumerate(entries, start=1):
+            if n >= target_rows:
+                rows.append((rank, n, smin, -1))
+            else:
+                rows.append((rank, n, smin, cum // target_rows))
+                cum += n
+        return spark.createDataFrame(
+            [(int(a), int(b), int(c), int(d)) for a, b, c, d in rows],
+            "file_rank long, file_rows long, stat_min long, bin_id long",
+        )
+
     def changes(self, spark: SparkSession, from_seq: int,
                 to_seq: int | None = None) -> DataFrame:
         """Net row-level changelog between two snapshots (the Iceberg CDC /

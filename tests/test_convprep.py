@@ -167,3 +167,56 @@ def test_prefix_dups_property_matches_bruteforce(spark):
         if a != b and len(ta) < len(tb) and tb[: len(ta)] == ta
     )
     assert got == want and len(want) > 0
+
+
+# --------------------------------------------------------------------------
+# Feistel epoch shuffle
+# --------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_bijection_and_epochs_differ(spark):
+    from deepdoctection_spark.operators.convprep import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = epoch_shuffle(df, epochs=2, n_shards=4).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.id] = r.perm
+    assert set(by_epoch) == {0, 1}
+    for e, m in by_epoch.items():
+        assert len(m) == 300
+        assert len(set(m.values())) == 300  # injective -> bijection on ids
+        assert all(0 <= p < 2**32 for p in m.values())
+    # the two epochs must order the corpus differently
+    order0 = sorted(by_epoch[0], key=by_epoch[0].get)
+    order1 = sorted(by_epoch[1], key=by_epoch[1].get)
+    assert order0 != order1
+
+
+def test_epoch_shuffle_shards_balanced_and_ranks_contiguous(spark):
+    from deepdoctection_spark.operators.convprep import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    out = epoch_shuffle(df, epochs=1, n_shards=8).collect()
+    shards: dict[int, list] = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r)
+    assert set(shards) == set(range(8))
+    for s, rows in shards.items():
+        # uniform hash -> no shard dominates (expected 100 each)
+        assert 50 <= len(rows) <= 150, (s, len(rows))
+        ranks = sorted(r.rank_in_shard for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        # rank order == perm order (the loader's consumption order)
+        by_rank = sorted(rows, key=lambda r: r.rank_in_shard)
+        perms = [r.perm for r in by_rank]
+        assert perms == sorted(perms)
+
+
+def test_epoch_shuffle_partitioning_invariance(spark):
+    from deepdoctection_spark.operators.convprep import epoch_shuffle
+
+    df = spark.createDataFrame([(i * 7,) for i in range(256)], "doc_id long")
+    a = sorted(map(tuple, epoch_shuffle(df.coalesce(1), epochs=1).collect()))
+    b = sorted(map(tuple, epoch_shuffle(df.repartition(16), epochs=1).collect()))
+    assert a == b

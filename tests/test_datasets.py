@@ -767,3 +767,89 @@ def test_pq_encode_and_adc_match_numpy_replay(spark):
         )[:5]
         got = [(r["adc_micro"], r["vec_id"]) for r in sorted(got_top[qid], key=lambda r: r["rank"])]
         assert got == scored, qid
+
+
+def test_luhn_candidates_known_vectors(spark):
+    from deepdoctection_spark.operators.textstats import luhn_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (0, "pay 4111111111111111 now"),            # Luhn-valid Visa test
+            (1, "ref 4111111111111112 bad check"),      # flipped check digit
+            (2, "id 4532015112830366 ok"),              # another valid vector
+            (3, "short 123456789012 ignored"),          # 12 digits: no row
+            (4, "long 999999999999999999999 over"),     # 21 digits: len_ok 0
+            (5, "two 4111111111111111 and 4111111111111112"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = luhn_candidates(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc                      # sub-card-length runs dropped
+    assert [(r.cand, r.len_ok, r.luhn_valid) for r in by_doc[0]] == [
+        ("4111111111111111", 1, 1)]
+    assert [(r.luhn_valid) for r in by_doc[1]] == [0]
+    assert [(r.luhn_valid) for r in by_doc[2]] == [1]
+    (over,) = by_doc[4]
+    assert (over.n_digits, over.len_ok, over.luhn_valid) == (21, 0, 0)
+    assert sorted((r.cand, r.luhn_valid) for r in by_doc[5]) == [
+        ("4111111111111111", 1), ("4111111111111112", 0)]
+
+
+def test_luhn_candidates_fixture_has_both_classes(spark, sf_parity):
+    """The planted md5-derived 16-digit runs must exercise both verdicts
+    (~10% valid by hash) — guards against a degenerate fixture."""
+    from pyspark.sql import functions as F
+
+    import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    agg = QUERIES["pii_luhn_validate"](spark, sf_parity).where(
+        "n_digits = 16").agg(
+        F.sum("luhn_valid").alias("v"), F.count("*").alias("n")).first()
+    assert 0 < agg.v < agg.n
+
+
+def test_stride_schedule_prefixes_track_mixture(spark):
+    from deepdoctection_spark.operators.corpusprep import stride_schedule
+
+    # two sources, weights 3:1 (q6 = 750000 / 250000)
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(300)] + [(1000 + i, "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    wts = spark.createDataFrame(
+        [("big", 750000), ("small", 250000)], "source string, weight_q6 long"
+    )
+    rows = sorted(stride_schedule(docs, wts).collect(),
+                  key=lambda r: (r.key_q3, r.source))
+    # stride guarantee: in every prefix, served_s is within ±1 of w_s * t
+    # (Waldspurger's throughput error bound for stride scheduling)
+    served = {"big": 0, "small": 0}
+    for t, r in enumerate(rows[:200], start=1):
+        served[r.source] += 1
+        assert abs(served["big"] - 0.75 * t) <= 1.0, (t, served)
+        assert abs(served["small"] - 0.25 * t) <= 1.0, (t, served)
+    # per-source k dense from 1
+    ks = {}
+    for r in rows:
+        ks.setdefault(r.source, []).append(r.k)
+    for s, lst in ks.items():
+        assert sorted(lst) == list(range(1, len(lst) + 1))
+
+
+def test_stride_schedule_deterministic_across_partitioning(spark):
+    from deepdoctection_spark.operators.corpusprep import stride_schedule
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(120)], "doc_id long, source string"
+    )
+    wts = spark.createDataFrame(
+        [("s0", 500000), ("s1", 300000), ("s2", 200000)],
+        "source string, weight_q6 long",
+    )
+    a = sorted(map(tuple, stride_schedule(docs.coalesce(1), wts).collect()))
+    b = sorted(map(tuple, stride_schedule(docs.repartition(17), wts).collect()))
+    assert a == b

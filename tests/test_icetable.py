@@ -1290,3 +1290,43 @@ def test_remove_orphans_spares_mor_deletes_and_branches(spark, tbl):
     assert dev.read(spark).count() == 60  # 50 surviving + 10 dev rows
     with pytest.raises(ValueError):
         dev.remove_orphans()
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan (metadata-only binpack scheduling)
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_plan_bins_small_files_excludes_right_sized(spark, tbl):
+    # file sizes: 120, 90, 60, 40, 30 rows (one file per append)
+    for lo, hi in [(0, 120), (200, 290), (400, 460), (600, 640), (800, 830)]:
+        tbl.append(_df(spark, lo, hi).coalesce(1))
+    plan = {r.file_rows: r for r in
+            tbl.compaction_plan(spark, target_rows=100, stat_col="id")
+            .collect()}
+    assert set(plan) == {120, 90, 60, 40, 30}
+    assert plan[120].bin_id == -1            # already right-sized
+    # candidates sorted desc: 90 (cum 0 -> bin 0), 60 (cum 90 -> bin 0),
+    # 40 (cum 150 -> bin 1), 30 (cum 190 -> bin 1)
+    assert plan[90].bin_id == 0 and plan[60].bin_id == 0
+    assert plan[40].bin_id == 1 and plan[30].bin_id == 1
+    # rank is the (rows DESC, stat_min) total order over ALL files
+    assert [plan[n].file_rank for n in (120, 90, 60, 40, 30)] == [1, 2, 3, 4, 5]
+    assert plan[90].stat_min == 200
+
+
+def test_compaction_plan_tie_break_is_stat_min(spark, tbl):
+    tbl.append(_df(spark, 500, 550).coalesce(1))   # 50 rows, min 500
+    tbl.append(_df(spark, 100, 150).coalesce(1))   # 50 rows, min 100
+    ranks = {r.stat_min: r.file_rank for r in
+             tbl.compaction_plan(spark, 1000, "id").collect()}
+    assert ranks == {100: 1, 500: 2}
+
+
+def test_compaction_plan_refuses_mor_deletes(spark, tbl):
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 10), mode="mor")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tbl.compaction_plan(spark, 100, "id")
+    tbl.compact(spark)
+    assert tbl.compaction_plan(spark, 1000, "id").count() == 1
