@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 185, 68 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 187, 70 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -235,6 +235,11 @@ _P0_TAIL = {
     # same loader-prep rank-window + broadcast-model-side shape as the
     # in-cap loader_epoch_shuffle (weights side is r4-green mixture_weights)
     "loader_mixture_schedule",
+    # chained user_id-keyed hash aggs + same-key equi-joins — the plan
+    # family of the in-cap events_gapfill_locf and the r3/r4-green
+    # events_* suite; funnel and retention are also each other's siblings
+    "events_funnel_steps",
+    "events_retention_cohorts",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -907,3 +907,114 @@ def q_events_gapfill_locf(spark, sf_dir):
         F.col("n_events").isNull().alias("is_gap"),
         F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
     )
+
+
+# --- event-stream coverage: funnel + retention cohorts ----------------------
+
+
+@register(
+    "events_funnel_steps",
+    """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS t1_us
+       FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t2_us
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1_us
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t3_us
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2_us
+       GROUP BY e.user_id)
+SELECT u.user_id, t1_us, t2_us, t3_us,
+       ((t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT
+        + (t3_us IS NOT NULL)::INT) AS steps_completed
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+)
+def q_events_funnel_steps(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user the
+    first view, the first click strictly AFTER that view, the first
+    purchase strictly after that click, and the stage count — the
+    windowFunnel/sequence-match surface of event analytics. Three
+    user-keyed hash aggs chained by equi-joins on the SAME key (one
+    shuffle partitioning reused end-to-end; no self-join over raw events,
+    no per-user array materialization), then left joins back to the user
+    universe. Timestamps as exact epoch micros."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    u = e.select("user_id").distinct()
+    s1 = (e.where(F.col("event_type") == "view").groupBy("user_id")
+          .agg(F.min("us").alias("t1_us")))
+    s2 = (e.join(s1, "user_id")
+          .where((F.col("event_type") == "click") & (F.col("us") > F.col("t1_us")))
+          .groupBy("user_id").agg(F.min("us").alias("t2_us")))
+    s3 = (e.join(s2, "user_id")
+          .where((F.col("event_type") == "purchase") & (F.col("us") > F.col("t2_us")))
+          .groupBy("user_id").agg(F.min("us").alias("t3_us")))
+    out = (u.join(s1, "user_id", "left").join(s2, "user_id", "left")
+           .join(s3, "user_id", "left"))
+    step = lambda c: F.col(c).isNotNull().cast("int")  # noqa: E731
+    return out.select(
+        "user_id", "t1_us", "t2_us", "t3_us",
+        (step("t1_us") + step("t2_us") + step("t3_us"))
+        .alias("steps_completed"),
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH days AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000)::BIGINT AS day FROM events
+),
+first_day AS (SELECT user_id, min(day) AS day0 FROM days GROUP BY user_id),
+active AS (
+  SELECT DISTINCT d.user_id, (f.day0 // 7)::BIGINT AS cohort_week,
+         ((d.day - f.day0) // 7)::BIGINT AS week_offset
+  FROM days d JOIN first_day f USING (user_id)
+),
+ret AS (SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+        FROM active GROUP BY cohort_week, week_offset),
+base AS (SELECT cohort_week, n_users AS cohort_size FROM ret
+         WHERE week_offset = 0)
+SELECT r.cohort_week, r.week_offset, r.n_users, b.cohort_size,
+       (r.n_users * 1000000 // b.cohort_size)::BIGINT AS retained_ppm
+FROM ret r JOIN base b USING (cohort_week)
+""",
+)
+def q_events_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: cohort = epoch-week of a user's first
+    activity; for each (cohort, week-offset) the distinct retained users
+    and the exact-ppm retention rate against the offset-0 cohort size (a
+    user's first week always retains, so the base row exists by
+    construction). Two user-keyed hash aggs + one distinct + one
+    cohort-keyed agg — the classic cohort matrix with no self-join over
+    raw events; pure integer day/week arithmetic shared with the oracle."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(86400000000)).cast("long").alias("day"),
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("day0"))
+    active = (
+        e.join(f, "user_id")
+        .select(
+            "user_id",
+            (F.col("day0") / 7).cast("long").alias("cohort_week"),
+            ((F.col("day") - F.col("day0")) / 7).cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    ret = active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("n_users"))
+    base = ret.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size"))
+    return ret.join(base, "cohort_week").select(
+        "cohort_week", "week_offset", "n_users", "cohort_size",
+        F.expr("(n_users * 1000000) DIV cohort_size").alias("retained_ppm"),
+    )

@@ -92,3 +92,79 @@ def test_asof_right_ties_deterministic_with_tiebreak(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="right_payload"):
         asof_join(left, right, "k", "ts", "ts", ["v"], right_tiebreak="zz")
+
+
+# ---------------------------------------------------------------------------
+# funnel + retention cohorts
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    import datetime as dt
+
+    import deepdoctection_spark.plans.relational  # noqa: F401 — registers
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda u, typ, mins: (u * 100 + mins, t0 + dt.timedelta(minutes=mins),
+                               u, typ, 1.0, "{}")  # noqa: E731
+    rows = [
+        # u1 completes all three in order
+        mk(1, "view", 0), mk(1, "click", 10), mk(1, "purchase", 20),
+        # u2: purchase BEFORE click -> stops at 2 steps
+        mk(2, "view", 0), mk(2, "purchase", 5), mk(2, "click", 10),
+        # u3: click only, never viewed -> 0 steps (funnel is ordered)
+        mk(3, "click", 0),
+        # u4: view then click at the SAME instant is NOT after -> 1 step
+        mk(4, "view", 0), mk(4, "click", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in
+           QUERIES["events_funnel_steps"](spark, sf).collect()}
+    assert out[1].steps_completed == 3
+    assert out[1].t1_us < out[1].t2_us < out[1].t3_us
+    assert out[2].steps_completed == 2 and out[2].t3_us is None
+    assert out[3].steps_completed == 0
+    assert out[4].steps_completed == 1
+    # monotone staging: a later stage implies every earlier one
+    for r in out.values():
+        if r.t3_us is not None:
+            assert r.t2_us is not None and r.t1_us is not None
+        if r.t2_us is not None:
+            assert r.t1_us is not None
+
+
+def test_retention_cohort_matrix(spark, tmp_path):
+    import datetime as dt
+
+    import deepdoctection_spark.plans.relational  # noqa: F401 — registers
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)  # epoch day 19723 (Mon); week boundary safe
+    mk = lambda i, u, d: (i, t0 + dt.timedelta(days=d), u, "view", 1.0, "{}")  # noqa: E731
+    rows = [
+        mk(1, 1, 0), mk(2, 1, 7),   # u1: weeks 0 and 1
+        mk(3, 2, 0),                # u2: week 0 only
+        mk(4, 3, 14),               # u3: later cohort, week 0 only
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    sf = str(tmp_path / "sf")
+    df.write.parquet(f"{sf}/events.parquet")
+    out = QUERIES["events_retention_cohorts"](spark, sf).collect()
+    m = {(r.cohort_week, r.week_offset): r for r in out}
+    c0 = [r for r in out if r.week_offset == 0]
+    assert all(r.retained_ppm == 1000000 for r in c0)   # week 0 = 100%
+    early = min(r.cohort_week for r in out)
+    late = max(r.cohort_week for r in out)
+    assert early != late
+    assert m[(early, 0)].n_users == 2 and m[(early, 0)].cohort_size == 2
+    assert m[(early, 1)].n_users == 1 and m[(early, 1)].retained_ppm == 500000
+    assert m[(late, 0)].n_users == 1
+    for r in out:
+        assert r.n_users <= r.cohort_size
