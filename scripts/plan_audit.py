@@ -39,6 +39,11 @@ BNLJ_WHITELIST = {
     "eval_rank_metrics",  # knn_bruteforce × 2: same 20-query-vector broadcast
     "data_expectations",  # four 1-row aggregate relations scalar-combined
     "search_bm25_ranked",  # 1-row corpus stats (n_docs, avgdl) broadcast
+    "sketch_kmv_setops",  # 1-row union-sketch summary × 1-row membership agg
+    # embeds mixture_weights' whitelisted 1-row global-total broadcasts on
+    # its (sources-sized) weights side; the schedule join itself is a
+    # broadcast hash equi-join on source
+    "loader_mixture_schedule",
 }
 
 
