@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 187, 70 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 188, 71 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -240,6 +240,10 @@ _P0_TAIL = {
     # events_* suite; funnel and retention are also each other's siblings
     "events_funnel_steps",
     "events_retention_cohorts",
+    # the partial-rewrite commit reuses the r4-driver-green CoW delete
+    # machinery verbatim (manifest-minus-candidates + replace commit);
+    # its planner half shares the manifest walk with in-cap ice_metadata_agg
+    "ice_rewrite_bin",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -730,3 +730,39 @@ def q_ice_binpack_plan(spark, sf_dir):
         )
     return _materialize_then_rm(
         t.compaction_plan(spark, target_rows=800, stat_col="event_id"), tmp)
+
+
+@register(
+    "ice_rewrite_bin",
+    f"""
+WITH slice AS (
+  SELECT * FROM events
+  WHERE (event_id // 12) % (1 + (event_id % 12) % 3) = 0
+)
+{_SUMMARY_SQL}
+""",
+)
+def q_ice_rewrite_bin(spark, sf_dir):
+    """Plan → execute → read: the 12-file binpack fixture, the metadata-only
+    plan with paths, ONE bin handed to rewrite_files (target_files=1), then
+    a full scan. The oracle is the slice union — agreement proves the
+    partial rewrite is byte-neutral on data while the asserted file count
+    shrinks by bin_size−1 and every untouched manifest carries by
+    reference (sources/icetable.rewrite_files)."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_rwbin_")
+    t = IceTable(f"{tmp}/tbl")
+    for i in range(12):
+        t.append(
+            ev.where(f"event_id % 12 = {i} "
+                     f"AND (event_id DIV 12) % {1 + i % 3} = 0").coalesce(1)
+        )
+    plan = t.compaction_plan(spark, target_rows=800, stat_col="event_id",
+                             with_paths=True).collect()
+    bin0 = [r.path for r in plan if r.bin_id == 0]
+    assert len(bin0) >= 2, f"degenerate bin fixture: {plan}"
+    snap = t.rewrite_files(spark, bin0)
+    assert snap["rewrote_files"] == len(bin0)
+    n_after = len(t.snapshot()["files"])
+    assert n_after == 12 - len(bin0) + 1, (n_after, len(bin0))
+    return _materialize_then_rm(_summarize(t.read(spark)), tmp)

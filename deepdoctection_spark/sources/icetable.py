@@ -1969,7 +1969,8 @@ class IceTable:
         return spark.createDataFrame(rows, names)
 
     def compaction_plan(self, spark: SparkSession, target_rows: int,
-                        stat_col: str, seq: int | None = None) -> DataFrame:
+                        stat_col: str, seq: int | None = None,
+                        with_paths: bool = False) -> DataFrame:
         """Metadata-only compaction planning (the scheduling half of
         Iceberg's ``rewrite_data_files`` binpack strategy): group the
         snapshot's small files into rewrite bins of ~``target_rows`` rows
@@ -1992,7 +1993,10 @@ class IceTable:
         deleted rows, so bins would be mis-sized — fold deletes first.
 
         Returns (file_rank, file_rows, stat_min, bin_id), one row per data
-        file."""
+        file; ``with_paths=True`` appends the file path so a maintenance
+        job can hand each bin straight to :meth:`rewrite_files` (the
+        oracle-checked query keeps the default — paths are temp-dir-local,
+        not comparable)."""
         raw = self._raw_snapshot(seq)
         if self._delete_entries(raw):
             raise ValueError(
@@ -2005,19 +2009,93 @@ class IceTable:
                 raise ValueError(
                     f"compaction_plan: file {f['path']} has no footer "
                     f"stats for tie-break column {stat_col!r}")
-            entries.append((f["rows"], s["min"]))
+            entries.append((f["rows"], s["min"], f["path"]))
         entries.sort(key=lambda e: (-e[0], e[1]))
         rows, cum = [], 0
-        for rank, (n, smin) in enumerate(entries, start=1):
+        for rank, (n, smin, path) in enumerate(entries, start=1):
             if n >= target_rows:
-                rows.append((rank, n, smin, -1))
+                rows.append((rank, n, smin, -1, path))
             else:
-                rows.append((rank, n, smin, cum // target_rows))
+                rows.append((rank, n, smin, cum // target_rows, path))
                 cum += n
+        schema = "file_rank long, file_rows long, stat_min long, bin_id long"
+        if with_paths:
+            return spark.createDataFrame(
+                [(int(a), int(b), int(c), int(d), p)
+                 for a, b, c, d, p in rows],
+                schema + ", path string",
+            )
         return spark.createDataFrame(
-            [(int(a), int(b), int(c), int(d)) for a, b, c, d in rows],
-            "file_rank long, file_rows long, stat_min long, bin_id long",
+            [(int(a), int(b), int(c), int(d)) for a, b, c, d, _p in rows],
+            schema,
         )
+
+    def rewrite_files(self, spark: SparkSession, paths: list[str],
+                      target_files: int = 1) -> dict:
+        """Execute ONE compaction bin (Iceberg ``rewrite_data_files`` over
+        an explicit file subset — the execution half of
+        :meth:`compaction_plan`): read ONLY the named data files, with any
+        pending merge-on-read deletes bound to them folded in physically,
+        rewrite them as ``target_files`` file(s), and carry every
+        untouched manifest by reference — I/O and commit cost are O(bin),
+        never O(table), so a maintenance daemon can drain bins
+        continuously against a 100 TB table. A manifest that loses only
+        some files is rewritten minus them (O(manifest)), same as the CoW
+        delete path.
+
+        Delete-file semantics: rewritten rows materialize their pending
+        deletes (the new files' fresh paths are outside every carried
+        delete file's target set, so nothing re-applies); delete files
+        targeting files NOT in ``paths`` are carried untouched and keep
+        masking them. Unknown paths raise — a stale plan must fail loudly
+        rather than silently skip (the commit itself also aborts on a
+        raced parent via planned_parent, like every row-level op).
+
+        Old files stay on disk for time travel; ``expire_snapshots``
+        reclaims them."""
+        prev = self._raw_snapshot()
+        refs = self._carry_manifests(prev)
+        wanted = set(paths)
+        if not wanted:
+            return self.snapshot()
+        carried_refs: list[dict] = []
+        candidates: list[dict] = []
+        n_carried = 0
+        for ref in refs:
+            entries = self._load_manifest(ref["path"])
+            cand = [e for e in entries if e["path"] in wanted]
+            if not cand:
+                carried_refs.append(ref)
+                n_carried += ref["n_files"]
+                continue
+            candidates.extend(cand)
+            survivors = [e for e in entries if e["path"] not in wanted]
+            n_carried += len(survivors)
+            if survivors:
+                carried_refs.append(self._write_manifest(survivors))
+        missing = wanted - {e["path"] for e in candidates}
+        if missing:
+            raise ValueError(
+                f"rewrite_files: {sorted(missing)} not in the current "
+                "snapshot — re-plan against HEAD")
+        spec = prev.get("partition_by")
+        df = self._read_with_deletes(
+            spark, prev["schema"], candidates, prev).coalesce(target_files)
+        added = [f for f in self._write_data_files(df, partition_by=spec)
+                 if f["rows"] > 0]
+        for e in added:
+            e["data_seq"] = prev.get("sequence", 0) + 1
+        new_refs = [self._write_manifest(added)] if added else []
+        return self._commit(
+            "replace", added, prev["schema"],
+            lambda _parent: carried_refs + new_refs,
+            retryable=False,
+            planned_parent=(prev.get("sequence", 0),
+                            prev.get("snapshot_id")),
+            extra={"added_manifests": [r["path"] for r in new_refs],
+                   "partition_by": spec, "sort_by": prev.get("sort_by"),
+                   "rewrote_files": len(candidates),
+                   "carried_files": n_carried})
 
     def changes(self, spark: SparkSession, from_seq: int,
                 to_seq: int | None = None) -> DataFrame:

@@ -1330,3 +1330,48 @@ def test_compaction_plan_refuses_mor_deletes(spark, tbl):
         tbl.compaction_plan(spark, 100, "id")
     tbl.compact(spark)
     assert tbl.compaction_plan(spark, 1000, "id").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# rewrite_files (binpack bin execution)
+# ---------------------------------------------------------------------------
+
+
+def test_rewrite_files_executes_one_bin(spark, tbl):
+    for lo, hi in [(0, 90), (200, 260), (400, 440), (600, 630), (800, 920)]:
+        tbl.append(_df(spark, lo, hi).coalesce(1))
+    before = tbl.read(spark).sort("id").collect()
+    plan = tbl.compaction_plan(spark, target_rows=100, stat_col="id",
+                               with_paths=True).collect()
+    bin0 = [r.path for r in plan if r.bin_id == 0]
+    assert len(bin0) >= 2
+    snap = tbl.rewrite_files(spark, bin0)
+    assert snap["rewrote_files"] == len(bin0)
+    # data identical, file count shrank by (len(bin0) - 1)
+    assert tbl.read(spark).sort("id").collect() == before
+    n_files = len(tbl.snapshot()["files"])
+    assert n_files == 5 - len(bin0) + 1
+    # time travel to the pre-rewrite snapshot still sees the old layout
+    assert tbl.read(spark, seq=5).sort("id").collect() == before
+
+
+def test_rewrite_files_folds_mor_deletes_only_for_rewritten(spark, tbl):
+    tbl.append(_df(spark, 0, 100).coalesce(1))
+    tbl.append(_df(spark, 100, 200).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 5), mode="mor")      # hits file 1
+    tbl.delete_where(spark, ("id", ">=", 195), mode="mor")   # hits file 2
+    expected = list(range(5, 195))
+    f1 = next(f["path"] for f in tbl.snapshot()["files"]
+              if f["stats"]["id"]["min"] == 0)
+    tbl.rewrite_files(spark, [f1])
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == expected  # folded delete stays folded; carried delete
+    #                         on the untouched file still masks its rows
+    tbl.compact(spark)
+    assert sorted(r.id for r in tbl.read(spark).collect()) == expected
+
+
+def test_rewrite_files_unknown_path_raises(spark, tbl):
+    tbl.append(_df(spark, 0, 10).coalesce(1))
+    with pytest.raises(ValueError, match="re-plan"):
+        tbl.rewrite_files(spark, ["nope.parquet"])
