@@ -1018,3 +1018,67 @@ def q_events_retention_cohorts(spark, sf_dir):
         "cohort_week", "week_offset", "n_users", "cohort_size",
         F.expr("(n_users * 1000000) DIV cohort_size").alias("retained_ppm"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    """
+WITH v AS (
+  SELECT event_type, event_id,
+         (round(value * 100)
+          + CASE WHEN event_id % 97 = 0 THEN 50000 ELSE 0 END)::BIGINT AS v_c
+  FROM events
+),
+med AS (
+  SELECT event_type, (2 * quantile_cont(v_c, 0.5))::BIGINT AS med2_c
+  FROM v GROUP BY event_type
+),
+dev AS (
+  SELECT v.event_type, v.event_id, v.v_c,
+         abs(2 * v.v_c - m.med2_c)::BIGINT AS d2_c, m.med2_c
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, (2 * quantile_cont(d2_c, 0.5))::BIGINT AS mad4_c
+  FROM dev GROUP BY event_type
+),
+flagged AS (
+  SELECT d.*, md.mad4_c,
+         (2 * d.d2_c * 100000 > 518911 * md.mad4_c) AS is_out
+  FROM dev d JOIN mad md USING (event_type)
+)
+SELECT event_type, event_id, v_c, d2_c, med2_c, mad4_c
+FROM flagged WHERE is_out
+""",
+)
+def q_events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation (the
+    Iglewicz-Hosking modified z-score, |x−med| > 3.5·1.4826·MAD — immune
+    to the outliers inflating a stddev gate): planted +500.00 spikes on
+    every 97th event must all surface (the corpus's natural heavy tail
+    also legitimately clears the gate — asserted few in tests). EXACT integer
+    contract: values in cents, medians carried as 2×/4× integers so the
+    even-count interpolation midpoint stays integral, and the final gate
+    is a pure BIGINT cross-multiplication (2·d2·10⁵ > 518911·mad4) — no
+    float ever compared. Two grouped exact-percentile aggs + two broadcast
+    joins of the |types|-sized stats; at 100 TB the exact percentile
+    swaps for approx_percentile with the same plan shape."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        (F.round(F.col("value") * 100)
+         + F.when(F.col("event_id") % 97 == 0, 50000).otherwise(0))
+        .cast("long").alias("v_c"),
+    )
+    med = v.groupBy("event_type").agg(
+        (F.expr("percentile(v_c, 0.5)") * 2).cast("long").alias("med2_c"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "v_c",
+        F.abs(2 * F.col("v_c") - F.col("med2_c")).cast("long").alias("d2_c"),
+        "med2_c",
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.expr("percentile(d2_c, 0.5)") * 2).cast("long").alias("mad4_c"))
+    flagged = dev.join(F.broadcast(mad), "event_type").where(
+        2 * F.col("d2_c") * 100000 > 518911 * F.col("mad4_c"))
+    return flagged.select(
+        "event_type", "event_id", "v_c", "d2_c", "med2_c", "mad4_c")

@@ -168,3 +168,29 @@ def test_retention_cohort_matrix(spark, tmp_path):
     assert m[(late, 0)].n_users == 1
     for r in out:
         assert r.n_users <= r.cohort_size
+
+
+def test_mad_anomaly_flags_exactly_the_planted_spikes(spark):
+    import deepdoctection_spark.plans.relational  # noqa: F401 — registers
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    rows = QUERIES["events_anomaly_mad"](spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no outliers surfaced — planting inert"
+    # every planted +500.00 spike is flagged, in every event_type
+    import duckdb
+
+    con = duckdb.connect()
+    n_total, n_planted = con.execute(
+        "SELECT count(*), sum((event_id % 97 = 0)::INT) FROM read_parquet("
+        "'/root/testdata/sf0.01/events.parquet')"
+    ).fetchone()
+    planted = [r for r in rows if r.event_id % 97 == 0]
+    assert len(planted) == n_planted
+    assert {r.event_type for r in planted} == {
+        "view", "click", "purchase", "signup", "error"}
+    # the corpus values are heavy-tailed, so the gate legitimately flags
+    # natural tail rows too — but they must be far out (beyond the exact
+    # integer threshold, rechecked here) and few
+    for r in rows:
+        assert 2 * r.d2_c * 100000 > 518911 * r.mad4_c
+    assert len(rows) < 0.05 * n_total, (len(rows), n_total)
