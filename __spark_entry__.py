@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 189, 72 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 190, 73 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -247,6 +247,9 @@ _P0_TAIL = {
     # grouped exact-percentile agg + broadcast |types|-sized stats joins —
     # the rel_percentile (r2-green) family with a pure-integer gate
     "events_anomaly_mad",
+    # same Arrow-batch codec shape as the in-cap media_video_frames /
+    # media_ahash_neardup (decode path itself is the r4-green media_png_stats)
+    "media_png_strip",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -217,6 +217,40 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     )
 
 
+def png_chunk(tag: bytes, payload: bytes) -> bytes:
+    """One wire-format PNG chunk: length + tag + payload + CRC32(tag+payload)."""
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload))
+    )
+
+
+# chunks that carry image data or alter decoding — everything else is
+# metadata a privacy scrub must drop (tEXt/zTXt/iTXt free text, eXIf EXIF
+# blobs incl. GPS, tIME timestamps, pHYs/sRGB/gAMA are harmless but
+# non-essential; tRNS/PLTE change rendered pixels, so they stay)
+_PNG_CRITICAL = {b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS"}
+
+
+def png_strip_metadata(raw: bytes) -> tuple[bytes, int]:
+    """Privacy scrub for PNG payloads: re-emit only pixel-essential chunks
+    (IHDR/PLTE/tRNS/IDAT/IEND), dropping every ancillary chunk — the tEXt/
+    eXIf/tIME carriers of GPS positions, camera serials and timestamps that
+    leak into a training corpus via innocuous-looking images. Chunk CRCs
+    are validated on the walk (a corrupt payload raises → row quarantine
+    upstream) and preserved byte-for-byte on kept chunks, so the stripped
+    file decodes to IDENTICAL pixels. Returns (stripped_bytes, n_dropped);
+    idempotent — a second pass drops 0."""
+    out = bytearray(_PNG_SIG)
+    dropped = 0
+    for tag, payload in _png_chunks(raw):
+        if tag in _PNG_CRITICAL:
+            out += png_chunk(tag, payload)
+        else:
+            dropped += 1
+    return bytes(out), dropped
+
+
 def _gif_decode(raw: bytes) -> np.ndarray:
     from deepdoctection_spark.kernels.gif import gif_decode
 

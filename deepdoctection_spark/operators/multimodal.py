@@ -928,3 +928,71 @@ def ahash_neardup(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def synth_png_images_tagged(docs: DataFrame) -> DataFrame:
+    """synth_png_images plus PLANTED metadata: each PNG gets 1 + mid % 3
+    ancillary chunks after IHDR — a tEXt GPS position, then a tIME
+    timestamp, then an eXIf blob — deterministic payloads so the strip
+    oracle knows exactly how many chunks each image must shed."""
+    from deepdoctection_spark.operators.codecs import png_chunk, png_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                w, h, c = _png_dims(mid)
+                px = ((mid % 256 + 7 * np.arange(w * h * c, dtype=np.int64))
+                      % 256).astype(np.uint8).reshape(h, w, c)
+                raw = png_encode(px)
+                ihdr_end = 8 + 12 + 13  # signature + IHDR chunk
+                meta = [
+                    png_chunk(b"tEXt",
+                              f"GPS\x00{mid % 90}.{mid % 1000},-0.{mid % 97}"
+                              .encode()),
+                    png_chunk(b"tIME", bytes([7, 232, 1, 1, 0, mid % 60, 0])),
+                    png_chunk(b"eXIf", b"II*\x00" + bytes([mid % 256] * 8)),
+                ][: 1 + mid % 3]
+                tagged = raw[:ihdr_end] + b"".join(meta) + raw[ihdr_end:]
+                rows.append((mid, "image/png", w, h, c, tagged))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
+def strip_image_metadata(media: DataFrame) -> DataFrame:
+    """Privacy scrub stage for PNG payloads: drop every ancillary chunk
+    (tEXt GPS, eXIf, tIME, …) keeping the pixel-essential set, via
+    codecs.png_strip_metadata. Same Arrow-batch shape as image_stats —
+    only (media_id, content) cross the boundary, metadata columns stay
+    JVM-side and re-join by media_id. Corrupt payloads quarantine to the
+    error column instead of killing the task; n_dropped is the audit
+    count a compliance manifest wants."""
+
+    def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deepdoctection_spark.operators.codecs import png_strip_metadata
+
+        for pdf in batches:
+            rows = []
+            for mid, raw in zip(pdf["media_id"].tolist(),
+                                pdf["content"].tolist()):
+                try:
+                    stripped, n = png_strip_metadata(bytes(raw))
+                    rows.append((int(mid), stripped, n, None))
+                except Exception as exc:
+                    rows.append((int(mid), None, None,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "n_dropped", "error"])
+
+    return media.select("media_id", "content").mapInPandas(
+        strip,
+        schema="media_id long, content binary, n_dropped int, error string",
+    )

@@ -705,3 +705,44 @@ def q_media_ahash_neardup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     imgs = mm.synth_images(docs).unionByName(mm.synth_images_perturbed(docs))
     return mm.ahash_neardup(mm.ahash_bands(imgs))
+
+
+@register(
+    "media_png_strip",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (8 + doc_id % 9)::INT AS width, (5 + doc_id % 6)::INT AS height,
+         3::INT AS channels,
+         ((8 + doc_id % 9) * (5 + doc_id % 6) * 3)::INT AS n_pixels,
+         (1 + doc_id % 3)::INT AS n_dropped
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, channels, n_pixels, n_dropped,
+         ((seed + 7 * i) % 256) AS v, (i % 3) AS ch
+  FROM dims, unnest(range(n_pixels)) AS t(i)
+)
+SELECT media_id, width, height, channels, n_pixels,
+       round(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round(avg(v) FILTER (ch = 0), 4) AS mean_c0,
+       NULL::VARCHAR AS error,
+       n_dropped
+FROM px GROUP BY media_id, width, height, channels, n_pixels, n_dropped
+""",
+)
+def q_media_png_strip(spark, sf_dir):
+    """Privacy scrub end-to-end: PNGs with PLANTED GPS/EXIF/timestamp
+    chunks (1 + mid % 3 each) run through strip_image_metadata, and the
+    STRIPPED bytes are then re-decoded by the real PNG codec through
+    image_stats — the oracle's closed-form pixel statistics only agree if
+    the scrub removed exactly the planted chunks and left every pixel
+    byte intact (operators/multimodal.strip_image_metadata,
+    operators/codecs.png_strip_metadata)."""
+    tagged = mm.synth_png_images_tagged(_docs(spark, sf_dir))
+    stripped = mm.strip_image_metadata(tagged)
+    stats = mm.image_stats(
+        stripped.select("media_id", "content"))
+    return stats.join(
+        stripped.select("media_id", "n_dropped"), "media_id")

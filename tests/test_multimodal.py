@@ -97,3 +97,48 @@ def test_poison_media_quarantined(spark, sf_small):
     )
     frows = mm.sample_frames(vids, every=2).collect()
     assert {r["media_id"] for r in frows} == {1}  # poison video skipped
+
+
+# ---------------------------------------------------------------------------
+# PNG metadata strip (privacy scrub)
+# ---------------------------------------------------------------------------
+
+
+def test_png_strip_removes_planted_metadata_keeps_pixels(spark):
+    import numpy as np
+
+    from deepdoctection_spark.operators import multimodal as mm
+    from deepdoctection_spark.operators.codecs import (
+        _png_chunks,
+        png_decode,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    tagged = {r.media_id: bytes(r.content)
+              for r in mm.synth_png_images_tagged(docs).collect()}
+    out = {r.media_id: r
+           for r in mm.strip_image_metadata(
+               mm.synth_png_images_tagged(docs)).collect()}
+    for mid, r in out.items():
+        assert r.error is None
+        assert r.n_dropped == 1 + mid % 3
+        tags = [t for t, _p in _png_chunks(bytes(r.content))]
+        assert all(t in (b"IHDR", b"PLTE", b"IDAT", b"IEND", b"tRNS")
+                   for t in tags)
+        assert np.array_equal(png_decode(bytes(r.content)),
+                              png_decode(tagged[mid]))
+
+
+def test_png_strip_is_idempotent_and_quarantines_corrupt(spark):
+    from deepdoctection_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    once = mm.strip_image_metadata(mm.synth_png_images_tagged(docs))
+    row = once.collect()[0]
+    again = spark.createDataFrame(
+        [(0, bytearray(row.content)), (1, bytearray(b"\x89PNGgarbage"))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in mm.strip_image_metadata(again).collect()}
+    assert got[0].n_dropped == 0 and bytes(got[0].content) == bytes(row.content)
+    assert got[1].error is not None and got[1].content is None
