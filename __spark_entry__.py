@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 190, 73 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 191, 74 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -250,6 +250,9 @@ _P0_TAIL = {
     # same Arrow-batch codec shape as the in-cap media_video_frames /
     # media_ahash_neardup (decode path itself is the r4-green media_png_stats)
     "media_png_strip",
+    # the JPEG twin of media_png_strip (one shared strip stage; decode
+    # path is the r4-green media_jpeg_stats)
+    "media_jpeg_strip",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -251,6 +251,38 @@ def png_strip_metadata(raw: bytes) -> tuple[bytes, int]:
     return bytes(out), dropped
 
 
+def jpeg_strip_metadata(raw: bytes) -> tuple[bytes, int]:
+    """Privacy scrub for JPEG payloads: drop every APP1-APP15 segment (EXIF
+    with GPS/serials lives in APP1, vendor blobs in the rest) and every COM
+    comment, keeping APP0/JFIF and all coding segments (DQT/DHT/SOF/SOS).
+    Metadata segments precede SOS in a baseline stream, so the walk stops
+    at SOS and copies the entropy-coded tail verbatim — the scrub is
+    byte-neutral on image data by construction. Returns
+    (stripped_bytes, n_dropped); idempotent. Malformed streams raise →
+    row quarantine upstream."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG SOI")
+    out = bytearray(b"\xff\xd8")
+    pos, dropped = 2, 0
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xDA:  # SOS — entropy data follows; copy verbatim
+            out += raw[pos:]
+            return bytes(out), dropped
+        (seglen,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+        seg = raw[pos : pos + 2 + seglen]
+        if len(seg) != 2 + seglen:
+            raise ValueError("truncated JPEG segment")
+        if 0xE1 <= marker <= 0xEF or marker == 0xFE:  # APPn n>=1, COM
+            dropped += 1
+        else:
+            out += seg
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
 def _gif_decode(raw: bytes) -> np.ndarray:
     from deepdoctection_spark.kernels.gif import gif_decode
 

@@ -174,6 +174,44 @@ def synth_png_images(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
 
 
+def synth_jpeg_images_tagged(docs: DataFrame) -> DataFrame:
+    """synth_jpeg_images plus PLANTED metadata after SOI: an APP1 EXIF blob
+    with a GPS string, then a COM comment — 1 + mid % 2 segments each, so
+    the strip oracle knows the exact audit count per image."""
+    import struct as _struct
+
+    from deepdoctection_spark.kernels.jpeg import jpeg_encode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"].tolist():
+                mid = int(mid)
+                bw, bh = _jpeg_dims(mid)
+                vals = 2 * ((mid % 256 + 17 * np.arange(bh * bw)) % 128)
+                img = np.repeat(
+                    np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1
+                ).astype(np.uint8)
+                raw = jpeg_encode(img)
+                exif = f"Exif\x00\x00GPS {mid % 90}.{mid % 1000}".encode()
+                com = f"shot {mid}".encode()
+                segs = [
+                    b"\xff\xe1" + _struct.pack(">H", 2 + len(exif)) + exif,
+                    b"\xff\xfe" + _struct.pack(">H", 2 + len(com)) + com,
+                ][: 1 + mid % 2]
+                rows.append((mid, "image/jpeg", bw * 8, bh * 8, 1,
+                             raw[:2] + b"".join(segs) + raw[2:]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "width", "height", "channels",
+                    "content",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema=IMG_SCHEMA)
+
+
 def synth_audio(docs: DataFrame, sample_rate: int = 8000) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -968,23 +1006,31 @@ def synth_png_images_tagged(docs: DataFrame) -> DataFrame:
 
 
 def strip_image_metadata(media: DataFrame) -> DataFrame:
-    """Privacy scrub stage for PNG payloads: drop every ancillary chunk
-    (tEXt GPS, eXIf, tIME, …) keeping the pixel-essential set, via
-    codecs.png_strip_metadata. Same Arrow-batch shape as image_stats —
+    """Privacy scrub stage for image payloads, dispatched by magic: PNG
+    ancillary chunks (tEXt GPS, eXIf, tIME, …) via codecs.png_strip_metadata,
+    JPEG APP1-15/COM segments (EXIF GPS, vendor blobs) via
+    codecs.jpeg_strip_metadata. Same Arrow-batch shape as image_stats —
     only (media_id, content) cross the boundary, metadata columns stay
     JVM-side and re-join by media_id. Corrupt payloads quarantine to the
     error column instead of killing the task; n_dropped is the audit
     count a compliance manifest wants."""
 
     def strip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from deepdoctection_spark.operators.codecs import png_strip_metadata
+        from deepdoctection_spark.operators.codecs import (
+            jpeg_strip_metadata,
+            png_strip_metadata,
+        )
 
         for pdf in batches:
             rows = []
             for mid, raw in zip(pdf["media_id"].tolist(),
                                 pdf["content"].tolist()):
                 try:
-                    stripped, n = png_strip_metadata(bytes(raw))
+                    b = bytes(raw)
+                    if b[:2] == b"\xff\xd8":
+                        stripped, n = jpeg_strip_metadata(b)
+                    else:
+                        stripped, n = png_strip_metadata(b)
                     rows.append((int(mid), stripped, n, None))
                 except Exception as exc:
                     rows.append((int(mid), None, None,

@@ -746,3 +746,39 @@ def q_media_png_strip(spark, sf_dir):
         stripped.select("media_id", "content"))
     return stats.join(
         stripped.select("media_id", "n_dropped"), "media_id")
+
+
+@register(
+    "media_jpeg_strip",
+    """
+WITH dims AS (
+  SELECT doc_id AS media_id, doc_id % 256 AS seed,
+         (2 + doc_id % 3) AS bw, (2 + doc_id % 2) AS bh,
+         (1 + doc_id % 2)::INT AS n_dropped
+  FROM documents
+),
+blocks AS (
+  SELECT media_id, bw, bh, n_dropped, (2 * ((seed + 17 * b) % 128)) AS v
+  FROM dims, unnest(range(bh * bw)) AS t(b)
+)
+SELECT media_id, (bw * 8)::INT AS width, (bh * 8)::INT AS height,
+       1::INT AS channels, (bw * bh * 64)::INT AS n_pixels,
+       round(avg(v), 4) AS mean_px,
+       min(v)::INT AS min_px, max(v)::INT AS max_px,
+       round(avg(v), 4) AS mean_c0,
+       NULL::VARCHAR AS error,
+       n_dropped
+FROM blocks GROUP BY media_id, bw, bh, n_dropped
+""",
+)
+def q_media_jpeg_strip(spark, sf_dir):
+    """EXIF scrub end-to-end for JPEG: payloads with PLANTED APP1-EXIF-GPS
+    and COM segments (1 + mid % 2 each) run through the magic-dispatched
+    strip stage, and the stripped bytes are Huffman-decoded by the real
+    baseline codec through image_stats — closed-form stats only agree if
+    exactly the planted segments were shed and the entropy-coded data is
+    untouched (operators/codecs.jpeg_strip_metadata)."""
+    tagged = mm.synth_jpeg_images_tagged(_docs(spark, sf_dir))
+    stripped = mm.strip_image_metadata(tagged)
+    stats = mm.image_stats(stripped.select("media_id", "content"))
+    return stats.join(stripped.select("media_id", "n_dropped"), "media_id")

@@ -142,3 +142,23 @@ def test_png_strip_is_idempotent_and_quarantines_corrupt(spark):
     got = {r.media_id: r for r in mm.strip_image_metadata(again).collect()}
     assert got[0].n_dropped == 0 and bytes(got[0].content) == bytes(row.content)
     assert got[1].error is not None and got[1].content is None
+
+
+def test_jpeg_strip_removes_exif_keeps_scan_bytes(spark):
+    import numpy as np
+
+    from deepdoctection_spark.operators import multimodal as mm
+    from deepdoctection_spark.operators.codecs import decode_image
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    tagged = {r.media_id: bytes(r.content)
+              for r in mm.synth_jpeg_images_tagged(docs).collect()}
+    out = {r.media_id: r
+           for r in mm.strip_image_metadata(
+               mm.synth_jpeg_images_tagged(docs)).collect()}
+    for mid, r in out.items():
+        assert r.error is None
+        assert r.n_dropped == 1 + mid % 2
+        b = bytes(r.content)
+        assert b"Exif" not in b and b"shot" not in b
+        assert np.array_equal(decode_image(b), decode_image(tagged[mid]))
