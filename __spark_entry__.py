@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 191, 74 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 192, 75 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -253,6 +253,10 @@ _P0_TAIL = {
     # the JPEG twin of media_png_strip (one shared strip stage; decode
     # path is the r4-green media_jpeg_stats)
     "media_jpeg_strip",
+    # keyed rank-window over a narrow map — the in-cap sample_host_quota
+    # window shape; the Feistel arithmetic itself is self-green and driven
+    # at 100M rows by scripts/loader_smoke.py
+    "loader_epoch_shuffle",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

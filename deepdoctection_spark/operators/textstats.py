@@ -538,3 +538,56 @@ def luhn_candidates(docs: DataFrame, text_col: str = "text") -> DataFrame:
         len_ok.alias("len_ok"),
         ((total % 10 == 0).cast("int") * len_ok).alias("luhn_valid"),
     )
+
+
+# Markdown extraction regexes — RE2-safe (no lookarounds/backrefs in the
+# PATTERN; replacement backrefs differ by engine: $1 in Spark, \1 in DuckDB)
+MD_FENCE = r"(?s)```(.*?)```"
+MD_IMAGE = r"!\[[^\]]*\]\([^)]*\)"
+MD_LINK = r"\[([^\]]*)\]\(([^)]*)\)"
+MD_HEADER = r"(?m)^#{1,6}[ \t]+"
+MD_EMPH = r"\*{1,2}([^*]*)\*{1,2}"
+
+
+def markdown_extract(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Main-content extraction for Markdown payloads — the third payload
+    family beside the HTML boilerplate stripper and the PDF layout parser
+    (code/docs corpora arrive as README/docs Markdown): fenced code blocks
+    lift out separately (code must not pollute prose token statistics or
+    dedup shingles), images drop, links keep their anchor text while URLs
+    harvest into the link column (the crawl-frontier feed), header markers
+    and emphasis strip, and the prose normalizes to single-space text.
+
+    Entirely JVM-side — one chain of regexp_replace/extract_all column
+    expressions, zero Python, zero shuffle; the patterns avoid lookarounds
+    and pattern backrefs so Java regex and RE2 agree, making the whole
+    extraction differentially testable in DuckDB. Order matters and is part
+    of the contract: fences first (link/emphasis rules must not fire inside
+    code), images before links (``![`` overlaps ``[``).
+
+    Returns (doc_id, text, n_links, links, n_images, n_fences, code_chars,
+    n_headers)."""
+    c = F.col(col)
+    fences = F.regexp_extract_all(c, F.lit(MD_FENCE), 1)
+    nofence = F.regexp_replace(c, MD_FENCE, " ")
+    n_images = F.size(F.regexp_extract_all(nofence, F.lit(MD_IMAGE), 0))
+    noimg = F.regexp_replace(nofence, MD_IMAGE, " ")
+    links = F.regexp_extract_all(noimg, F.lit(MD_LINK), 2)
+    unlinked = F.regexp_replace(noimg, MD_LINK, "$1")
+    n_headers = F.size(F.regexp_extract_all(unlinked, F.lit(MD_HEADER), 0))
+    nohdr = F.regexp_replace(unlinked, MD_HEADER, "")
+    clean = F.regexp_replace(nohdr, MD_EMPH, "$1")
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(clean, r"[ \t\n\r\f\x0B]+", " "))
+        .alias("text"),
+        F.size(links).cast("int").alias("n_links"),
+        F.array_join(links, ",").alias("links"),
+        n_images.cast("int").alias("n_images"),
+        F.size(fences).cast("int").alias("n_fences"),
+        F.aggregate(
+            F.transform(fences, lambda x: F.length(x)),
+            F.lit(0), lambda a, x: a + x,
+        ).cast("int").alias("code_chars"),
+        n_headers.cast("int").alias("n_headers"),
+    )

@@ -2910,3 +2910,77 @@ def q_loader_mixture_schedule(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return corpusprep.stride_schedule(
         docs, corpusprep.mixture_weights(docs))
+
+
+_MD_PAYLOAD_SQL = f"""
+'# Doc ' || doc_id || chr(10)
+|| substr({_NORM}, 1, 40)
+|| ' see [docs](https://ex.org/p/' || doc_id || ') and ![fig](img'
+|| doc_id || '.png)' || chr(10)
+|| '```' || chr(10) || 'code_' || doc_id || chr(10) || '```' || chr(10)
+|| CASE WHEN doc_id % 3 = 0 THEN '## Sub' || chr(10) ELSE '' END
+|| '**b' || doc_id || '** *i* end'
+"""
+
+
+@register(
+    "extract_markdown_text",
+    f"""
+WITH md AS (SELECT doc_id, {_MD_PAYLOAD_SQL} AS m FROM documents),
+s1 AS (SELECT doc_id, m,
+         regexp_extract_all(m, '(?s)```(.*?)```', 1) AS fences,
+         regexp_replace(m, '(?s)```.*?```', ' ', 'g') AS nofence
+       FROM md),
+s2 AS (SELECT *, len(regexp_extract_all(nofence,
+                     '!\\[[^\\]]*\\]\\([^)]*\\)'))::INT AS n_images,
+         regexp_replace(nofence, '!\\[[^\\]]*\\]\\([^)]*\\)', ' ', 'g')
+           AS noimg
+       FROM s1),
+s3 AS (SELECT *, regexp_extract_all(noimg,
+                   '\\[([^\\]]*)\\]\\(([^)]*)\\)', 2) AS links,
+         regexp_replace(noimg, '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g')
+           AS unlinked
+       FROM s2),
+s4 AS (SELECT *, len(regexp_extract_all(unlinked,
+                     '(?m)^#{{1,6}}[ \\t]+'))::INT AS n_headers,
+         regexp_replace(
+           regexp_replace(unlinked, '(?m)^#{{1,6}}[ \\t]+', '', 'g'),
+           '\\*{{1,2}}([^*]*)\\*{{1,2}}', '\\1', 'g') AS clean
+       FROM s3)
+SELECT doc_id,
+       trim(regexp_replace(clean, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS text,
+       len(links)::INT AS n_links,
+       array_to_string(links, ',') AS links,
+       n_images,
+       len(fences)::INT AS n_fences,
+       list_sum(list_transform(fences, x -> length(x)))::INT AS code_chars,
+       n_headers
+FROM s4
+""",
+)
+def q_extract_markdown_text(spark, sf_dir):
+    """Markdown main-content extraction (the third payload family beside
+    HTML and PDF): synthesized README-style payloads — header, prose with
+    a link and an image, a fenced code block, a conditional sub-header,
+    emphasis — through the pure-column extraction chain
+    (operators/textstats.markdown_extract). The oracle replays the
+    identical RE2-safe regex chain, so fence isolation, link/image split,
+    header/emphasis strip and the code-char audit are all value-checked."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    norm = F.trim(
+        F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0B]+", " "))
+    nl = F.lit("\n")
+    md = F.concat(
+        F.lit("# Doc "), ds, nl,
+        F.substring(norm, 1, 40),
+        F.lit(" see [docs](https://ex.org/p/"), ds,
+        F.lit(") and ![fig](img"), ds, F.lit(".png)"), nl,
+        F.lit("```"), nl, F.lit("code_"), ds, nl, F.lit("```"), nl,
+        F.when(d % 3 == 0, F.concat(F.lit("## Sub"), nl)).otherwise(F.lit("")),
+        F.lit("**b"), ds, F.lit("** *i* end"),
+    )
+    from deepdoctection_spark.operators.textstats import markdown_extract
+
+    return markdown_extract(docs.select("doc_id", md.alias("text")))

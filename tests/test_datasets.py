@@ -853,3 +853,30 @@ def test_stride_schedule_deterministic_across_partitioning(spark):
     a = sorted(map(tuple, stride_schedule(docs.coalesce(1), wts).collect()))
     b = sorted(map(tuple, stride_schedule(docs.repartition(17), wts).collect()))
     assert a == b
+
+
+def test_markdown_extract_semantics(spark):
+    from deepdoctection_spark.operators.textstats import markdown_extract
+
+    md = (
+        "# Title\n\nintro [a](http://x/1) mid ![p](pic.png) "
+        "[b](http://x/2)\n\n```\nlink [c](http://x/3) inside code\n```\n\n"
+        "## Sub\n**bold** *it* plain"
+    )
+    df = spark.createDataFrame([(1, md), (2, "no markdown here")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in markdown_extract(df).collect()}
+    r = out[1]
+    # fence isolated FIRST: the link inside code is not harvested
+    assert r.n_links == 2 and r.links == "http://x/1,http://x/2"
+    assert r.n_images == 1
+    assert r.n_fences == 1
+    assert r.code_chars == len("\nlink [c](http://x/3) inside code\n")
+    assert r.n_headers == 2
+    assert "```" not in r.text and "](" not in r.text and "#" not in r.text
+    assert "bold" in r.text and "**" not in r.text
+    assert "a" in r.text.split() and "b" in r.text.split()  # anchor text kept
+    plain = out[2]
+    assert plain.text == "no markdown here"
+    assert (plain.n_links, plain.n_images, plain.n_fences,
+            plain.n_headers, plain.code_chars) == (0, 0, 0, 0, 0)
