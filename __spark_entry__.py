@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 192, 75 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 193, 76 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -257,6 +257,9 @@ _P0_TAIL = {
     # window shape; the Feistel arithmetic itself is self-green and driven
     # at 100M rows by scripts/loader_smoke.py
     "loader_epoch_shuffle",
+    # split/filter/posexplode over the same synthesized-payload contract as
+    # the in-cap extract_markdown_text (one shared fixture family)
+    "extract_markdown_tables",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -591,3 +591,40 @@ def markdown_extract(docs: DataFrame, col: str = "text") -> DataFrame:
         ).cast("int").alias("code_chars"),
         n_headers.cast("int").alias("n_headers"),
     )
+
+
+MD_TABLE_SEP = r"^\|[-:| ]+\|?$"
+
+
+def markdown_tables(docs: DataFrame, col: str = "text") -> DataFrame:
+    """GFM pipe-table extraction from Markdown payloads into the engine's
+    cell relation — (doc_id, row, col, cell, is_header), the same
+    row/col-addressed shape the HTML/PDF table segmenters emit
+    (kernels/table.py, kernels/pubtables.py), so Markdown tables flow into
+    the existing table_html / CSV assembly downstream.
+
+    Pure JVM: split on newlines, keep ``|``-prefixed lines minus the
+    ``|---|``-style alignment separator, then two posexplodes (row index
+    among kept lines, cell index after stripping the outer pipes). Zero
+    Python, zero shuffle; RE2-safe so DuckDB replays it."""
+    c = F.col(col)
+    rows_arr = F.filter(
+        F.split(c, "\n"),
+        lambda line: line.startswith("|") & ~line.rlike(MD_TABLE_SEP),
+    )
+    rx = docs.select(
+        "doc_id", F.posexplode(rows_arr).alias("r0", "line"))
+    cells = F.split(
+        F.regexp_replace(F.regexp_replace(F.col("line"), r"^\|", ""),
+                         r"\|$", ""),
+        r"\|")
+    return rx.select(
+        "doc_id",
+        (F.col("r0") + 1).cast("int").alias("row"),
+        F.posexplode(cells).alias("c0", "cell0"),
+    ).select(
+        "doc_id", "row",
+        (F.col("c0") + 1).cast("int").alias("col"),
+        F.trim(F.col("cell0")).alias("cell"),
+        (F.col("row") == 1).cast("int").alias("is_header"),
+    )

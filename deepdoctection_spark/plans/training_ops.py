@@ -2984,3 +2984,62 @@ def q_extract_markdown_text(spark, sf_dir):
     from deepdoctection_spark.operators.textstats import markdown_extract
 
     return markdown_extract(docs.select("doc_id", md.alias("text")))
+
+
+@register(
+    "extract_markdown_tables",
+    """
+WITH m AS (
+  SELECT doc_id,
+         'pre' || chr(10)
+         || '| name | qty' || (doc_id % 5) || ' |' || chr(10)
+         || '| --- | :-: |' || chr(10)
+         || list_aggr(list_transform(range(1, 2 + doc_id % 3 + 1),
+              i -> '| r' || i || ' | v' || (doc_id + i) || ' |'),
+              'string_agg', chr(10)) || chr(10)
+         || 'post' AS t
+  FROM documents
+),
+tl AS (SELECT doc_id,
+         list_filter(string_split(t, chr(10)),
+                     l -> starts_with(l, '|')
+                          AND NOT regexp_matches(l, '^\\|[-:| ]+\\|?$'))
+           AS rows_
+       FROM m),
+rx AS (SELECT doc_id, unnest(rows_) AS line,
+              unnest(range(1, len(rows_) + 1)) AS r FROM tl),
+cx AS (SELECT doc_id, r,
+         string_split(regexp_replace(regexp_replace(line, '^\\|', ''),
+                                     '\\|$', ''), '|') AS cells
+       FROM rx)
+SELECT doc_id, r::INT AS row, unnest(range(1, len(cells) + 1))::INT AS col,
+       trim(unnest(cells)) AS cell, (r = 1)::INT AS is_header
+FROM cx
+""",
+)
+def q_extract_markdown_tables(spark, sf_dir):
+    """GFM pipe tables into the engine's (row, col, cell) relation: each
+    doc carries a header + alignment separator + 2-4 data rows between
+    prose lines; the separator must vanish, the prose must not leak, and
+    every cell lands row/col-addressed exactly like the HTML/PDF table
+    paths (operators/textstats.markdown_tables). The oracle replays the
+    split/filter/zip chain."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    nl = F.lit("\n")
+    data_rows = F.transform(
+        F.sequence(F.lit(1), (d % 3 + 2).cast("int")),
+        lambda i: F.concat(F.lit("| r"), i.cast("string"), F.lit(" | v"),
+                           (d + i).cast("string"), F.lit(" |")),
+    )
+    md = F.concat(
+        F.lit("pre"), nl,
+        F.lit("| name | qty"), (d % 5).cast("string"), F.lit(" |"), nl,
+        F.lit("| --- | :-: |"), nl,
+        F.array_join(data_rows, "\n"), nl,
+        F.lit("post"),
+    )
+    from deepdoctection_spark.operators.textstats import markdown_tables
+
+    return markdown_tables(docs.select("doc_id", md.alias("text")))

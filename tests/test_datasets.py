@@ -880,3 +880,18 @@ def test_markdown_extract_semantics(spark):
     assert plain.text == "no markdown here"
     assert (plain.n_links, plain.n_images, plain.n_fences,
             plain.n_headers, plain.code_chars) == (0, 0, 0, 0, 0)
+
+
+def test_markdown_tables_cell_addressing(spark):
+    from deepdoctection_spark.operators.textstats import markdown_tables
+
+    md = ("before\n| A | B | C |\n|---|:--:|--:|\n"
+          "| 1 | two | 3 |\n| x |  | z |\nafter | not a table")
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    cells = {(r.row, r.col): (r.cell, r.is_header)
+             for r in markdown_tables(df).collect()}
+    assert cells[(1, 1)] == ("A", 1) and cells[(1, 3)] == ("C", 1)
+    assert cells[(2, 2)] == ("two", 0) and cells[(3, 1)] == ("x", 0)
+    assert cells[(3, 2)] == ("", 0)          # empty cell kept, addressed
+    assert len(cells) == 9                   # separator + prose never leak
+    assert max(r for r, _ in cells) == 3
