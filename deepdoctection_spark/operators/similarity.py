@@ -843,3 +843,54 @@ def pq_search_adc(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "adc_micro", "rank")
     )
+
+
+def quantize_int8(embs: DataFrame) -> DataFrame:
+    """Per-vector absmax int8 quantization — the storage format a 10^12-row
+    vector corpus actually ships (4× smaller than float32, and the ADC/IVF
+    search paths consume the codes directly): code_i = round(x_i·127/amax),
+    one scale per vector.
+
+    Determinism contract (the repo's cross-engine discipline): floats widen
+    to double ONCE, the rounding is floor(v+0.5) (identical half-handling
+    both engines, unlike round()'s engine-specific ties), the scale
+    travels as an exact micro-unit integer, and the reconstruction error
+    audit is a pure-integer fold — recon_q6 = floor(code·amax_q6/127.0)
+    (float floor → floor-toward−∞ on BOTH engines; BIGINT DIV would
+    diverge on negatives: Spark truncates, DuckDB floors) and
+    err_abs_q6 = Σ|floor(x·10⁶) − recon_q6| over index-addressed lists,
+    order-free. Entirely JVM higher-order expressions: a narrow map, zero
+    Python, zero shuffle.
+
+    Returns (vec_id, n_dims, amax_q6, max_abs_code, sum_codes, codes_md5,
+    err_abs_q6)."""
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    amax_q6 = F.floor(amax * 1e6).cast("long")
+    codes = F.transform(
+        xd, lambda v: F.floor(v * 127.0 / amax + 0.5).cast("int"))
+    base = embs.select(
+        "vec_id", xd.alias("xd"), amax_q6.alias("amax_q6"),
+        codes.alias("codes"))
+    recon_q6 = F.transform(
+        F.col("codes"),
+        lambda c: F.floor(c.cast("double") * F.col("amax_q6") / 127.0)
+        .cast("long"))
+    x_q6 = F.transform(F.col("xd"),
+                       lambda v: F.floor(v * 1e6).cast("long"))
+    err = F.aggregate(
+        F.zip_with(x_q6, recon_q6, lambda a, b: F.abs(a - b)),
+        F.lit(0).cast("long"), lambda acc, e: acc + e)
+    return base.select(
+        "vec_id",
+        F.size("codes").cast("int").alias("n_dims"),
+        "amax_q6",
+        F.array_max(F.transform(F.col("codes"), F.abs)).cast("int")
+        .alias("max_abs_code"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"),
+                    lambda a, c: a + c).alias("sum_codes"),
+        F.md5(F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ",")
+            .cast("binary")).alias("codes_md5"),
+        err.alias("err_abs_q6"),
+    )

@@ -3043,3 +3043,50 @@ def q_extract_markdown_tables(spark, sf_dir):
     from deepdoctection_spark.operators.textstats import markdown_tables
 
     return markdown_tables(docs.select("doc_id", md.alias("text")))
+
+
+@register(
+    "embed_quantize_int8",
+    """
+WITH x AS (
+  SELECT vec_id,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xd,
+         floor(list_max(list_transform(xd, v -> abs(v))) * 1e6)::BIGINT
+           AS amax_q6,
+         list_max(list_transform(xd, v -> abs(v))) AS amax
+  FROM x
+),
+c AS (
+  SELECT vec_id, xd, amax_q6,
+         list_transform(xd, v -> floor(v * 127.0 / amax + 0.5)::INT)
+           AS codes
+  FROM s
+),
+r AS (
+  SELECT vec_id, amax_q6, codes,
+         list_transform(range(1, len(codes) + 1),
+           i -> abs(floor(xd[i] * 1e6)::BIGINT
+                    - floor(codes[i]::DOUBLE * amax_q6 / 127.0)::BIGINT))
+           AS errs
+  FROM c
+)
+SELECT vec_id, len(codes)::INT AS n_dims, amax_q6,
+       list_max(list_transform(codes, cc -> abs(cc)))::INT AS max_abs_code,
+       list_sum(codes)::BIGINT AS sum_codes,
+       md5(array_to_string(codes, ',')) AS codes_md5,
+       list_sum(errs)::BIGINT AS err_abs_q6
+FROM r
+""",
+)
+def q_embed_quantize_int8(spark, sf_dir):
+    """Per-vector absmax int8 quantization of the embedding corpus with a
+    pure-integer reconstruction-error audit — 4× storage cut feeding the
+    ADC/IVF paths; the oracle replays scale, rounding and the error fold
+    element-for-element (operators/similarity.quantize_int8)."""
+    from deepdoctection_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(_embs(spark, sf_dir))

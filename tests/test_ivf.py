@@ -171,3 +171,36 @@ def test_physical_repl_index_matches_logical_repl_search(embs, tmp_path):
         repl=2)
     assert sorted(map(tuple, phys.collect())) == sorted(
         map(tuple, logical.collect()))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_codes_and_error_bound(spark, sf_parity):
+    import numpy as np
+
+    from deepdoctection_spark.operators.similarity import quantize_int8
+
+    embs = spark.read.parquet(f"{sf_parity}/embeddings.parquet")
+    raw = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in embs.collect()}
+    out = {r.vec_id: r for r in quantize_int8(embs).collect()}
+    assert set(out) == set(raw)
+    for vid, r in out.items():
+        x = raw[vid]
+        assert r.n_dims == len(x)
+        # codes live in int8 range and the absmax element hits ±127
+        assert r.max_abs_code == 127
+        # serial replay of the exact contract
+        amax = np.abs(x).max()
+        codes = np.floor(x * 127.0 / amax + 0.5).astype(int)
+        assert r.sum_codes == codes.sum()
+        amax_q6 = int(np.floor(amax * 1e6))
+        recon_q6 = np.floor(codes * amax_q6 / 127.0).astype(np.int64)
+        err = int(np.abs(np.floor(x * 1e6).astype(np.int64) - recon_q6).sum())
+        assert r.err_abs_q6 == err
+        # error bound: per element |x - recon| <= amax/254 + quantization
+        # slack of the q6 grids (2 units per element)
+        assert err <= len(x) * (amax_q6 / 254 + 2)
