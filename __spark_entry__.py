@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 194, 77 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 195, 78 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -264,6 +264,9 @@ _P0_TAIL = {
     # ann_pq_search_adc consumes the same code-array shape (and pq encode
     # is its tailed sibling already)
     "embed_quantize_int8",
+    # two regexp_extract verdict columns — the in-cap crawl_robots_filter
+    # owns the policy semantics; this is its page-level narrow-map sibling
+    "crawl_page_directives",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -205,3 +205,37 @@ def crawl_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# page-directive regexes — RE2-safe, quote-agnostic, case-insensitive
+_META_ROBOTS = (
+    r"""(?i)<meta[^>]*name\s*=\s*["']robots["'][^>]*"""
+    r"""content\s*=\s*["']([^"']*)["']"""
+)
+_REL_CANONICAL = (
+    r"""(?i)<link[^>]*rel\s*=\s*["']canonical["'][^>]*"""
+    r"""href\s*=\s*["']([^"']*)["']"""
+)
+
+
+def page_directives(pages: DataFrame, col: str = "html") -> DataFrame:
+    """Per-page indexing directives a compliant crawl pipeline must honor
+    BEFORE any extraction work is spent: the robots meta tag's
+    noindex/nofollow verdicts (RFC 9309's page-level counterpart — noindex
+    pages must not enter the corpus, nofollow pages contribute no frontier
+    links) and the rel=canonical target (which overrides the fetched URL
+    as the dedup key, catching mirrors the URL normalizer cannot).
+
+    Two case-insensitive quote-agnostic regexp_extracts + substring
+    verdicts — pure column expressions, a narrow map over the page scan,
+    zero shuffle; at 10^10 pages this gate runs inside the same codegen
+    stage as the fetch-status filter. Returns (url, noindex, nofollow,
+    canonical) with canonical NULL when absent."""
+    robots = F.lower(F.regexp_extract(F.col(col), _META_ROBOTS, 1))
+    canon = F.regexp_extract(F.col(col), _REL_CANONICAL, 1)
+    return pages.select(
+        "url",
+        robots.contains("noindex").cast("int").alias("noindex"),
+        robots.contains("nofollow").cast("int").alias("nofollow"),
+        F.when(canon != "", canon).alias("canonical"),
+    )

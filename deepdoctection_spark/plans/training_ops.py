@@ -3090,3 +3090,63 @@ def q_embed_quantize_int8(spark, sf_dir):
     from deepdoctection_spark.operators.similarity import quantize_int8
 
     return quantize_int8(_embs(spark, sf_dir))
+
+
+@register(
+    "crawl_page_directives",
+    """
+WITH pages AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+    '<html><head>'
+    || CASE WHEN doc_id % 4 = 0
+            THEN '<META NAME="robots" CONTENT="noindex, nofollow">'
+            WHEN doc_id % 4 = 1
+            THEN '<meta name=''robots'' content=''NOFOLLOW''>'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN '<link rel="canonical" href="https://ex.org/c/'
+                 || (doc_id // 3) || '">'
+            ELSE '' END
+    || '</head><body>b</body></html>' AS html
+  FROM documents
+)
+SELECT url,
+  contains(lower(regexp_extract(html,
+    '(?i)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']',
+    1)), 'noindex')::INT AS noindex,
+  contains(lower(regexp_extract(html,
+    '(?i)<meta[^>]*name\\s*=\\s*["'']robots["''][^>]*content\\s*=\\s*["'']([^"'']*)["'']',
+    1)), 'nofollow')::INT AS nofollow,
+  nullif(regexp_extract(html,
+    '(?i)<link[^>]*rel\\s*=\\s*["'']canonical["''][^>]*href\\s*=\\s*["'']([^"'']*)["'']',
+    1), '') AS canonical
+FROM pages
+""",
+)
+def q_crawl_page_directives(spark, sf_dir):
+    """Page-level indexing directives: every 4th page plants an upper-case
+    double-quoted noindex,nofollow meta, the next a single-quoted
+    NOFOLLOW-only, every 3rd a rel=canonical link — case/quote variants
+    exercise the extraction's robustness, and verdict columns feed the
+    corpus gate (noindex drops the page) and the frontier (nofollow) and
+    URL-dedup keying (canonical) (operators/weburl.page_directives)."""
+    from deepdoctection_spark.operators import weburl
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (d % 7).cast("string"),
+                   F.lit(".example.org/p/"), d.cast("string"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(d % 4 == 0,
+               F.lit('<META NAME="robots" CONTENT="noindex, nofollow">'))
+        .when(d % 4 == 1, F.lit("<meta name='robots' content='NOFOLLOW'>"))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://ex.org/c/'),
+                        F.floor(d / 3).cast("long").cast("string"),
+                        F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"),
+    )
+    return weburl.page_directives(
+        docs.select(url.alias("url"), html.alias("html")))

@@ -77,3 +77,28 @@ def test_host_quota_sample_deterministic(spark):
     for h, i in got_a:
         per_host.setdefault(h, []).append(i)
     assert all(len(v) == 3 for v in per_host.values())
+
+
+def test_page_directives_variants(spark):
+    from deepdoctection_spark.operators.weburl import page_directives
+
+    rows = [
+        ("u1", '<head><META NAME="robots" CONTENT="NOINDEX"></head>'),
+        ("u2", "<head><meta name='robots' content='nofollow, noarchive'>"
+               "</head>"),
+        ("u3", '<head><link rel="canonical" href="https://c/x"></head>'),
+        ("u4", '<head><meta name="viewport" content="noindex"></head>'),
+        ("u5", "<head>plain</head>"),
+        ("u6", '<head><meta name="robots" content="none-of-those">'
+               '<link rel=\'canonical\' href=\'https://c/y\'></head>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r.url: r for r in page_directives(df).collect()}
+    assert (out["u1"].noindex, out["u1"].nofollow) == (1, 0)
+    assert (out["u2"].noindex, out["u2"].nofollow) == (0, 1)
+    assert out["u3"].canonical == "https://c/x" and out["u3"].noindex == 0
+    # a non-robots meta must never trip the verdict
+    assert (out["u4"].noindex, out["u4"].nofollow) == (0, 0)
+    assert out["u5"].canonical is None
+    assert (out["u6"].noindex, out["u6"].nofollow,
+            out["u6"].canonical) == (0, 0, "https://c/y")
