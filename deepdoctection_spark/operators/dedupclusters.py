@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -119,5 +120,35 @@ def dup_clusters(
             "cluster_id",
             "cluster_size",
             (F.col(doc_col) == F.col("cluster_id")).alias("is_kept"),
+        )
+    )
+
+
+def cluster_select_longest(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Representative selection by QUALITY rather than identity: within each
+    near-dup cluster keep the member with the most whitespace tokens
+    (CCNet/FineWeb's keep-longest policy — near-dups are usually truncations
+    and boilerplate-wrapped copies of the fullest variant; ``dup_clusters``'
+    min-id keep is deterministic but quality-blind). Tie-break doc_id ASC
+    keeps the choice total.
+
+    One cluster_id-keyed rank window over the already-materialized cluster
+    relation joined to a narrow token-count projection — no new
+    candidate-generation cost; the policy swap is free at any scale.
+    Returns (doc_id, cluster_id, cluster_size, n_tokens, keep_longest)."""
+    norm = F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0B]+", " "))
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(norm, " "), lambda w: F.length(w) > 0))
+        .cast("long").alias("n_tokens"),
+    )
+    j = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.col("doc_id"))
+    return (
+        j.withColumn("sel_rank", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "cluster_size", "n_tokens",
+            (F.col("sel_rank") == 1).cast("int").alias("keep_longest"),
         )
     )

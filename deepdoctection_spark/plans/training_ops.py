@@ -3150,3 +3150,39 @@ def q_crawl_page_directives(spark, sf_dir):
     )
     return weburl.page_directives(
         docs.select(url.alias("url"), html.alias("html")))
+
+
+def _cluster_longest_oracle() -> str:
+    return f"""
+WITH cl AS ({_cluster_oracle()}),
+tk AS (SELECT doc_id,
+         len(list_filter(string_split({_NORM}, ' '),
+                         w -> len(w) > 0))::BIGINT AS n_tokens
+       FROM documents),
+j AS (SELECT cl.*, tk.n_tokens FROM cl JOIN tk USING (doc_id))
+SELECT doc_id, cluster_id, cluster_size, n_tokens,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_tokens DESC, doc_id) = 1)::INT
+         AS keep_longest
+FROM j
+"""
+
+
+@register("dedup_cluster_keep_longest", _cluster_longest_oracle())
+def q_dedup_cluster_keep_longest(spark, sf_dir):
+    """Quality-aware near-dup representative selection: the keep-longest
+    policy (CCNet/FineWeb) over the materialized LSH clusters — within a
+    cluster the fullest member survives, truncated/boilerplate-wrapped
+    copies drop; min-id keep is the quality-blind fallback dup_clusters
+    already provides. One rank window over the cluster relation
+    (operators/dedupclusters.cluster_select_longest); the oracle wraps the
+    recursive-CTE transitive closure with the same window."""
+    from deepdoctection_spark.operators.dedupclusters import (
+        cluster_select_longest,
+        dup_clusters,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=3,
+                                    threshold=0.8)
+    return cluster_select_longest(docs, dup_clusters(docs, pairs))

@@ -41,3 +41,39 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2).collect()
+
+
+def test_cluster_select_longest_policy(spark):
+    from deepdoctection_spark.operators.dedupclusters import (
+        cluster_select_longest,
+        dup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # cluster {1,2,3}: 3 is longest
+            (2, "a b c"),
+            (3, "a b c d e f g h i"),
+            (9, "loner text"),          # singleton keeps itself
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in
+           cluster_select_longest(docs, dup_clusters(docs, pairs)).collect()}
+    assert out[3].keep_longest == 1
+    assert out[1].keep_longest == 0 and out[2].keep_longest == 0
+    assert out[9].keep_longest == 1
+    # exactly one keeper per cluster
+    from collections import Counter
+
+    keeps = Counter(r.cluster_id for r in out.values() if r.keep_longest)
+    sizes = Counter(r.cluster_id for r in out.values())
+    assert keeps == Counter(dict.fromkeys(sizes, 1))
+    # tie on length -> lower doc_id wins
+    docs2 = spark.createDataFrame(
+        [(5, "x y"), (6, "p q")], "doc_id long, text string")
+    pairs2 = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    out2 = {r.doc_id: r.keep_longest for r in
+            cluster_select_longest(docs2, dup_clusters(docs2, pairs2)).collect()}
+    assert out2 == {5: 1, 6: 0}
