@@ -766,3 +766,52 @@ def q_ice_rewrite_bin(spark, sf_dir):
     n_after = len(t.snapshot()["files"])
     assert n_after == 12 - len(bin0) + 1, (n_after, len(bin0))
     return _materialize_then_rm(_summarize(t.read(spark)), tmp)
+
+
+@register(
+    "ice_snapshot_history",
+    """
+WITH c AS (
+  SELECT sum((event_id % 3 = 0)::INT)::BIGINT AS n0,
+         sum((event_id % 3 = 1)::INT)::BIGINT AS n1,
+         sum((event_id % 3 = 2)::INT)::BIGINT AS n2
+  FROM events
+)
+SELECT * FROM (
+  SELECT 1::BIGINT AS sequence, 'append' AS operation,
+         2::INT AS added_files, 2::INT AS total_files, n0 AS total_rows
+  FROM c
+  UNION ALL SELECT 2, 'append', 1, 3, n0 + n1 FROM c
+  UNION ALL SELECT 3, 'overwrite', 2, 2, n2 FROM c
+  UNION ALL SELECT 4, 'append', 1, 3, n2 + n0 FROM c
+  UNION ALL SELECT 5, 'replace', 1, 1, n2 + n0 FROM c
+)
+""",
+)
+def q_ice_snapshot_history(spark, sf_dir):
+    """The .snapshots metadata table (Iceberg's table-history surface):
+    five scripted commits — two appends, an overwrite, an append, a
+    compaction — read back ENTIRELY from manifest-list aggregates
+    (IceTable.history() loads no manifests, no data). The oracle restates
+    every operation/file-count/row-count from the commit script's
+    closed-form slice sizes, proving the lineage bookkeeping tracks each
+    commit kind exactly."""
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="ddspark_ice_hist_")
+    t = IceTable(f"{tmp}/tbl")
+    t.append(ev.where("event_id % 3 = 0").repartition(2))
+    t.append(ev.where("event_id % 3 = 1").coalesce(1))
+    t.overwrite(ev.where("event_id % 3 = 2").repartition(2))
+    t.append(ev.where("event_id % 3 = 0").coalesce(1))
+    t.compact(spark, target_files=1)
+    rows = [
+        (int(h["sequence"]), h["operation"], int(h["added_files"]),
+         int(h["total_files"]), int(h["total_rows"]))
+        for h in t.history()
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "sequence long, operation string, added_files int, "
+        "total_files int, total_rows long",
+    )

@@ -1375,3 +1375,15 @@ def test_rewrite_files_unknown_path_raises(spark, tbl):
     tbl.append(_df(spark, 0, 10).coalesce(1))
     with pytest.raises(ValueError, match="re-plan"):
         tbl.rewrite_files(spark, ["nope.parquet"])
+
+
+def test_history_tracks_every_commit_kind(spark, tbl):
+    tbl.append(_df(spark, 0, 50).coalesce(1))
+    tbl.delete_where(spark, ("id", "<", 10), mode="mor")
+    tbl.compact(spark)
+    h = tbl.history()
+    ops = [x["operation"] for x in h]
+    assert ops[:3] == ["append", "delete", "replace"]
+    assert h[0]["total_rows"] == 50
+    # compaction folds the MoR delete physically: 40 footer rows
+    assert h[2]["total_rows"] == 40 and h[2]["total_files"] == 1
