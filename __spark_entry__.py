@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 197, 80 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 198, 81 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -273,6 +273,9 @@ _P0_TAIL = {
     # manifest-list-aggregate walk — the in-cap ice_metadata_agg family's
     # cheapest member (history() loads no manifests at all)
     "ice_snapshot_history",
+    # conv-partitioned lag + hash agg — the r4-green role_bigrams /
+    # conv_tool_stats shuffle shape over the same ts formula
+    "conv_response_latency",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

@@ -200,3 +200,38 @@ def tool_retry_runs(transcripts: DataFrame, min_len: int = 2) -> DataFrame:
         .where(F.col("run_len") >= min_len)
         .select("conv_id", "tool", "run_len", "start_turn", "end_turn")
     )
+
+
+def response_latency(transcripts: DataFrame) -> DataFrame:
+    """Assistant response-latency rollup — the first SLO an agent-platform
+    dashboard wants: for every user→assistant adjacency (the reply edge; a
+    tool turn between them means the reply was mediated and is NOT counted
+    here) the ts delta, aggregated per conversation to exchange count and
+    exact integer latency stats (sum/max seconds, mean in milli-seconds by
+    integer division — no float drift).
+
+    One conv_id-partitioned lag window (bounded per-conversation groups,
+    the transcript suite's standard shuffle) + one conv-keyed hash agg."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        "conv_id", "turn_idx", "role",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    ).select(
+        "conv_id", "role", "ts_sec",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("ts_sec").over(w).alias("prev_sec"),
+    )
+    replies = lagged.where(
+        (F.col("prev_role") == "user") & (F.col("role") == "assistant"))
+    return replies.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_exchanges"),
+        F.sum(F.col("ts_sec") - F.col("prev_sec")).cast("long")
+        .alias("sum_latency_sec"),
+        F.max(F.col("ts_sec") - F.col("prev_sec")).cast("long")
+        .alias("max_latency_sec"),
+    ).withColumn(
+        "mean_latency_milli",
+        F.expr("(sum_latency_sec * 1000) DIV n_exchanges"),
+    )

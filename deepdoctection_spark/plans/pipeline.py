@@ -887,3 +887,45 @@ def q_loader_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return epoch_shuffle(docs, id_col="doc_id", epochs=3, n_shards=8)
+
+
+def _oracle_response_latency() -> str:
+    from deepdoctection_spark.sources.transcripts import (
+        EPOCH_2024,
+        TRANSCRIPT_BASE_SQL,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         ({EPOCH_2024} + doc_id * 30)::BIGINT AS ts_sec
+  FROM ({TRANSCRIPT_BASE_SQL})
+),
+lagged AS (
+  SELECT conv_id, role, ts_sec,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(ts_sec) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_sec
+  FROM t
+),
+r AS (SELECT * FROM lagged
+      WHERE prev_role = 'user' AND role = 'assistant')
+SELECT conv_id, count(*)::BIGINT AS n_exchanges,
+       sum(ts_sec - prev_sec)::BIGINT AS sum_latency_sec,
+       max(ts_sec - prev_sec)::BIGINT AS max_latency_sec,
+       (sum(ts_sec - prev_sec) * 1000 // count(*))::BIGINT
+         AS mean_latency_milli
+FROM r GROUP BY conv_id
+"""
+
+
+@register("conv_response_latency", _oracle_response_latency())
+def q_conv_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant response latency per conversation (the reply-edge SLO):
+    ts deltas over user→assistant adjacencies via one conv-partitioned lag
+    window + one hash agg, exact integer stats
+    (operators/transcriptstats.response_latency)."""
+    from deepdoctection_spark.operators.transcriptstats import (
+        response_latency,
+    )
+
+    return response_latency(build_transcripts(spark, sf_dir))

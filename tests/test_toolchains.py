@@ -74,3 +74,30 @@ def test_retry_runs_maximal_islands(spark):
 def test_retry_runs_do_not_cross_conversations(spark):
     rows = [("a", 0, "tool", "g"), ("b", 1, "tool", "g")]
     assert tool_retry_runs(_tx(spark, rows), min_len=2).count() == 0
+
+
+def test_response_latency_counts_only_direct_replies(spark):
+    import datetime as dt
+
+    from deepdoctection_spark.operators.transcriptstats import (
+        response_latency,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda c, i, role, secs: (c, i, role, "x", "", t0 + dt.timedelta(seconds=secs))  # noqa: E731
+    rows = [
+        # conv a: two direct replies, 10s then 30s
+        mk("a", 0, "user", 0), mk("a", 1, "assistant", 10),
+        mk("a", 2, "user", 100), mk("a", 3, "assistant", 130),
+        # conv b: tool turn mediates -> NOT a direct reply edge
+        mk("b", 0, "user", 0), mk("b", 1, "tool", 5),
+        mk("b", 2, "assistant", 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+              " tool string, ts timestamp")
+    out = {r.conv_id: r for r in response_latency(df).collect()}
+    a = out["a"]
+    assert (a.n_exchanges, a.sum_latency_sec, a.max_latency_sec,
+            a.mean_latency_milli) == (2, 40, 30, 20000)
+    assert "b" not in out   # mediated reply only -> no direct edge
