@@ -116,3 +116,59 @@ def test_markdown_extract_fuzz_no_construct_survives(spark):
         # counters are consistent with the harvested list
         assert r.n_links == (len(r.links.split(",")) if r.links else 0)
         assert r.n_fences >= 0 and r.code_chars >= 0
+
+
+def test_luhn_fuzz_vs_serial_replay(spark):
+    from deepdoctection_spark.operators.textstats import luhn_candidates
+
+    rng = random.Random(11)
+
+    def serial_luhn(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            total += d if i % 2 == 0 else (2 * d - 9 if 2 * d > 9 else 2 * d)
+        return total % 10 == 0
+
+    rows, expect = [], {}
+    for i in range(80):
+        n = rng.randint(10, 22)
+        digits = "".join(str(rng.randrange(10)) for _ in range(n))
+        rows.append((i, f"ref {digits} end"))
+        if n >= 13:
+            expect[i] = (digits, int(n <= 19),
+                         int(n <= 19 and serial_luhn(digits)))
+    out = {r.doc_id: (r.cand, r.len_ok, r.luhn_valid)
+           for r in luhn_candidates(
+               spark.createDataFrame(rows, "doc_id long, text string"))
+           .collect()}
+    assert out == expect
+
+
+def test_kmv_fuzz_vs_exact_bottom_k(spark):
+    import hashlib
+
+    from deepdoctection_spark.operators.sketches import KMV_K, kmv_setops
+
+    rng = random.Random(23)
+    a = {f"k{rng.randrange(5000)}" for _ in range(700)}
+    b = {f"k{rng.randrange(5000)}" for _ in range(500)}
+    sets = spark.createDataFrame(
+        [("a", k) for k in a] + [("b", k) for k in b], "s string, url string")
+    out = {r.op: r for r in kmv_setops(sets).collect()}
+
+    def hs(keys):
+        return sorted(int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+                      for k in keys)
+
+    ha, hb = hs(a), hs(b)
+    hu = sorted(set(ha) | set(hb))
+    # sketch contents equal the serial bottom-k exactly (kth + size)
+    assert out["a"].kth == ha[:KMV_K][-1] and out["a"].sk_n == min(
+        KMV_K, len(ha))
+    assert out["b"].kth == hb[:KMV_K][-1]
+    assert out["union"].kth == hu[:KMV_K][-1]
+    # exact columns match true set algebra
+    assert out["union"].exact == len(set(ha) | set(hb))
+    assert out["intersect"].exact == len(set(ha) & set(hb))
+    assert out["a_not_b"].exact == len(set(ha) - set(hb))
