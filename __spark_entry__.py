@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 198, 81 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 199, 82 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -276,6 +276,9 @@ _P0_TAIL = {
     # conv-partitioned lag + hash agg — the r4-green role_bigrams /
     # conv_tool_stats shuffle shape over the same ts formula
     "conv_response_latency",
+    # the r2-green knn_bruteforce plan shape (same 20-query broadcast +
+    # rank window) over embed_quantize_int8's tailed code arrays
+    "knn_int8_search",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

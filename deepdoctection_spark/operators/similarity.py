@@ -894,3 +894,65 @@ def quantize_int8(embs: DataFrame) -> DataFrame:
             .cast("binary")).alias("codes_md5"),
         err.alias("err_abs_q6"),
     )
+
+
+def knn_int8(embeddings: DataFrame, n_queries: int = 20,
+             k: int = 5) -> DataFrame:
+    """Exact-arithmetic kNN over the int8-QUANTIZED corpus — the search
+    path ``quantize_int8``'s codes exist to serve: the corpus side streams
+    as 64 signed bytes per vector (4× less scan I/O than float32), the
+    float query block broadcasts as exact milli-unit integers, and the
+    score is the cosine of the quantized vector — scale-invariant, so the
+    per-vector amax cancels and never enters the ranking.
+
+    Cross-engine determinism: numerator Σq·c and both norm sums are exact
+    BIGINTs; the single float step (num / sqrt(nq·nc) · 10⁸, floored) is
+    one exactly-rounded sqrt + one divide on exact integers — bit-identical
+    in Spark and DuckDB. Same plan shape as knn_bruteforce (broadcast
+    queries × streaming corpus + one per-query rank window).
+
+    Output: (query_id, vec_id, cos_q8, rank)."""
+    from pyspark.sql.window import Window
+
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    corpus = embeddings.select(
+        "vec_id",
+        F.transform(xd, lambda v: F.floor(v * 127.0 / amax + 0.5)
+                    .cast("long")).alias("codes"),
+    )
+    queries = embeddings.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(xd, lambda v: F.floor(v * 1000.0 + 0.5).cast("long"))
+        .alias("qq"),
+    )
+    sums = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda v: v * v),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("codes"),
+                           lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda a, x: a + x).alias("num"),
+            sums(F.col("qq")).alias("nq"),
+            sums(F.col("codes")).alias("nc"),
+        )
+        .select(
+            "query_id", "vec_id",
+            F.floor(F.col("num") / F.sqrt((F.col("nq") * F.col("nc"))
+                                          .cast("double")) * 1e8 + 0.5)
+            .cast("long").alias("cos_q8"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q8").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_q8",
+                F.col("rank").cast("int").alias("rank"))
+    )

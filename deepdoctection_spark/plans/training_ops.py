@@ -3186,3 +3186,59 @@ def q_dedup_cluster_keep_longest(spark, sf_dir):
     pairs = dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4, k=3,
                                     threshold=0.8)
     return cluster_select_longest(docs, dup_clusters(docs, pairs))
+
+
+@register(
+    "knn_int8_search",
+    """
+WITH x AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, xd,
+         list_max(list_transform(xd, v -> abs(v))) AS amax
+  FROM x
+),
+c AS (
+  SELECT vec_id,
+         list_transform(xd, v -> floor(v * 127.0 / amax + 0.5)::BIGINT)
+           AS codes
+  FROM s
+),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(xd, v -> floor(v * 1000.0 + 0.5)::BIGINT) AS qq
+  FROM x WHERE vec_id < 20
+),
+sc AS (
+  SELECT q.query_id, c.vec_id,
+    list_sum(list_transform(range(1, len(codes) + 1),
+                            i -> qq[i] * codes[i]))::BIGINT AS num,
+    list_sum(list_transform(qq, v -> v * v))::BIGINT AS nq,
+    list_sum(list_transform(codes, v -> v * v))::BIGINT AS nc
+  FROM c, q WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         floor(num / sqrt((nq * nc)::DOUBLE) * 1e8 + 0.5)::BIGINT AS cos_q8
+  FROM sc
+),
+rk AS (
+  SELECT query_id, vec_id, cos_q8,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_q8 DESC, vec_id)::INT AS rank
+  FROM r
+)
+SELECT query_id, vec_id, cos_q8, rank FROM rk WHERE rank <= 5
+""",
+)
+def q_knn_int8_search(spark, sf_dir):
+    """Top-5 cosine neighbors over the int8-quantized corpus: the search
+    path that consumes quantize_int8's codes — 4× less corpus scan than
+    float32, amax cancels out of the scale-invariant score, and the one
+    float step (sqrt+divide on exact BIGINTs) is bit-identical across
+    engines (operators/similarity.knn_int8)."""
+    from deepdoctection_spark.operators.similarity import knn_int8
+
+    return knn_int8(_embs(spark, sf_dir))

@@ -44,6 +44,7 @@ BNLJ_WHITELIST = {
     # its (sources-sized) weights side; the schedule join itself is a
     # broadcast hash equi-join on source
     "loader_mixture_schedule",
+    "knn_int8_search",  # knn_bruteforce's 20-query-vector broadcast
 }
 
 

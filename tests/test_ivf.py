@@ -204,3 +204,24 @@ def test_quantize_int8_codes_and_error_bound(spark, sf_parity):
         # error bound: per element |x - recon| <= amax/254 + quantization
         # slack of the q6 grids (2 units per element)
         assert err <= len(x) * (amax_q6 / 254 + 2)
+
+
+def test_knn_int8_recall_vs_float_bruteforce(spark, sf_parity):
+    from deepdoctection_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_int8,
+    )
+
+    embs = spark.read.parquet(f"{sf_parity}/embeddings.parquet")
+    exact = {}
+    for r in knn_bruteforce(embs, n_queries=20, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    quant = {}
+    for r in knn_int8(embs, n_queries=20, k=5).collect():
+        quant.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(quant) == set(exact)
+    recalls = [len(exact[q] & quant[q]) / 5 for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # 8-bit absmax quantization of 64-dim vectors barely moves cosine
+    # ranks: demand near-exact agreement on average
+    assert mean_recall >= 0.9, (mean_recall, sorted(recalls))
