@@ -187,7 +187,7 @@ _SWEEP_FRONT = (
 )
 
 # Within the never-driver-checked block, family-redundant queries go last:
-# with 81 never-checked and a ~50 cap, ~31 must miss the driver sweep, so
+# with 82 never-checked and a ~50 cap, ~32 must miss the driver sweep, so
 # the cut is chosen, not accidental — each tail query shares most of its
 # code path with an in-cap sibling (repl with ann_ivf_search_trained/_pruned;
 # hits/triangles/bfs with pagerank/components' edge-harvest plumbing;
