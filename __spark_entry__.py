@@ -50,7 +50,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round), then staleness order (least-recently-checked first).
 # Cumulative driver coverage through r04 is 117/124 pre-round-5 queries; the
 # 7 priority-0 stragglers from r04 plus all round-5 additions (registry now
-# 199, 82 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
+# 200, 83 never-driver-checked, 50 of them in-cap) lead the r05 sweep.
 # scripts/self_correctness.py additionally runs the FULL registry every round
 # (CORRECTNESS_self_r{N}.json) so nothing is uncovered.
 _LAST_CHECKED_ROUND = {  # query -> most recent driver round that value-checked it
@@ -187,7 +187,7 @@ _SWEEP_FRONT = (
 )
 
 # Within the never-driver-checked block, family-redundant queries go last:
-# with 82 never-checked and a ~50 cap, ~32 must miss the driver sweep, so
+# with 83 never-checked and a ~50 cap, ~33 must miss the driver sweep, so
 # the cut is chosen, not accidental — each tail query shares most of its
 # code path with an in-cap sibling (repl with ann_ivf_search_trained/_pruned;
 # hits/triangles/bfs with pagerank/components' edge-harvest plumbing;
@@ -279,6 +279,9 @@ _P0_TAIL = {
     # the r2-green knn_bruteforce plan shape (same 20-query broadcast +
     # rank window) over embed_quantize_int8's tailed code arrays
     "knn_int8_search",
+    # two fused hash aggs + a lang rollup — every constituent figure is
+    # already value-checked by in-cap quality/dedup/lang queries
+    "corpus_release_manifest",
 }
 
 # Newest unique surfaces promoted to just after the r4 stragglers: the KMV

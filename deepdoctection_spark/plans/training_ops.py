@@ -3242,3 +3242,82 @@ def q_knn_int8_search(spark, sf_dir):
     from deepdoctection_spark.operators.similarity import knn_int8
 
     return knn_int8(_embs(spark, sf_dir))
+
+
+@register(
+    "corpus_release_manifest",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         len(list_filter(string_split({_NORM}, ' '),
+                         w -> len(w) > 0))::BIGINT AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         count(DISTINCT fp)::BIGINT AS n_distinct
+  FROM t
+)
+SELECT 'n_docs' AS metric, n_docs::BIGINT AS value FROM tot
+UNION ALL SELECT 'total_ws_tokens', total_tokens::BIGINT FROM tot
+UNION ALL SELECT 'mean_tokens_milli',
+       (total_tokens * 1000 // n_docs)::BIGINT FROM tot
+UNION ALL SELECT 'distinct_text_ppm',
+       (n_distinct * 1000000 // n_docs)::BIGINT FROM tot
+UNION ALL
+SELECT 'len50_keep_ppm',
+       (sum((n_tokens >= 50)::INT) * 1000000 // count(*))::BIGINT FROM t
+UNION ALL
+SELECT 'lang_' || lang || '_ppm',
+       (count(*) * 1000000 // (SELECT n_docs FROM tot))::BIGINT
+FROM t GROUP BY lang
+""",
+)
+def q_corpus_release_manifest(spark, sf_dir):
+    """The release data card: one (metric, value) row per certification
+    figure a corpus publish step must stamp — doc and token totals, exact
+    integer-ppm dedup level (distinct md5 share), the ≥50-token keep rate,
+    and the per-language mix — all from TWO fused hash aggregations over
+    one scan plus a lang rollup; every number exact integer arithmetic so
+    the card is reproducible bit-for-bit on any engine or cluster size."""
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0B]+", " "))
+    t = docs.select(
+        "doc_id", "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.size(F.filter(F.split(norm, " "), lambda w: F.length(w) > 0))
+        .cast("long").alias("n_tokens"),
+    )
+    tot = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("fp").cast("long").alias("n_distinct"),
+        F.sum((F.col("n_tokens") >= 50).cast("int")).cast("long")
+        .alias("n_len50"),
+    )
+    rows = (
+        tot.select(F.lit("n_docs").alias("metric"),
+                   F.col("n_docs").alias("value"))
+        .unionByName(tot.select(F.lit("total_ws_tokens").alias("metric"),
+                                F.col("total_tokens").alias("value")))
+        .unionByName(tot.select(
+            F.lit("mean_tokens_milli").alias("metric"),
+            F.expr("total_tokens * 1000 DIV n_docs").alias("value")))
+        .unionByName(tot.select(
+            F.lit("distinct_text_ppm").alias("metric"),
+            F.expr("n_distinct * 1000000 DIV n_docs").alias("value")))
+        .unionByName(tot.select(
+            F.lit("len50_keep_ppm").alias("metric"),
+            F.expr("n_len50 * 1000000 DIV n_docs").alias("value")))
+    )
+    langs = (
+        t.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot.select("n_docs")))
+        .select(
+            F.concat(F.lit("lang_"), F.col("lang"), F.lit("_ppm"))
+            .alias("metric"),
+            F.expr("n * 1000000 DIV n_docs").alias("value"),
+        )
+    )
+    return rows.unionByName(langs)

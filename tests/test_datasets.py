@@ -895,3 +895,21 @@ def test_markdown_tables_cell_addressing(spark):
     assert cells[(3, 2)] == ("", 0)          # empty cell kept, addressed
     assert len(cells) == 9                   # separator + prose never leak
     assert max(r for r, _ in cells) == 3
+
+
+def test_release_manifest_internally_consistent(spark, sf_parity):
+    import deepdoctection_spark.plans.training_ops  # noqa: F401 — registers
+    from deepdoctection_spark.plans.registry import QUERIES
+
+    card = {r.metric: r.value for r in
+            QUERIES["corpus_release_manifest"](spark, sf_parity).collect()}
+    n = card["n_docs"]
+    assert n > 0 and card["total_ws_tokens"] > n
+    assert card["mean_tokens_milli"] == card["total_ws_tokens"] * 1000 // n
+    assert 0 < card["distinct_text_ppm"] <= 1000000
+    assert 0 <= card["len50_keep_ppm"] <= 1000000
+    lang_ppm = {k: v for k, v in card.items()
+                if k.startswith("lang_") and k.endswith("_ppm")}
+    assert len(lang_ppm) == 5
+    # per-lang shares sum to ~1e6 (floor-division slack < n_langs)
+    assert 1000000 - len(lang_ppm) < sum(lang_ppm.values()) <= 1000000
