@@ -45,6 +45,9 @@ BNLJ_WHITELIST = {
     # broadcast hash equi-join on source
     "loader_mixture_schedule",
     "knn_int8_search",  # knn_bruteforce's 20-query-vector broadcast
+    # 1-row corpus-total aggregate scalar-combined into each card row —
+    # the data_expectations pattern
+    "corpus_release_manifest",
 }
 
 
